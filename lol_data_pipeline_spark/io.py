@@ -1,0 +1,77 @@
+"""Table IO: parquet scans and sinks.
+
+The reference's sink is truncate-then-bulk-insert into MongoDB
+(reference src/api/db.py:23-38); in Spark that is exactly
+``df.write.mode("overwrite")`` into a columnar table, which is what
+:func:`write_overwrite` does. Scans are plain ``spark.read.parquet``
+so Catalyst gets predicate pushdown + column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table; filters/projections push down.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader only surfaces as a nanosecond long (see
+    session.py's nanosAsLong conf); convert to a microsecond
+    timestamp here, matching how the DuckDB oracle reads it.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — float division loses precision at 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Truncate-and-load sink (reference db.py:32-37 semantics).
+
+    ``mode("overwrite")`` is delete-all-then-insert; ``partition_by``
+    produces hive-style directory partitioning so downstream scans
+    get partition pruning — at 100 TB, always partition by the
+    dominant filter column (e.g. a date).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,131 @@
+"""Unit tests for the scalar/text/flatten function catalog, covering
+the reference quirks called out in SURVEY.md §2.3."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lol_data_pipeline_spark.functions import scalar, text as tx
+from lol_data_pipeline_spark.functions.flatten import flatten
+
+
+def test_epoch_ms_to_date(spark):
+    df = spark.createDataFrame([(1672531200123,), (0,)], "ms long")
+    out = df.select(scalar.epoch_ms_to_date_str("ms").alias("d")).collect()
+    assert [r.d for r in out] == ["2023-01-01", "1970-01-01"]
+
+
+def test_duration_units_sms_duality(spark):
+    # reference utils.py:109-147: 's' when end ts present, else 'ms'
+    df = spark.createDataFrame(
+        [(1, 100), (2, None)], T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("end_ts", T.LongType()),
+        ])
+    )
+    out = {r.id: r.u for r in df.select("id", scalar.duration_units("end_ts").alias("u")).collect()}
+    assert out == {1: "s", 2: "ms"}
+
+
+def test_map_lookup_queue_ids(spark):
+    # reference utils.py:63-76
+    df = spark.createDataFrame([("draft",), ("blind",), ("aram",), ("ranked",)], "q string")
+    out = [r.qid for r in df.select(scalar.queue_id("q").alias("qid")).collect()]
+    assert out == [400, 430, 450, None]
+
+
+def test_array_find_pos_and_element(spark):
+    # reference utils.py:93-107 (position) + 149-150 (extraction)
+    df = spark.createDataFrame([(["a", "b", "c"],), (["x"],)], "arr array<string>")
+    pos = scalar.array_find_pos("arr", F.lit("b"))
+    out = df.select(pos.alias("p"), scalar.element_at_pos("arr", pos.cast("int")).alias("e")).collect()
+    assert (out[0].p, out[0].e) == (2, "b")
+    assert (out[1].p, out[1].e) == (None, None)
+
+
+def test_md5_long_deterministic_and_seeded(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    r = df.select(
+        scalar.md5_long("s").alias("h0"),
+        scalar.md5_long("s").alias("h0b"),
+        scalar.md5_long("s", seed=1).alias("h1"),
+    ).collect()[0]
+    assert r.h0 == r.h0b
+    assert r.h0 != r.h1
+    assert r.h0 == 648541476951500027  # = int(md5('abc')[:15], 16)
+
+
+def test_flatten_struct_and_indexed_arrays(spark):
+    # index-preserving flatten (divergence from reference utils.py:37-39
+    # documented in functions/flatten.py)
+    df = spark.createDataFrame(
+        [
+            (
+                {"matchId": "NA1_1", "participants": ["p1", "p2"]},
+                [{"kills": 1, "challenges": {"kda": 2.0}}, {"kills": 3, "challenges": {"kda": 4.0}}],
+            )
+        ],
+        T.StructType(
+            [
+                T.StructField(
+                    "metadata",
+                    T.StructType(
+                        [
+                            T.StructField("matchId", T.StringType()),
+                            T.StructField("participants", T.ArrayType(T.StringType())),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "info",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("kills", T.IntegerType()),
+                                T.StructField(
+                                    "challenges",
+                                    T.StructType([T.StructField("kda", T.DoubleType())]),
+                                ),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        ),
+    )
+    out = flatten(df, array_limit=3)
+    row = out.collect()[0]
+    assert row["metadata_matchId"] == "NA1_1"
+    assert row["metadata_participants_0"] == "p1"
+    assert row["metadata_participants_2"] is None  # past end → NULL
+    assert row["info_0_kills"] == 1
+    assert row["info_1_challenges_kda"] == 4.0
+    # no leaf lost: every leaf of the schema appears exactly once
+    assert len(out.columns) == 1 + 3 + 3 * 2
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("the  quick fox",), ("",)], "text string")
+    out = df.select(tx.token_count("text").alias("n")).collect()
+    assert [r.n for r in out] == [3, 0]
+
+
+def test_lang_id_prefers_matching_stopwords(spark):
+    df = spark.createDataFrame(
+        [("the cat is on the mat",), ("el gato y la casa es de un",)], "text string"
+    )
+    out = [r.l for r in df.select(tx.lang_id("text").alias("l")).collect()]
+    assert out == ["en", "es"]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([("b a c",), ("c b a a",)], "text string")
+    fps = [r.fp for r in df.select(tx.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(tx.word_shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["a b c", "b c d"]

@@ -1,0 +1,86 @@
+"""Unit tests for composite operators (asof, topk, dedup family)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.operators.asof import asof_join_backward
+from lol_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from lol_data_pipeline_spark.operators.relational import topk_per_group
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_latest(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1"), (1, ts("2024-01-01T09:00:00"), "L2"),
+         (2, ts("2024-01-01T10:00:00"), "L3")],
+        "k int, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30:00"), 100), (1, ts("2024-01-01T10:00:00"), 200),
+         (1, ts("2024-01-01T11:00:00"), 300)],
+        "k int, ts timestamp, rid int",
+    )
+    out = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["rid"], tiebreak="rid"
+    )
+    got = {r.lbl: r.asof_rid for r in out.collect()}
+    # L1 at 10:00 matches rid=200 (inclusive, latest); L2 at 09:00 has
+    # no prior right row; key 2 has no right rows at all.
+    assert got == {"L1": 200, "L2": None, "L3": None}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 2)
+    got = sorted((r.g, r.id) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
+    (2, "completely different words about spark partitions and shuffles here"),
+    (3, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+]
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r.keep_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 3 identical, keep lowest id
+    assert out[1] == 1 and out[2] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs and (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_recovers_exact_and_near_dups(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert (0, 2) not in pairs

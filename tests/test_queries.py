@@ -1,0 +1,29 @@
+"""Smoke tests: every registered query runs on sf0.001 and returns a
+stable schema; spot checks on known-small results."""
+
+from __future__ import annotations
+
+import pytest
+
+from lol_data_pipeline_spark.plans import REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.columns  # schema resolvable
+    assert df.count() >= 0
+
+
+def test_q1_shape(spark, sf_dir):
+    rows = REGISTRY["rel_q1_pricing"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 6
+    assert all(r.count_order > 0 for r in rows)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

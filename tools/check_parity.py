@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every REGISTRY entry's Spark plan and DuckDB oracle SQL on the
+same sf dir and compares row count, column names, and
+order-insensitive values (exact after normalization; float drift is
+reported separately because it would break a value-hash).
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from lol_data_pipeline_spark.io import TABLES, table_path  # noqa: E402
+from lol_data_pipeline_spark.session import get_spark  # noqa: E402
+from lol_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+
+
+def norm(v):
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_key(r):
+    return tuple("\0N" if v is None else str(v) for v in r)
+
+
+def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
+    issues = []
+    if len(spark_rows) != len(duck_rows):
+        issues.append(f"ROWCOUNT spark={len(spark_rows)} duck={len(duck_rows)}")
+    if [c.lower() for c in spark_cols] != [c.lower() for c in duck_cols]:
+        issues.append(f"COLS spark={spark_cols} duck={duck_cols}")
+    if not issues:
+        s = sorted((tuple(norm(v) for v in r) for r in spark_rows), key=rows_key)
+        d = sorted((tuple(norm(v) for v in r) for r in duck_rows), key=rows_key)
+        n_exact = n_close = n_diff = 0
+        example = None
+        for sr, dr in zip(s, d):
+            if sr == dr:
+                n_exact += 1
+                continue
+            close = len(sr) == len(dr) and all(
+                a == b
+                or (
+                    isinstance(a, float)
+                    and isinstance(b, float)
+                    and abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+                )
+                for a, b in zip(sr, dr)
+            )
+            if close:
+                n_close += 1
+                if example is None:
+                    example = (sr, dr)
+            else:
+                n_diff += 1
+                if example is None:
+                    example = (sr, dr)
+        if n_diff:
+            issues.append(f"VALUES {n_diff} rows differ; e.g. {example}")
+        elif n_close:
+            issues.append(f"FLOAT-DRIFT {n_close} rows (hash risk); e.g. {example}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    n_pass = n_fail = n_skip = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        if spec.sql is None:
+            print(f"  SKIP (no oracle) {name}")
+            n_skip += 1
+            continue
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        try:
+            res = con.execute(spec.sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"✗ {name}: DUCKDB ERROR {str(e)[:300]}")
+            n_fail += 1
+            continue
+        issues = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        if issues:
+            print(f"✗ {name}: " + " | ".join(issues))
+            n_fail += 1
+        else:
+            print(f"✓ {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skipped (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
