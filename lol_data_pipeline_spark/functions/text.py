@@ -61,10 +61,9 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score_raw(col: Column | str) -> Column:
     """Composite [0,1] quality score: length, mean token length,
-    stopword ratio. Deterministic closed-form; rounded to 4 dp so the
-    oracle's float arithmetic agrees bit-for-bit after rounding."""
+    stopword ratio. Deterministic closed-form double."""
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(c)
     n = F.size(toks).cast("double")
@@ -75,9 +74,17 @@ def quality_score(col: Column | str) -> Column:
     avg_score = F.least(F.lit(1.0), avg_tok / F.lit(8.0))
     sw = stopword_hits(toks, "en").cast("double")
     sw_ratio = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
-    return F.round(
-        F.lit(0.4) * len_score + F.lit(0.3) * avg_score + F.lit(0.3) * sw_ratio, 4
-    )
+    return F.lit(0.4) * len_score + F.lit(0.3) * avg_score + F.lit(0.3) * sw_ratio
+
+
+def quality_score(col: Column | str) -> Column:
+    """quality_score_raw scaled to an integer (×10⁴, floored).
+
+    floor() after float scaling is bit-deterministic across engines,
+    unlike round(): Spark rounds in decimal space while DuckDB rounds
+    in double space, and they disagree on values whose scaled double
+    lands exactly on .5 (observed on real data)."""
+    return F.floor(quality_score_raw(col) * F.lit(10000.0)).cast("long")
 
 
 def fingerprint(col: Column | str) -> Column:

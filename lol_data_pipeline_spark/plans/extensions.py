@@ -1,0 +1,362 @@
+"""North-star extension queries: text analysis, dedup family,
+similarity search, multimodal metadata (SURVEY §7 M3).
+
+Registered into the same REGISTRY as the core queries. The oracle
+SQL for hash-heavy operators (minhash/simhash) is generated
+programmatically so both engines share the exact md5-derived hash
+arithmetic (functions.scalar.md5_long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.functions import text as tx
+from lol_data_pipeline_spark.operators import dedup as dd
+from lol_data_pipeline_spark.operators import similarity as sim
+from lol_data_pipeline_spark.plans.queries import REGISTRY, QuerySpec, T, query
+
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py.
+SQL_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """Word n-gram shingles of the token list (mirrors
+    tx.word_shingles)."""
+    return (
+        f"list_transform(generate_series(1, greatest(0, len(t) - {n - 1})), "
+        f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+    )
+
+
+SQL_MD5_LONG = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+# =========================================================================
+# text_* — text analysis over documents
+# =========================================================================
+
+
+@query(
+    "text_token_stats",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+           round(len(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_tok_len
+    FROM tok
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer): counts + mean token
+    length per document, all native HOF exprs."""
+    d = T(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.round(
+            F.length(F.concat_ws("", toks)) * F.lit(1.0) / F.size(toks), 4
+        ).alias("avg_tok_len"),
+    )
+
+
+def _sql_lang_case() -> str:
+    s = {lang: _sql_stop_hits(lang) for lang in tx.LANG_PRIORITY}
+    clauses = []
+    for i, lang in enumerate(tx.LANG_PRIORITY[:-1]):
+        later = tx.LANG_PRIORITY[i + 1 :]
+        cond = " AND ".join(f"{s[lang]} >= {s[o]}" for o in later)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{tx.LANG_PRIORITY[-1]}' END"
+
+
+@query(
+    "text_lang_id",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id, {_sql_lang_case()} AS lang_pred
+    FROM tok
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Heuristic language ID: stopword-overlap argmax (n-gram
+    heuristic family). Pure CASE chain — no model, no UDF."""
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "text_quality",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(floor((0.4 * least(1.0, len(t) / 100.0)
+                 + 0.3 * least(1.0, (len(array_to_string(t, '')) * 1.0 / len(t)) / 8.0)
+                 + 0.3 * ({_sql_stop_hits('en')} * 1.0 / len(t))) * 10000.0) AS BIGINT) AS quality
+    FROM tok
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length / token-shape / stopword-ratio
+    composite in [0,1], reported ×10⁴ as an integer (see
+    functions.text.quality_score for why floor beats round here)."""
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents)
+    SELECT md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM tok
+    GROUP BY 1
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of the sorted distinct token set
+    → cluster key for order-insensitive duplicate detection."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tx.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+# =========================================================================
+# dedup_* — deduplication family over documents
+# =========================================================================
+
+
+@query(
+    "dedup_exact",
+    sql="""
+    SELECT md5(text) AS text_md5,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy (reference A1 generalized to
+    content hashing)."""
+    return dd.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct({_sql_shingles(3)})) AS s FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {{thr}}
+"""
+
+
+@query("dedup_ngram_jaccard", sql=SQL_JACCARD_PAIRS.format(thr=0.8))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs via inverted-index candidate
+    join (never all-pairs)."""
+    return dd.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+@query("dedup_minhash_lsh", sql=SQL_JACCARD_PAIRS.format(thr=0.8))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH (k=16, 8 bands) candidates + exact-Jaccard verify.
+    The oracle is the exact all-pairs answer: LSH recall at s≥0.8
+    with these parameters is 1-(1-s²)⁸ ≥ 0.9997, and every returned
+    pair is verified, so the outputs coincide."""
+    return dd.minhash_lsh_pairs(
+        T(spark, sf_dir, "documents"), k=16, bands=8, n=3, threshold=0.8
+    )
+
+
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    th = SQL_MD5_LONG.format(expr="tok")
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
+), hashed AS (SELECT doc_id, {th} AS th FROM tok),
+votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", sql=_sql_simhash_pairs(32, 3))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (32-bit, Hamming ≤ 3) with pigeonhole
+    band candidates. Band recall at Hamming ≤ 3 with 4 bands is
+    exactly 1 (pigeonhole), so the banded result equals the oracle's
+    all-pairs scan."""
+    out = dd.simhash_pairs(T(spark, sf_dir, "documents"), bits=32, max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# =========================================================================
+# ann_* — similarity search over embeddings
+# =========================================================================
+
+SQL_COS = (
+    "round(list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors —
+    broadcast the queries, never shuffle the corpus."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    sql=f"""
+    WITH cent AS (SELECT vec_id AS cell_id, embedding AS centvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC, cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ), cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, cell_id AS qcell FROM cells WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM q JOIN cells c ON c.cell_id = q.qcell AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k: deterministic seed centroids,
+    probe only the query's cell (scanned rows cut by ~n_centroids×)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, n_centroids=8, k=5, n_queries=20).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql=f"""
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           {SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs. Brute-force all-pairs here;
+    at 100 TB the same verify step runs only on LSH/IVF candidates
+    (see ann_ivf_topk) — this entry is the verification kernel."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.45)
+    )
+
+
+# =========================================================================
+# mm_* — multimodal columns (binary payload + typed metadata)
+# =========================================================================
+
+
+@query(
+    "mm_binary_meta",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha,
+           CASE WHEN n_chars >= 300 THEN 'large' ELSE 'small' END AS size_class,
+           source AS origin
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal column plumbing: payloads as opaque binary with
+    typed metadata (byte length, content hash, class, origin). The
+    decode/feature-extract stage lives in operators/multimodal.py
+    (mapInPandas, stubbed decoders)."""
+    d = T(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"),
+        F.when(F.col("n_chars") >= 300, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.col("source").alias("origin"),
+    )

@@ -91,7 +91,7 @@ def ref_filter_status(spark, sf_dir):
     sql="""
     SELECT o_orderkey AS order_id,
            upper(o_orderstatus) AS status,
-           round(o_totalprice * 1.1, 2) AS total_with_tax
+           round(o_totalprice * 1.1, 3) AS total_with_tax
     FROM orders
     """,
 )
@@ -101,7 +101,7 @@ def ref_projection_rename(spark, sf_dir):
     return T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order_id"),
         F.upper("o_orderstatus").alias("status"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("total_with_tax"),
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("total_with_tax"),
     )
 
 

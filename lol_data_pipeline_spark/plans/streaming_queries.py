@@ -1,0 +1,72 @@
+"""Streaming queries registered in the catalog.
+
+Each runs a real Structured Streaming pipeline (file source → window
+aggregation → memory sink) to completion and returns the final
+result as a batch DataFrame, so the DuckDB oracle can check it
+exactly like a batch query.
+"""
+
+from __future__ import annotations
+
+from lol_data_pipeline_spark.plans.queries import query
+from lol_data_pipeline_spark.streaming import windows as sw
+
+
+@query(
+    "stream_tumbling_window",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1h windows per event_type via readStream→writeStream."""
+    return sw.tumbling_counts(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_window",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, (VALUES (0), (1)) offs(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding 1h/30m windows: every event contributes to two
+    windows (the oracle cross-joins the two slide offsets)."""
+    return sw.sliding_counts(spark, sf_dir)
+
+
+@query(
+    "stream_session_window",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Per-user 30-minute-gap session windows via
+    F.session_window in a streaming aggregation; the oracle computes
+    the same sessions with the classic gaps-and-islands SQL."""
+    return sw.session_windows(spark, sf_dir)

@@ -1,0 +1,117 @@
+"""Structured Streaming window operators over the events table.
+
+The reference has no streaming (SURVEY §2.7); these provide the
+north-star streaming surface: tumbling / sliding / session windows
+driven through a real ``readStream`` → ``writeStream`` pipeline.
+
+Batch parquet replay through the file source + memory sink +
+``processAllAvailable()`` makes the streaming result deterministic
+and lets the DuckDB oracle verify it like any batch query. At scale
+the same plans run unchanged against Kafka with watermarks bounding
+state (the gap semantics and window alignment are identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.io import table_path
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _stage_dir(parquet_file: str) -> str:
+    """The file streaming source requires a *directory*; stage a
+    stable temp dir containing a symlink to the single parquet file
+    (read-only testdata must not be touched)."""
+    key = hashlib.md5(parquet_file.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0.parquet")
+    if not os.path.exists(link):
+        os.symlink(parquet_file, link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet; ts arrives as nanos (see
+    io.load_table) and is converted to a microsecond timestamp."""
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .parquet(_stage_dir(table_path(sf_dir, "events")))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion via the memory
+    sink; returns the final result as a batch DataFrame."""
+    qname = f"stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(qname)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type (epoch-aligned)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    return run_to_completion(agg)
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in
+    exactly two windows."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    return run_to_completion(agg)
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Session semantics: an event at exactly prev_ts + gap starts a NEW
+    session (window is [start, last+gap)), which the oracle mirrors
+    with a strict `<` on the lag difference.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_completion(agg)
