@@ -360,3 +360,28 @@ def mm_binary_meta(spark, sf_dir):
         .alias("size_class"),
         F.col("source").alias("origin"),
     )
+
+
+@query("mm_extract_features", sql=None)  # mapInPandas stub — rows-only check
+def mm_extract_features(spark, sf_dir):
+    """Multimodal decode/feature-extract over binary payloads via
+    Arrow-batched mapInPandas (operators/multimodal.py). The decoder
+    is a deterministic stub (no media codecs in this container); the
+    schema/partitioning/batch plumbing is the real scale path."""
+    from lol_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.attach_binary_payload(T(spark, sf_dir, "documents"))
+    return mm.extract_features(media)
+
+
+@query("ref_ingest_pipeline", sql=None)  # hermetic synthetic source — rows-only
+def ref_ingest_pipeline(spark, sf_dir):
+    """The reference's full E1 lifecycle (SURVEY §3): paginated ID
+    scan → distinct → rate-limited fan-out fetch (mock) → status
+    filter → declared-schema parse → recursive flatten. One lazy
+    DataFrame plan, no driver-side loops."""
+    from lol_data_pipeline_spark.sources import riot
+
+    ids = riot.match_id_scan(spark, "puuid_1", ["draft", "blind"], num_matches=200)
+    responses = riot.fetch_match_details(ids.select("match_id").distinct(), n_tasks=4)
+    return riot.flatten_matches(riot.parse_responses(responses), puuid="puuid_1")
