@@ -22,6 +22,12 @@ from lol_data_pipeline_spark.session import get_spark  # noqa: E402
 from lol_data_pipeline_spark.plans import REGISTRY  # noqa: E402
 
 HEADLINE = [
+    # reference surface
+    "ref_dedup_distinct",
+    "ref_epoch_ms_to_date",
+    "ref_flatten_struct",
+    "ref_ingest_pipeline",
+    # relational
     "rel_q1_pricing",
     "rel_q3_shipping",
     "rel_q5_local_supplier",
@@ -29,9 +35,18 @@ HEADLINE = [
     "rel_agg_cube",
     "rel_asof_join",
     "rel_range_join",
-    "ref_dedup_distinct",
-    "ref_epoch_ms_to_date",
-    "ref_flatten_struct",
+    # LLM-data-pipeline extensions
+    "text_token_stats",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "mm_extract_features",
+    # streaming
+    "stream_tumbling_window",
+    "stream_session_window",
 ]
 
 

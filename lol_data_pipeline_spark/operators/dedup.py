@@ -88,15 +88,39 @@ def ngram_jaccard_pairs(
     )
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the k affine permutations
+    h_i(x) = (a_i·x + b_i) mod P — the classic one-base-hash MinHash
+    family (a_i odd, nonzero)."""
+    params = []
+    for i in range(k):
+        a = ((1_103_515_245 * (i + 1) + 12_345) % _MINHASH_P) | 1
+        b = (2_654_435_761 * (i + 1)) % _MINHASH_P
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: h_i = min over
-    shingles of md5_long(i || ':' || shingle). One explode + one
-    groupBy computing all k mins in a single aggregate pass."""
-    sh = doc_shingles(docs, n, text_col, id_col)
+    """k-permutation MinHash signature per doc.
+
+    ONE md5 per shingle (the expensive part), then k affine
+    permutations of that base hash — vs k independent md5s this cuts
+    the dominant cost k×. All k mins come out of a single aggregate
+    pass (one shuffle). Products stay < 2^61 so ANSI-mode int64
+    arithmetic cannot overflow."""
+    sh = doc_shingles(docs, n, text_col, id_col).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
     return sh.groupBy("id").agg(
-        *[F.min(md5_long(F.col("shingle"), seed=i + 1)).alias(f"h{i}") for i in range(k)]
+        *[
+            F.min(F.pmod(F.col("bh") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(_affine_params(k))
+        ]
     )
 
 
@@ -139,13 +163,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, 0.0, text_col, id_col).withColumnRenamed(
-        "jaccard", "jaccard_all"
+    # Verify ONLY the candidate pairs: push the candidate set into the
+    # inverted-index join instead of computing Jaccard for every
+    # shingle-sharing pair — at scale candidates are a tiny fraction.
+    sh = doc_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    common = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
     )
     return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard_all") >= F.lit(threshold))
-        .select("id_a", "id_b", F.col("jaccard_all").alias("jaccard"))
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -41,6 +41,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "nrm") -> DataFrame:
+    """Attach the L2 norm as a materialized column so pairwise joins
+    compute cosine as dot/(nrm_a*nrm_b) — the two norm folds move
+    from O(N²) pair evaluations to O(N) row evaluations. The dot is
+    still the sequential zip_with fold, so results stay bit-identical
+    to the naive cosine() (same op order)."""
+    return df.withColumn(out_col, norm(F.col(vec_col)))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

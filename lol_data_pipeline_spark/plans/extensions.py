@@ -55,15 +55,17 @@ def _sql_stop_hits(lang: str) -> str:
 )
 def text_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer): counts + mean token
-    length per document, all native HOF exprs."""
+    length per document. Tokenize ONCE in a sub-projection — the
+    three stats reuse the materialized array instead of re-splitting
+    the text per expression."""
     d = T(spark, sf_dir, "documents")
-    toks = tx.tokens("text")
-    return d.select(
+    tokd = d.select("doc_id", tx.tokens("text").alias("t"))
+    return tokd.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_uniq"),
         F.round(
-            F.length(F.concat_ws("", toks)) * F.lit(1.0) / F.size(toks), 4
+            F.length(F.concat_ws("", F.col("t"))) * F.lit(1.0) / F.size("t"), 4
         ).alias("avg_tok_len"),
     )
 
@@ -303,26 +305,40 @@ def ann_ivf_topk(spark, sf_dir):
 
 @query(
     "dedup_embedding_cosine",
-    sql=f"""
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
     SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
-           {SQL_COS.format(a='a.embedding', b='b.embedding')} AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= 0.45
+           round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs. Brute-force all-pairs here;
-    at 100 TB the same verify step runs only on LSH/IVF candidates
-    (see ann_ivf_topk) — this entry is the verification kernel."""
-    emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    """Embedding-cosine near-dup pairs. Norms are precomputed per
+    vector (O(N)) so each of the O(N²) pairs costs a single dot fold
+    — same arithmetic as cosine() (dot/(nrm·nrm)), 3× less work.
+    Brute-force all-pairs here; at 100 TB the same verify kernel runs
+    only on LSH/IVF candidates (see ann_ivf_topk)."""
+    emb = sim.with_norm(T(spark, sf_dir, "embeddings"), "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(sim.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.45)
     )
