@@ -70,3 +70,28 @@ def stream_session_window(spark, sf_dir):
     F.session_window in a streaming aggregation; the oracle computes
     the same sessions with the classic gaps-and-islands SQL."""
     return sw.session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_totals",
+    sql="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    (count, sum) state evolved per micro-batch; with the full replay
+    in one batch the emitted updates equal the batch aggregate, which
+    is exactly what the oracle checks."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.streaming.stateful import running_user_totals
+
+    out = running_user_totals(spark, sf_dir)
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )

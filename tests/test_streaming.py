@@ -1,0 +1,104 @@
+"""Streaming tests: windows vs batch-equivalent, custom stateful
+operator, foreachBatch sink, watermark late-data drop (SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.io import load_table
+from lol_data_pipeline_spark.streaming import windows as sw
+from lol_data_pipeline_spark.streaming.sinks import write_stream_foreach_batch
+from lol_data_pipeline_spark.streaming.stateful import running_user_totals
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    streamed = sw.tumbling_counts(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stateful_totals_equal_batch_agg(spark, sf_dir):
+    out = running_user_totals(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    joined = out.join(batch.withColumnRenamed("n_events", "bn").withColumnRenamed(
+        "sum_value", "bs"), "user_id")
+    assert joined.filter(F.col("n_events") != F.col("bn")).count() == 0
+    assert joined.filter(F.abs(F.col("sum_value") - F.col("bs")) > 1e-6).count() == 0
+
+
+def test_foreach_batch_sink_writes_epochs(spark, sf_dir, tmp_path):
+    ev = sw._events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    out = str(tmp_path / "fb")
+    epochs = write_stream_foreach_batch(agg, out, mode="update")
+    assert epochs  # at least one micro-batch ran
+    written = spark.read.parquet(f"{out}/epoch={epochs[-1]}")
+    assert written.count() == 5  # five event types
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode window agg with a 10-minute watermark: events
+    older than (max_seen - 10min) arriving in a later batch must be
+    dropped, and windows only emit once finalized."""
+    src = str(tmp_path / "late_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    _write_events(spark, src, [(1, ts(5), 1, 1.0), (2, ts(65), 1, 1.0)])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    import tempfile, uuid
+
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event + one LATE event (ts(2) is far
+        # behind the watermark, now at ts(65) - 10min = ts(55))
+        _write_events(spark, src, [(3, ts(2), 1, 99.0), (4, ts(70), 1, 1.0)])
+        q.processAllAvailable()
+        # a third file pushes the watermark so the 60-90 window can emit
+        _write_events(spark, src, [(5, ts(200), 1, 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ws: r.n for r in spark.table(qname).collect()}
+    first_window = t0
+    # the late event (ts=2min) must NOT have been added to the first
+    # window — it stays at n=1 (only event_id=1)
+    assert got.get(first_window) == 1, got
