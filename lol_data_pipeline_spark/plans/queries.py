@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from lol_data_pipeline_spark.io import load_table
+from lol_data_pipeline_spark.io import load_table, widen
 from lol_data_pipeline_spark.functions import scalar, text as tx
 from lol_data_pipeline_spark.functions.flatten import flatten
 from lol_data_pipeline_spark.operators import dedup as dd
@@ -51,7 +51,13 @@ def query(name: str, sql: str | None = None):
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        # These two feed CPU-heavy per-row work (shingling, hashing,
+        # vector folds); spread narrow scans across all cores. No-op
+        # once the scan is big enough to have >= cores splits.
+        df = widen(df)
+    return df
 
 
 # =========================================================================
