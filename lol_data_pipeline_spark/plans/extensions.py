@@ -70,6 +70,42 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@query(
+    "text_token_bpe",
+    sql=f"""
+    WITH tok AS (SELECT doc_id,
+                        regexp_extract_all(lower(text), '{_BPE_RE}') AS t
+                 FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_pieces,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_pieces,
+           round(len(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_piece_len
+    FROM tok
+    """,
+)
+def text_token_bpe(spark, sf_dir):
+    """BPE-ish regex tokenizer: splits lowercased text into letter
+    runs / digit runs / punctuation runs (the pre-tokenization pass a
+    byte-pair encoder applies before merges). Pattern kept to
+    constructs with identical semantics in Java regex (Spark) and
+    RE2 (DuckDB), verified char-for-char."""
+    tokd = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)).alias("t"),
+    )
+    return tokd.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_pieces"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_uniq_pieces"),
+        F.round(
+            F.length(F.concat_ws("", F.col("t"))) * F.lit(1.0) / F.size("t"), 4
+        ).alias("avg_piece_len"),
+    )
+
+
 def _sql_lang_case() -> str:
     s = {lang: _sql_stop_hits(lang) for lang in tx.LANG_PRIORITY}
     clauses = []

@@ -95,3 +95,31 @@ def stream_stateful_totals(spark, sf_dir):
     return out.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+@query(
+    "stream_dedup",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Stateful streaming dropDuplicates on (user_id, event_type);
+    with the full replay the surviving set equals batch DISTINCT,
+    which is what the oracle checks."""
+    return sw.streaming_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_join_click_purchase",
+    sql="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_click_purchase(spark, sf_dir):
+    """Watermarked stream-stream inner join with a time-range
+    constraint (purchases ≤30 min after a click, same user)."""
+    return sw.click_purchase_join(spark, sf_dir)

@@ -115,3 +115,59 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first arrival per (user_id,
+    event_type) wins, duplicates dropped statefully as the stream
+    runs. The watermark bounds the dedup state at scale (late
+    arrivals beyond it may re-emit; the bounded replay here fits one
+    micro-batch, so the result is exact)."""
+    ev = _events_stream(spark, sf_dir)
+    dd = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_completion(dd, mode="append")
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes of a
+    click by the same user. Both sides carry watermarks and the join
+    has a time-range constraint, so each side's buffered state is
+    evicted once the other side's watermark passes — the canonical
+    bounded-state streaming join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return run_to_completion(j, mode="append")
