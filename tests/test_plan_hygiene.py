@@ -13,6 +13,8 @@ from lol_data_pipeline_spark.plans import REGISTRY
 
 
 def physical_plan(spark, sf_dir, name: str) -> str:
+    # default maxMetadataStringLength=100 truncates PushedFilters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     df = REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -49,3 +51,67 @@ def test_no_cartesian_in_relational_queries(spark, sf_dir):
                  "rel_join_left_agg", "rel_range_join", "rel_asof_join"):
         plan = physical_plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q6_full_predicate_pushdown(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "rel_q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_quantity,24.0)" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.04)" in pushed
+    # and the scan reads only the four referenced columns
+    schema = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "l_orderkey" not in schema and "l_extendedprice" in schema
+
+
+def test_tpch_dims_broadcast(spark, sf_dir):
+    for name in ("rel_q7_volume_shipping", "rel_q9_product_profit",
+                 "rel_q14_promo_effect", "rel_q19_disjunctive_revenue"):
+        plan = physical_plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-bucketed fact-fact join must read bucketed splits directly:
+    no Exchange on either side (the 100-TB join strategy: shuffle
+    once at write, never again)."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators.bucketing import cobucket_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucket_join(
+            spark, "li_b", "o_b",
+            spark.table("li_b").l_orderkey == spark.table("o_b").o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """groupBy on the bucket key reuses the bucketing: no exchange
+    below the aggregate."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators.bucketing import write_bucketed
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "li_agg_b", ["l_orderkey"], 8)
+    try:
+        agg = spark.table("li_agg_b").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_agg_b")
