@@ -69,7 +69,7 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle
     sets, candidates generated via inverted-index self-join (only
     pairs sharing ≥1 shingle are ever scored)."""
-    sh = doc_shingles(docs, n, text_col, id_col)
+    sh = doc_shingles(docs, n, text_col, id_col).persist()
     if max_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -173,7 +173,12 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    # Materialize signatures once: the bucket self-join otherwise
+    # re-evaluates the whole shingle→md5→aggregate pipeline on each
+    # side (exchange reuse does not cross a broadcast conversion).
+    # This is the scale play too — a production run persists (or
+    # writes) the signature table and joins against it repeatedly.
+    sigs = minhash_signatures(docs, k, n, text_col, id_col).persist()
     # One row per (doc, band) via a single explode — NOT a union of
     # per-band selects, which would re-evaluate the signature subtree
     # once per band.
@@ -211,10 +216,9 @@ def minhash_lsh_pairs(
     )
     # Verify ONLY the candidate pairs: join each side's per-row
     # shingle array and intersect — at scale candidates are a tiny
-    # fraction, and the doc→shingle-array build is narrow (no
-    # shuffle), so re-evaluating it per join side costs a scan, not
-    # an exchange.
-    base = _doc_shingle_arrays(docs, n, text_col, id_col)
+    # fraction. Persisted for the same reason as the signatures:
+    # both verify joins read it.
+    base = _doc_shingle_arrays(docs, n, text_col, id_col).persist()
     return (
         cand.join(
             base.select(
@@ -292,7 +296,9 @@ def simhash_pairs(
     never all-pairs."""
     nbands = max_hamming + 1
     width = bits // nbands
-    sigs = simhash_signatures(docs, bits, text_col, id_col)
+    # Persisted: both sides of the bucket self-join read the
+    # signature table (see minhash_lsh_pairs).
+    sigs = simhash_signatures(docs, bits, text_col, id_col).persist()
     # One explode per doc into (band, chunk) rows; candidate pairs
     # come straight out of each bucket's sorted member list — no
     # band union, no bucket self-join, so the signature subtree is
