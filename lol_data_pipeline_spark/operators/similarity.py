@@ -28,15 +28,23 @@ from lol_data_pipeline_spark.io import widen
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast to double BEFORE multiplying: the oracle (DuckDB) computes
+    # double products over CAST(... AS DOUBLE[]), and the sequential
+    # fold order is identical, so results are bit-equal — float32
+    # products would differ in the low bits and could flip signs/ties.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(a.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -135,6 +143,134 @@ def ivf_topk(
         "query_id",
         F.col(id_col).alias("match_id"),
         F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    n_planes: int = 6,
+    k: int = 5,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Each vector gets an ``n_planes``-bit code (bit j = sign of the
+    dot with plane j); a query only scores vectors sharing its exact
+    code, cutting the scan ~2^n_planes× for isotropic data. Planes
+    are deterministic (the first ``n_planes`` corpus vectors) so the
+    DuckDB oracle reproduces the assignment; production would draw
+    Gaussian planes. Dots are rounded before the sign test so both
+    engines agree at the boundary.
+
+    Scale: code assignment is a broadcast cross join (n_planes rows)
+    + one groupBy(id) — the corpus is never shuffled by value; the
+    probe is a broadcast of Q coded queries against the coded corpus.
+    """
+    planes = corpus.filter(F.col(id_col) < n_planes).select(
+        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
+    )
+    wc = widen(corpus)
+    codes = (
+        wc.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(dot(F.col(vec_col), F.col("pvec")), 6) >= 0,
+                    F.pow(F.lit(2.0), F.col("plane_id")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("code")
+        )
+    )
+    coded = wc.join(codes, id_col)
+    queries = coded.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("code").alias("qcode"),
+    )
+    scored = coded.join(
+        F.broadcast(queries),
+        (F.col("code") == F.col("qcode")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("match_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k on the Arrow/pandas fast path.
+
+    The query set (small by contract, like any broadcast dim) is
+    collected once into a numpy matrix and broadcast; each corpus
+    partition streams through ``mapInPandas`` as Arrow batches and
+    scores B×Q similarities with one BLAS matmul — the scale path
+    when vectors are wide enough that JVM per-element folds lose to
+    vectorized C.
+
+    Each partition emits only its local top-k per query, ordered by
+    the SAME total order the final ranking uses (rounded sim desc,
+    match_id asc), so the global top-k — a tiny Q×k×partitions
+    shuffle — is exact.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_mat, q_norm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cids = pdf[id_col].to_numpy()
+            sims = (cmat @ q_mat.T) / (
+                np.linalg.norm(cmat, axis=1)[:, None] * q_norm[None, :]
+            )
+            out_q, out_m, out_s = [], [], []
+            for j in range(len(q_ids)):
+                s = np.round(sims[:, j], 6)
+                s[cids == q_ids[j]] = -np.inf  # self-match
+                order = np.lexsort((cids, -s))[: min(k, len(cids))]
+                keep = order[np.isfinite(s[order])]
+                out_q.extend([q_ids[j]] * len(keep))
+                out_m.extend(cids[keep])
+                out_s.extend(s[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "match_id": out_m, "sim": out_s}
+            )
+
+    scored = widen(corpus).mapInPandas(
+        score, "query_id long, match_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
     return (

@@ -340,6 +340,67 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH planes AS (SELECT vec_id AS plane_id, embedding AS pvec FROM embeddings WHERE vec_id < 6),
+    codes AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pvec AS DOUBLE[])), 6) >= 0
+                      THEN CAST(power(2, p.plane_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS code
+      FROM embeddings e CROSS JOIN planes p GROUP BY 1
+    ),
+    q AS (SELECT c.vec_id AS query_id, e.embedding AS qvec, c.code AS qcode
+          FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id WHERE c.vec_id < 20),
+    scored AS (
+      SELECT q.query_id, cd.vec_id AS match_id,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM q JOIN codes cd ON cd.code = q.qcode AND cd.vec_id <> q.query_id
+      JOIN embeddings c ON c.vec_id = cd.vec_id
+    ), ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN: 6-bit sign codes bucket the corpus
+    (~64 cells); a query scores only its own bucket."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(emb, n_planes=6, k=5, n_queries=20).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@query(
+    "ann_cosine_topk_arrow",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_arrow(spark, sf_dir):
+    """Same exact top-k as ann_cosine_topk but on the Arrow fast
+    path: mapInPandas + one BLAS matmul per batch, partition-local
+    top-k before the final Q×k shuffle. Same oracle — the two
+    implementations must agree."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 10), k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     sql="""
     WITH v AS (
