@@ -8,9 +8,9 @@ replay, the standard exactly-once pattern on object storage).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame
+
+from lol_data_pipeline_spark.streaming.windows import _ckpt_dir
 
 
 def write_stream_foreach_batch(
@@ -29,7 +29,7 @@ def write_stream_foreach_batch(
     q = (
         agg.writeStream.outputMode(mode)
         .foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .option("checkpointLocation", _ckpt_dir())
         .start()
     )
     try:

@@ -1,0 +1,136 @@
+"""Property tests (SURVEY §5 point 4): invariants that must hold for
+arbitrary inputs, not just the fixtures — flatten loses no leaves,
+dedup is idempotent, date conversion round-trips, signatures are
+permutation-invariant."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(_text, st.integers(-(2**31), 2**31 - 1), st.booleans()),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_flatten_preserves_every_leaf(spark, rows):
+    """flatten() must emit exactly one column per leaf of the nested
+    schema and preserve the values row-for-row."""
+    from lol_data_pipeline_spark.functions.flatten import flatten
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "a",
+                T.StructType(
+                    [
+                        T.StructField("s", T.StringType()),
+                        T.StructField(
+                            "b",
+                            T.StructType(
+                                [
+                                    T.StructField("i", T.IntegerType()),
+                                    T.StructField("f", T.BooleanType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    data = [(i, (s, (n, b))) for i, (s, n, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, schema)
+    flat = flatten(df)
+    assert set(flat.columns) == {"id", "a_s", "a_b_i", "a_b_f"}
+    got = sorted(flat.collect(), key=lambda r: r.id)
+    for i, (s, n, b) in enumerate(rows):
+        assert (got[i].a_s, got[i].a_b_i, got[i].a_b_f) == (s, n, b)
+
+
+@SLOW
+@given(ids=st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=30))
+def test_distinct_dedup_idempotent_and_minimal(spark, ids):
+    """A1 semantics: dedup twice == dedup once == the set of inputs
+    (also covers the reference bug of returning the pre-dedup list,
+    reference matches.py:53)."""
+    df = spark.createDataFrame([(x,) for x in ids], "match_id string")
+    once = df.distinct()
+    twice = once.distinct()
+    assert once.count() == len(set(ids))
+    assert twice.count() == once.count()
+    assert {r.match_id for r in once.collect()} == set(ids)
+
+
+@SLOW
+@given(ts=st.integers(0, 4_102_444_800_000))  # 1970..2100 epoch-ms
+def test_epoch_ms_to_date_roundtrip(spark, ts):
+    """P3 semantics (reference utils.py:84-91): epoch-ms → yyyy-MM-dd
+    must agree with Python's UTC datetime arithmetic."""
+    from lol_data_pipeline_spark.functions.scalar import epoch_ms_to_date_str
+
+    df = spark.createDataFrame([(ts,)], "t long")
+    got = df.select(epoch_ms_to_date_str("t").alias("d")).first().d
+    want = dt.datetime.fromtimestamp(ts / 1000, tz=dt.timezone.utc).strftime("%Y-%m-%d")
+    assert got == want
+
+
+@SLOW
+@given(
+    words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=3, max_size=20),
+    seed=st.integers(0, 2**31),
+)
+def test_minhash_signature_word_order_invariant(spark, words, seed):
+    """MinHash signatures depend only on the shingle SET, so any
+    rotation of the same circular word sequence that produces the
+    same shingle set yields the same signature; identical docs always
+    sign identically."""
+    from lol_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    sigs = minhash_signatures(df, k=8).collect()
+    assert len(sigs) == 2
+    a, b = sorted(sigs, key=lambda r: r.id)
+    assert a[1:] == b[1:]
+
+
+@SLOW
+@given(
+    texts=st.lists(_text.filter(lambda s: s.strip()), min_size=2, max_size=10)
+)
+def test_simhash_pairs_are_canonical(spark, texts):
+    """simhash_pairs emits each qualifying pair exactly once with
+    id_a < id_b (the first-matching-band rule must not duplicate or
+    drop pairs)."""
+    from lol_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = simhash_pairs(df, max_hamming=32).collect()
+    seen = [(r.id_a, r.id_b) for r in rows]
+    assert len(seen) == len(set(seen))  # no duplicates
+    assert all(a < b for a, b in seen)
+    # Hamming ≤ 32 on 32-bit signatures means EVERY pair of non-empty
+    # docs must appear
+    n_docs = len([t for t in texts if t.split()])
+    assert len(seen) == n_docs * (n_docs - 1) // 2
