@@ -35,18 +35,27 @@ HEADLINE = [
     "rel_agg_cube",
     "rel_asof_join",
     "rel_range_join",
+    # TPC-H-pattern suite
+    "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping",
+    "rel_q9_product_profit",
+    "rel_q18_large_orders",
     # LLM-data-pipeline extensions
     "text_token_stats",
+    "text_token_bpe",
     "text_lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "mm_extract_features",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
+    "stream_dedup",
 ]
 
 

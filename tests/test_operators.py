@@ -84,3 +84,20 @@ def test_simhash_exact_dup_distance_zero(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
     assert pairs.get((0, 3)) == 0
     assert (0, 2) not in pairs
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.operators.relational import salted_join
+
+    # pathologically skewed: 90% of big-side rows share one key
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+    )
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "k long, d string")
+    got = salted_join(big, small, "k")
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
