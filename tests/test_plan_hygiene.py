@@ -115,3 +115,31 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS li_agg_b")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """K1 sink with partitionBy: a filter on the partition column
+    must become a PartitionFilter (files outside the partition are
+    never opened — the dominant-filter layout at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table, write_overwrite
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "li_by_year")
+    write_overwrite(li, out, partition_by=["ship_year"])
+    rd = spark.read.parquet(out).filter(F.col("ship_year") == 1996)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*ship_year[^\]]*1996", plan)
+    assert rd.count() == li.filter(F.year("l_shipdate") == 1996).count()
+
+
+def test_plan_audit_clean(spark, sf_dir):
+    """The full-registry plan audit (tools/plan_audit.py) must stay
+    clean: no unexpected cartesians, wide scans, or row-at-a-time
+    Python UDFs anywhere in the catalog."""
+    import tools.plan_audit as pa
+
+    assert pa.audit(spark, sf_dir) == 0

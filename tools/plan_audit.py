@@ -1,0 +1,81 @@
+"""Plan audit: sweep every registered query's physical plan for
+scale red flags.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+Flags raised per query:
+- CARTESIAN      CartesianProduct / BroadcastNestedLoopJoin outside the
+                 pairwise-similarity family (where cross-scoring is the
+                 operator's semantics)
+- NO_PUSHDOWN    a parquet scan whose PushedFilters is empty while the
+                 plan contains a Filter (possible missed pushdown)
+- WIDE_SCAN      a scan reading >12 columns (possible missed pruning)
+- PY_ROW_UDF     row-at-a-time BatchEvalPython in the plan (pandas /
+                 Arrow paths show ArrowEvalPython / MapInPandas instead)
+
+Exit code 1 if any unexpected flag fires — usable as a CI gate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lol_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from lol_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# cross-scoring is the semantics of these: queries × corpus / planes /
+# centroids, always with a broadcast build side
+CROSS_OK = {
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
+}
+# streaming plans materialize through a memory sink; their batch-side
+# plan is not what executes
+SKIP = {name for name in REGISTRY if name.startswith("stream_")}
+
+
+def audit(spark, sf_dir: str) -> int:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    bad = 0
+    for name in sorted(REGISTRY):
+        if name in SKIP:
+            continue
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover
+            print(f"ERROR {name}: {exc}")
+            bad += 1
+            continue
+        flags = []
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and name not in CROSS_OK:
+            flags.append("CARTESIAN")
+        if "Filter " in plan and re.search(r"PushedFilters: \[\],", plan):
+            # scans can legitimately have no pushable predicate (e.g.
+            # the filter is on a computed column) — surface for review
+            flags.append("NO_PUSHDOWN?")
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            if schema.count(":") > 12:
+                flags.append("WIDE_SCAN")
+                break
+        if "BatchEvalPython" in plan:
+            flags.append("PY_ROW_UDF")
+        status = " ".join(flags) if flags else "ok"
+        print(f"{name:36s} {status}")
+        if flags and flags != ["NO_PUSHDOWN?"]:
+            bad += 1
+    return bad
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_bad = audit(get_spark("plan_audit"), sf)
+    print(f"\n{n_bad} queries with unexpected plan flags")
+    sys.exit(1 if n_bad else 0)
