@@ -91,3 +91,21 @@ def write_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_upsert_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental sink: overwrite ONLY the partitions present in
+    ``df``, leaving all other partitions untouched (dynamic partition
+    overwrite). This is the idempotent daily-load pattern at 100 TB —
+    re-running a day replaces exactly that day, and a retried job is
+    a no-op rather than a duplicate append.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -143,3 +143,35 @@ def test_plan_audit_clean(spark, sf_dir):
     import tools.plan_audit as pa
 
     assert pa.audit(spark, sf_dir) == 0
+
+
+def test_dynamic_partition_upsert(spark, sf_dir, tmp_path):
+    """write_upsert_partitions replaces only the partitions present
+    in the incoming frame; untouched partitions survive, and a replay
+    of the same slice is idempotent."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table, write_overwrite, write_upsert_partitions
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "li_upsert")
+    write_overwrite(li, out, partition_by=["ship_year"])
+    base_total = spark.read.parquet(out).count()
+
+    # re-load one year with a mutation: that year is replaced...
+    y96 = li.filter(F.col("ship_year") == 1996).withColumn(
+        "l_quantity", F.col("l_quantity") + 1000
+    )
+    write_upsert_partitions(y96, out, ["ship_year"])
+    after = spark.read.parquet(out)
+    assert after.count() == base_total  # nothing appended, nothing lost
+    assert after.filter(F.col("ship_year") == 1997).count() == li.filter(
+        F.col("ship_year") == 1997
+    ).count()
+    assert after.filter((F.col("ship_year") == 1996) & (F.col("l_quantity") > 1000)).count() == y96.count()
+
+    # ...and replaying the same slice changes nothing (idempotent)
+    write_upsert_partitions(y96, out, ["ship_year"])
+    assert spark.read.parquet(out).count() == base_total
