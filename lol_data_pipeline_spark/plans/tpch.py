@@ -386,3 +386,70 @@ def rel_q22_idle_wealthy_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "rel_q4_order_priority",
+    sql="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def rel_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join (orders with at least one
+    line shipped after the order date) counted per priority. The
+    semi-join needs only l_orderkey+l_shipdate from the fact —
+    column pruning keeps the probe narrow."""
+    li, o = (T(spark, sf_dir, t) for t in ("lineitem", "orders"))
+    oq = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        oq.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "rel_q13_order_histogram",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def rel_q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: count-of-counts histogram — left join keeps
+    customers with zero qualifying orders (count() over a null key
+    yields 0), then the distribution of per-customer order counts."""
+    c, o = (T(spark, sf_dir, t) for t in ("customer", "orders"))
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
