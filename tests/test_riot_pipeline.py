@@ -97,3 +97,21 @@ def test_custom_fetcher_content_type_error_guard(spark):
     ids = riot.match_id_scan(spark, "p", ["draft"], num_matches=100).select("match_id").distinct()
     parsed = riot.parse_responses(riot.fetch_match_details(ids, fetcher=flaky, n_tasks=2))
     assert parsed.filter(F.col("metadata").isNull()).count() == 0
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference's CLI surface (pipeline.py:119-127) end-to-end
+    in mock mode: argparse → E1 lifecycle → parquet sink."""
+    from lol_data_pipeline_spark.cli import main
+
+    rc = main([
+        "--summoner", "bob",
+        "--queue_type", "draft",
+        "--db", str(tmp_path),
+        "--collection", "match_data",
+        "--num-matches", "120",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "match_data"))
+    assert out.count() > 0
+    assert "matchId" in out.columns and "gameDurationUnits" in out.columns
