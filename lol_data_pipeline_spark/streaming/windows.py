@@ -62,20 +62,33 @@ def _ckpt_dir() -> str:
 
 def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion via the memory
-    sink; returns the final result as a batch DataFrame."""
+    sink; returns the final result as a batch DataFrame.
+
+    Stateful streaming parallelism is pinned lower than the batch
+    default: every micro-batch snapshots/commits ONE state store per
+    shuffle partition, so oversized partition counts turn into pure
+    state-store overhead (the store count is fixed at first start by
+    the checkpoint anyway). Production sizes this to state volume,
+    not core count."""
+    spark = agg.sparkSession
     qname = f"stream_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", _ckpt_dir())
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", _ckpt_dir())
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return agg.sparkSession.table(qname)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
