@@ -496,5 +496,8 @@ def ref_ingest_pipeline(spark, sf_dir):
     from lol_data_pipeline_spark.sources import riot
 
     ids = riot.match_id_scan(spark, "puuid_1", ["draft", "blind"], num_matches=200)
-    responses = riot.fetch_match_details(ids.select("match_id").distinct(), n_tasks=4)
+    # n_tasks = fetch parallelism (the reference ran 20 concurrent
+    # requests, pipeline.py:126); 16 tasks keeps that order of
+    # parallelism while halving mapInPandas scheduling overhead vs 4.
+    responses = riot.fetch_match_details(ids.select("match_id").distinct(), n_tasks=16)
     return riot.flatten_matches(riot.parse_responses(responses), puuid="puuid_1")
