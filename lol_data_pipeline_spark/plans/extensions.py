@@ -487,6 +487,20 @@ def mm_extract_features(spark, sf_dir):
     return mm.extract_features(media)
 
 
+@query("mm_frame_sample", sql=None)  # stubbed decoder upstream — rows-only
+def mm_frame_sample(spark, sf_dir):
+    """Full multimodal chain: attach binary payload → resize stage →
+    mapInPandas decode/feature-extract → frame sampling (sequence +
+    explode, one row per sampled frame index). The decode is the
+    deterministic stub (no codecs in this container); every Spark
+    stage — schema, batching, explode plan — is real."""
+    from lol_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.attach_binary_payload(T(spark, sf_dir, "documents"))
+    feats = mm.extract_features(mm.resize_stub(media, max_dim=512))
+    return mm.frame_sample(feats, every_n=5)
+
+
 @query("ref_ingest_pipeline", sql=None)  # hermetic synthetic source — rows-only
 def ref_ingest_pipeline(spark, sf_dir):
     """The reference's full E1 lifecycle (SURVEY §3): paginated ID
