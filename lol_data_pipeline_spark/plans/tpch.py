@@ -453,3 +453,46 @@ def rel_q13_order_histogram(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("long").alias("custdist")
     )
+
+
+@query(
+    "rel_q8_market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA'
+    GROUP BY 1
+    """,
+)
+def rel_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of revenue sold
+    into a region, per year — a ratio of conditional sums over a
+    7-table snowflake (region filters the customer side; the share
+    condition tags the supplier side)."""
+    li, o, c, s, n, r = (
+        T(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    amer = r.filter(F.col("r_name") == "AMERICA").select("r_regionkey")
+    share = F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(amer), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(share) / F.sum(_rev()), 6).alias("mkt_share"))
+    )

@@ -175,3 +175,41 @@ def test_dynamic_partition_upsert(spark, sf_dir, tmp_path):
     # ...and replaying the same slice changes nothing (idempotent)
     write_upsert_partitions(y96, out, ["ship_year"])
     assert spark.read.parquet(out).count() == base_total
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join must split a pathologically skewed partition at
+    runtime (thresholds lowered to trigger at test scale — at 100 TB
+    the defaults fire on real skew)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of the left side lands on key 0
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = left.join(right, "k")
+        # collect() drives THIS DataFrame's queryExecution so the
+        # adaptive plan below is the finalized one (count() would
+        # execute a separate derived plan)
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
