@@ -93,6 +93,33 @@ def write_overwrite(
     writer.parquet(path)
 
 
+def load_file(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic file source (parquet / json / csv / orc / text).
+
+    Always pass ``schema`` for json/csv at scale: schema inference
+    costs a full extra pass over the data and can mis-type sparse
+    columns. Parquet/ORC carry their schema and support predicate
+    pushdown + column pruning; json/csv prune columns at the parser
+    (Spark only materializes referenced fields).
+    """
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def write_upsert_partitions(
     df: DataFrame, path: str, partition_by: list[str]
 ) -> None:

@@ -47,3 +47,20 @@ def test_datasource_filter_prunes_rows(spark):
         .filter(F.col("page_start") == 100)
     )
     assert df.count() == 100
+
+
+def test_load_file_json_and_csv_roundtrip(spark, sf_dir, tmp_path):
+    """Generic json/csv source: declared schema honored, values
+    round-trip through both formats."""
+    from lol_data_pipeline_spark.io import load_file, load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    jdir, cdir = str(tmp_path / "n_json"), str(tmp_path / "n_csv")
+    nation.write.mode("overwrite").json(jdir)
+    nation.write.mode("overwrite").option("header", "true").csv(cdir)
+    ddl = "n_nationkey int, n_name string, n_regionkey int"
+    back_j = load_file(spark, jdir, "json", schema=ddl)
+    back_c = load_file(spark, cdir, "csv", schema=ddl)
+    want = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in back_j.collect()} == want
+    assert {tuple(r) for r in back_c.collect()} == want
