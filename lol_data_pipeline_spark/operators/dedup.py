@@ -20,11 +20,13 @@ Scale notes (100 TB):
   bucket's sorted id list (collect_list + slice/transform), never
   via a bucket self-join, so the signature subtree is evaluated
   once, not once per band per join side.
-- simhash: one 32-bit signature per doc, again per-row (a single
-  aggregate over the token-hash array accumulates all 32 bit
-  votes); candidate pairs share at least one of 4 8-bit chunks
+- simhash: one 64-bit signature per doc, again per-row (a single
+  aggregate over the token-hash array accumulates all 64 bit
+  votes); candidate pairs share at least one of 4 16-bit chunks
   (Hamming ≤3 ⇒ some chunk equal by pigeonhole), then exact
-  Hamming filter.
+  Hamming filter. 16-bit chunks give 2^16 possible buckets per
+  band (vs 2^8 for the 32-bit form), so bucket occupancy at N docs
+  is ~N/65536 per band — no structural mega-buckets at scale.
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lol_data_pipeline_spark.caching import tracked_persist
 from lol_data_pipeline_spark.functions.scalar import md5_long
 from lol_data_pipeline_spark.functions.text import word_shingles
 from lol_data_pipeline_spark.io import widen
@@ -64,12 +67,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over word n-gram shingle
     sets, candidates generated via inverted-index self-join (only
-    pairs sharing ≥1 shingle are ever scored)."""
-    sh = doc_shingles(docs, n, text_col, id_col).persist()
+    pairs sharing ≥1 shingle are ever scored).
+
+    ``max_shingle_df`` (ON by default) drops shingles appearing in
+    more than that many documents BEFORE sizes/intersections — a
+    stopword trigram shared by 1M docs would otherwise contribute
+    ~10^12 candidate pairs (Σ df² blowup). Pass None to disable
+    (exact semantics over the full shingle set)."""
+    sh = tracked_persist(doc_shingles(docs, n, text_col, id_col))
     if max_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
@@ -178,7 +187,7 @@ def minhash_lsh_pairs(
     # side (exchange reuse does not cross a broadcast conversion).
     # This is the scale play too — a production run persists (or
     # writes) the signature table and joins against it repeatedly.
-    sigs = minhash_signatures(docs, k, n, text_col, id_col).persist()
+    sigs = tracked_persist(minhash_signatures(docs, k, n, text_col, id_col))
     # One row per (doc, band) via a single explode — NOT a union of
     # per-band selects, which would re-evaluate the signature subtree
     # once per band.
@@ -218,7 +227,7 @@ def minhash_lsh_pairs(
     # shingle array and intersect — at scale candidates are a tiny
     # fraction. Persisted for the same reason as the signatures:
     # both verify joins read it.
-    base = _doc_shingle_arrays(docs, n, text_col, id_col).persist()
+    base = tracked_persist(_doc_shingle_arrays(docs, n, text_col, id_col))
     return (
         cand.join(
             base.select(
@@ -251,12 +260,19 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash signature: bit i of the signature is 1 iff the sum of
     (+1/-1) votes (bit i of each distinct token's hash) is >= 0.
 
-    Explode + hash-aggregate on purpose: the 32 bit-vote sums stay
+    The engine-portable md5_long hash yields 60 bits, so bits 60-63
+    vote from a second, independently-seeded hash of the same token
+    (md5_long(tok, seed=1)) — the full 64 signature bits are i.i.d.
+    The signature is a signed int64 in two's complement (bit 63 is
+    the sign bit), identical in Spark and DuckDB, so xor/bit_count
+    candidate math is engine-portable even for "negative" signatures.
+
+    Explode + hash-aggregate on purpose: the 64 bit-vote sums stay
     inside whole-stage codegen (a per-row `aggregate`/`transform`
     array formulation was measured ~10× slower — higher-order array
     functions are CodegenFallback). One shuffle keyed by doc id,
@@ -268,37 +284,46 @@ def simhash_signatures(
             F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
         ).alias("tok"),
     ).withColumn("th", md5_long(F.col("tok")))
+    if bits > 60:
+        toks = toks.withColumn("th2", md5_long(F.col("tok"), seed=1))
+
+    def _bit(i: int):
+        src, off = (F.col("th"), i) if i < 60 else (F.col("th2"), i - 60)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1)) == 1
+
     votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
+        *[F.sum(F.when(_bit(i), 1).otherwise(-1)).alias(f"v{i}") for i in range(bits)]
     )
     sig = F.lit(0).cast("long")
-    for i in range(bits):
+    for i in range(min(bits, 63)):
         sig = sig + F.when(F.col(f"v{i}") >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    if bits == 64:
+        # Bit 63 is the int64 sign bit: adding -2^63 sets it exactly
+        # (two's complement), staying in range since bits 0-62 sum to
+        # at most 2^63 - 1.
+        sig = sig + F.when(F.col("v63") >= 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0))
     return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
     docs: DataFrame,
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` of 32-bit
+    """Pairs within Hamming distance ``max_hamming`` of 64-bit
     SimHash. Candidate generation: band the signature into
     (max_hamming+1) chunks — any pair within distance shares ≥1
-    identical chunk (pigeonhole), so the join is on tiny buckets,
-    never all-pairs."""
+    identical chunk (pigeonhole), so the join is on per-band
+    buckets, never all-pairs. At 64 bits / 4 bands each chunk is
+    16 bits → 65,536 possible buckets per band, so bucket skew is
+    data-driven, not structural (the 32-bit form had only 256)."""
     nbands = max_hamming + 1
     width = bits // nbands
     # Persisted: both sides of the bucket self-join read the
     # signature table (see minhash_lsh_pairs).
-    sigs = simhash_signatures(docs, bits, text_col, id_col).persist()
+    sigs = tracked_persist(simhash_signatures(docs, bits, text_col, id_col))
     # One explode per doc into (band, chunk) rows; candidate pairs
     # come straight out of each bucket's sorted member list — no
     # band union, no bucket self-join, so the signature subtree is
@@ -318,8 +343,9 @@ def simhash_pairs(
         "id", "simhash", F.explode(chunk_keys).alias("bk")
     ).select("id", "simhash", "bk.band", "bk.chunk")
     # Stream candidates through a bucket self-join (see
-    # minhash_lsh_pairs for why not per-bucket pair arrays: with
-    # only 4×2^8 possible buckets, hot buckets are guaranteed).
+    # minhash_lsh_pairs for why not per-bucket pair arrays: even at
+    # 2^16 buckets per band, natural-duplicate clusters make hot
+    # buckets possible, and AQE skew-join splits them).
     # Dedup across bands WITHOUT a distinct() shuffle: both sides
     # carry the full signature, so each joined row can check which
     # band is the FIRST where the two signatures' chunks agree and

@@ -198,13 +198,26 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_dedup(T(spark, sf_dir, "documents"))
 
 
-SQL_JACCARD_PAIRS = f"""
+def _sql_jaccard_pairs(thr: float, max_df: int | None = None) -> str:
+    """Exact n-gram-Jaccard pair oracle. With ``max_df``, shingles
+    whose document frequency exceeds the cap are dropped BEFORE set
+    sizes and intersections are computed — mirroring
+    dd.ngram_jaccard_pairs, where the cap bounds inverted-index
+    candidate generation to Σ(df²) over surviving shingles."""
+    sh_src = "sh"
+    cap_cte = ""
+    if max_df is not None:
+        cap_cte = f""",
+hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > {max_df}),
+shf AS (SELECT sh.* FROM sh ANTI JOIN hot USING (s))"""
+        sh_src = "shf"
+    return f"""
 WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct({_sql_shingles(3)})) AS s FROM tok),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+sh AS (SELECT doc_id, unnest(list_distinct({_sql_shingles(3)})) AS s FROM tok){cap_cte},
+sizes AS (SELECT doc_id, count(*) AS n FROM {sh_src} GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {sh_src} a JOIN {sh_src} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -212,18 +225,22 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {{thr}}
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {thr}
 """
 
 
-@query("dedup_ngram_jaccard", sql=SQL_JACCARD_PAIRS.format(thr=0.8))
+@query("dedup_ngram_jaccard", sql=_sql_jaccard_pairs(0.8, max_df=500))
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup pairs via inverted-index candidate
-    join (never all-pairs)."""
-    return dd.ngram_jaccard_pairs(T(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    join (never all-pairs), with the hot-shingle cap ON (df > 500
+    shingles dropped) so stopword-heavy corpora cannot blow up
+    Σ(df²) candidate generation; the oracle models the same cap."""
+    return dd.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_df=500
+    )
 
 
-@query("dedup_minhash_lsh", sql=SQL_JACCARD_PAIRS.format(thr=0.8))
+@query("dedup_minhash_lsh", sql=_sql_jaccard_pairs(0.8))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH (k=16, 8 bands) candidates + exact-Jaccard verify.
     The oracle is the exact all-pairs answer: LSH recall at s≥0.8
@@ -234,20 +251,36 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+def _sql_simhash_pairs(bits: int = 64, max_hamming: int = 3) -> str:
+    """All-pairs SimHash oracle, parameterized over signature width.
+
+    Mirrors dd.simhash_signatures exactly: bits 0-59 vote from the
+    60-bit md5_long(tok); bits 60-63 from the seeded second hash
+    md5_long(tok, seed=1) (i.e. md5('1:' || tok)); bit 63 is the
+    int64 sign bit, set by adding -2^63 (two's complement — both
+    engines share the representation, so xor/bit_count agree)."""
     th = SQL_MD5_LONG.format(expr="tok")
-    vote_cols = ", ".join(
-        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(bits)
-    )
-    sig = " + ".join(
+    th2 = SQL_MD5_LONG.format(expr="concat('1:', tok)")
+    hash2 = ", " + th2 + " AS th2" if bits > 60 else ""
+
+    def _vote(i: int) -> str:
+        src, off = ("th", i) if i < 60 else ("th2", i - 60)
+        return f"sum(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+
+    vote_cols = ", ".join(_vote(i) for i in range(bits))
+    sig_terms = [
         f"(CASE WHEN v{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(bits)
-    )
+        for i in range(min(bits, 63))
+    ]
+    if bits == 64:
+        sig_terms.append(
+            "(CASE WHEN v63 >= 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({SQL_TOKS})) AS tok FROM documents
-), hashed AS (SELECT doc_id, {th} AS th FROM tok),
+), hashed AS (SELECT doc_id, {th} AS th{hash2} FROM tok),
 votes AS (SELECT doc_id, {vote_cols} FROM hashed GROUP BY doc_id),
 sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
@@ -257,13 +290,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-@query("dedup_simhash", sql=_sql_simhash_pairs(32, 3))
+@query("dedup_simhash", sql=_sql_simhash_pairs(64, 3))
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (32-bit, Hamming ≤ 3) with pigeonhole
-    band candidates. Band recall at Hamming ≤ 3 with 4 bands is
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3) with pigeonhole
+    band candidates (4 bands × 16-bit chunks → 65,536 possible
+    buckets per band). Band recall at Hamming ≤ 3 with 4 bands is
     exactly 1 (pigeonhole), so the banded result equals the oracle's
     all-pairs scan."""
-    out = dd.simhash_pairs(T(spark, sf_dir, "documents"), bits=32, max_hamming=3)
+    out = dd.simhash_pairs(T(spark, sf_dir, "documents"), bits=64, max_hamming=3)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from lol_data_pipeline_spark.caching import release_caches
 from lol_data_pipeline_spark.io import load_table, widen
 from lol_data_pipeline_spark.functions import scalar, text as tx
 from lol_data_pipeline_spark.functions.flatten import flatten
@@ -44,7 +45,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, sql=sql)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Free intermediates persisted by the PREVIOUS entry: a
+            # long-lived session otherwise accumulates executor
+            # storage (CacheManager holds plan-keyed caches until an
+            # explicit unpersist; Python GC never reclaims them).
+            # The current entry's own persists stay live until the
+            # next entry runs or the caller releases them.
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = QuerySpec(fn=wrapped, sql=sql)
         return fn
 
     return deco

@@ -1,0 +1,52 @@
+"""Persist/unpersist discipline: dedup intermediates must not leak
+executor storage across queries in a long-lived session."""
+
+from __future__ import annotations
+
+from lol_data_pipeline_spark.caching import cache_scope, release_caches
+from lol_data_pipeline_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+from lol_data_pipeline_spark.plans import REGISTRY
+
+
+def _cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def _docs(spark):
+    rows = [(i, f"alpha beta gamma delta epsilon doc {i} zeta eta theta") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon doc 1 zeta eta theta")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_persists_are_tracked_and_released(spark):
+    release_caches()
+    assert _cache_empty(spark)
+    out = minhash_lsh_pairs(_docs(spark), k=8, bands=4)
+    out.count()  # materialize → signature + shingle tables cached
+    assert not _cache_empty(spark)
+    released = release_caches()
+    assert released >= 2
+    assert _cache_empty(spark)
+    # Plans referencing released caches still evaluate correctly
+    # (they recompute instead of reading cache).
+    assert out.count() == out.count()
+
+
+def test_cache_scope_releases_on_exit(spark):
+    release_caches()
+    with cache_scope():
+        pairs = simhash_pairs(_docs(spark), max_hamming=3)
+        n_inside = pairs.count()
+        assert not _cache_empty(spark)
+    assert _cache_empty(spark)
+    assert pairs.count() == n_inside  # recompute, same answer
+
+
+def test_registry_entries_release_previous_caches(spark, sf_dir):
+    release_caches()
+    REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    assert not _cache_empty(spark)
+    # Running ANY other entry frees the previous entry's storage.
+    REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
+    assert _cache_empty(spark)
+    release_caches()

@@ -72,6 +72,22 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A stopword-heavy corpus (every doc shares one hot trigram) must
+    not produce Σ(df²) candidate pairs once the cap drops the hot
+    shingle: docs related ONLY through capped shingles yield no pairs,
+    while genuinely similar docs still match."""
+    hot = "the quick fox"
+    rows = [(i, f"{hot} unique{i} tail{i} end{i}") for i in range(20)]
+    rows += [(100, "aa bb cc dd ee"), (101, "aa bb cc dd ee")]  # true dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_shingle_df=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot-shingle-only pairs gone, real dup kept
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_shingle_df=None)
+    assert uncapped.count() > 100  # without the cap: quadratic blowup
+
+
 def test_minhash_lsh_recovers_exact_and_near_dups(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}

@@ -126,11 +126,11 @@ def test_simhash_pairs_are_canonical(spark, texts):
     from lol_data_pipeline_spark.operators.dedup import simhash_pairs
 
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    rows = simhash_pairs(df, max_hamming=32).collect()
+    rows = simhash_pairs(df, max_hamming=64).collect()
     seen = [(r.id_a, r.id_b) for r in rows]
     assert len(seen) == len(set(seen))  # no duplicates
     assert all(a < b for a, b in seen)
-    # Hamming ≤ 32 on 32-bit signatures means EVERY pair of non-empty
+    # Hamming ≤ 64 on 64-bit signatures means EVERY pair of non-empty
     # docs must appear
     n_docs = len([t for t in texts if t.split()])
     assert len(seen) == n_docs * (n_docs - 1) // 2
