@@ -38,7 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="lol_data_pipeline_spark",
         description="Spark-native match-data pipeline (reference E1 lifecycle)",
     )
-    p.add_argument("--api-key-path", default=None, help="unused in mock mode")
+    p.add_argument(
+        "--api-key-path",
+        default=None,
+        help="path to a Riot API key file; when given, the live "
+        "HttpFetcher + summoner lookup are used instead of mocks",
+    )
     p.add_argument("--summoner", required=True)
     p.add_argument(
         "--queue_type",
@@ -57,13 +62,26 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("lol_pipeline_cli")
     out = os.path.join(args.db, args.collection)
+    if args.api_key_path:
+        # Live mode (reference pipeline.py:94-118): real PUUID lookup
+        # + HTTP fetcher with Retry-After/429 policy.
+        from lol_data_pipeline_spark.sources.http import HttpFetcher, lookup_puuid
+
+        with open(args.api_key_path) as fh:
+            api_key = fh.read().strip()
+        puuid = lookup_puuid(args.summoner, api_key)
+        fetcher = HttpFetcher(api_key=api_key)
+    else:
+        puuid, fetcher = _mock_puuid(args.summoner), None
+    kwargs = {"fetcher": fetcher} if fetcher else {}
     result = run_pipeline(
         spark,
-        puuid=_mock_puuid(args.summoner),
+        puuid=puuid,
         out_path=out,
         queue_types=args.queue_type,
         num_matches=args.num_matches,
         rate_limit_per_task=args.rate_limit,
+        **kwargs,
     )
     n = spark.read.parquet(out).count()
     print(f"wrote {n} rows x {len(result.columns)} cols to {out}")

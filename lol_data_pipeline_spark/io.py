@@ -57,14 +57,26 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
     Small scans (one parquet file → one split) would otherwise run
     an expensive map stage on a single core. On large scans this is
-    a NO-OP: `maxPartitionBytes` already yields >= cores splits, so
-    the 100-TB path never pays an extra exchange — only inputs too
-    small for Spark to split get spread out.
+    a NO-OP: a 100-TB table has far more leaf files than cores, so
+    the scale path never pays an extra exchange — only inputs too
+    small to already be parallel get spread out.
+
+    The width estimate is METADATA-ONLY (``inputFiles`` file
+    listing): touching ``df.rdd`` here would force physical planning
+    of the whole subtree outside AQE's view just to count partitions.
+    A file-backed input with >= target leaf files is already at least
+    that parallel; non-file inputs (in-memory test relations,
+    range/union mocks) are small by construction and just get
+    repartitioned.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join_backward(
@@ -43,17 +44,22 @@ def asof_join_backward(
 
     ``tiebreak`` (a right-side numeric column, e.g. an event id)
     makes equal-timestamp matches deterministic: max wins.
+
+    All payload columns travel as ONE struct through a single
+    ``last(ignorenulls=True)``: the struct of a right row is non-null
+    even when individual payload fields are null, so the latest right
+    row is selected atomically — per-column carries could silently
+    mix payload values from different right rows when a field is
+    null. One window function regardless of payload width, too.
     """
     lcols = left.columns
+    ptype = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
     ltagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(0).cast("long").alias("__tie"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(ptype).alias("__p"),
     )
     rtagged = right.select(
         # left's non-key columns are NULL on reference rows
@@ -64,7 +70,7 @@ def asof_join_backward(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
     )
     w = (
         Window.partitionBy(*on)
@@ -74,9 +80,9 @@ def asof_join_backward(
     carried = ltagged.unionByName(rtagged).select(
         *lcols,
         F.col("__side"),
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payload
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__pc"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col("__pc").getField(c).alias(f"asof_{c}") for c in payload])
+    )

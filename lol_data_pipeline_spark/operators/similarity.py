@@ -219,6 +219,7 @@ def cosine_topk_arrow(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k on the Arrow/pandas fast path.
 
@@ -237,7 +238,16 @@ def cosine_topk_arrow(
     import numpy as np
 
     spark = corpus.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
+    # Enforce the broadcast-size contract: a miswired call (corpus
+    # passed as queries) must fail loudly, not OOM the driver. The
+    # limit(n+1) fetches at most one row beyond the cap.
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow: query set exceeds max_queries={max_queries}; "
+            "the query side is collected and broadcast — pass the small side "
+            "as queries, or raise max_queries deliberately"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)

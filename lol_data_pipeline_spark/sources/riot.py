@@ -127,7 +127,11 @@ def match_id_scan(
     Built with spark.range per page — each page is an independent
     partition, which is exactly the parallel shape a PySpark 4
     DataSource with one InputPartition per page would produce.
+    Synthesized IDs are offset by a per-``puuid`` hash: the real scan
+    is keyed by the summoner (matches.py pagination is per-PUUID), so
+    mock data varies by summoner the way the live API's would.
     """
+    puuid_off = int(hashlib.md5(puuid.encode()).hexdigest()[:6], 16) * 1000
     scans = []
     for qt in queue_types:
         for start in range(0, num_matches, page_size):
@@ -141,9 +145,10 @@ def match_id_scan(
                     ).otherwise(F.col("id")),
                 )
                 .select(
-                    F.concat(F.lit("NA1_"), F.format_string("%07d", F.col("id"))).alias(
-                        "match_id"
-                    ),
+                    F.concat(
+                        F.lit("NA1_"),
+                        F.format_string("%010d", F.col("id") + F.lit(puuid_off)),
+                    ).alias("match_id"),
                     F.lit(qt).alias("queue_type"),
                     F.lit(start).alias("page_start"),
                 )
@@ -217,6 +222,7 @@ def fetch_match_details(
     n_tasks: int = 8,
     rate_limit_per_task: float | None = None,
     batch_size: int = 100,
+    base_url: str = "https://americas.api.riotgames.com/lol/match/v5/matches/",
 ) -> DataFrame:
     """Parallel bulk fetch (reference pipeline.py:22-80).
 
@@ -225,13 +231,12 @@ def fetch_match_details(
     limit (semaphore + 1s sleep, pipeline.py:49-73) without stalling
     the whole executor. 429-retry policy belongs inside ``fetcher``
     (task retries would refetch a whole partition — too coarse,
-    SURVEY §4).
+    SURVEY §4); ``sources.http.HttpFetcher`` is the live
+    implementation of that contract, ``mock_fetcher`` the hermetic
+    one.
     """
     urls = match_ids.select(
-        F.concat(
-            F.lit("https://americas.api.riotgames.com/lol/match/v5/matches/"),
-            F.col("match_id"),
-        ).alias("url")
+        F.concat(F.lit(base_url), F.col("match_id")).alias("url")
     )
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

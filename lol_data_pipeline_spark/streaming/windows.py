@@ -37,8 +37,14 @@ def _stage_dir(parquet_file: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"stream_src_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-0.parquet")
-    if not os.path.exists(link):
-        os.symlink(parquet_file, link)
+    # lexists, not exists: a dangling symlink (testdata moved between
+    # runs while tmp persisted) makes exists() False but symlink()
+    # still raise FileExistsError. Re-point stale/broken links.
+    if os.path.lexists(link):
+        if os.path.realpath(link) == os.path.realpath(parquet_file):
+            return d
+        os.unlink(link)
+    os.symlink(parquet_file, link)
     return d
 
 

@@ -58,6 +58,25 @@ DOCS = [
 ]
 
 
+def test_asof_null_payload_field_does_not_mix_rows(spark):
+    """A right row with NULL in one payload column must be carried
+    atomically: the joined left row takes ALL payload fields from the
+    latest right row (including its NULLs), never a blend of two
+    right rows."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T12:00:00"))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), 10, "old"),
+         (1, ts("2024-01-01T11:00:00"), None, "new")],  # latest: rid NULL
+        "k int, ts timestamp, rid int, tag string",
+    )
+    row = asof_join_backward(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["rid", "tag"]
+    ).collect()[0]
+    assert row.asof_tag == "new" and row.asof_rid is None  # not 10!
+
+
 def test_exact_dedup(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     out = {r.keep_id: r.n_copies for r in exact_dedup(docs).collect()}
@@ -93,6 +112,41 @@ def test_minhash_lsh_recovers_exact_and_near_dups(spark):
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert (0, 3) in pairs  # exact dup always collides
     assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_assumption_holds_on_fixture(spark, sf_dir):
+    """The registered dedup_minhash_lsh oracle is the EXACT all-pairs
+    Jaccard answer, valid only while LSH (k=16, 8 bands) recalls every
+    fixture pair at s>=0.8 (P[miss] = (1-s^2)^8 <= 3e-4 at the
+    threshold). This guard fails locally if a future fixture contains
+    a pair the bands miss — before the driver's value-hash gate does."""
+    from lol_data_pipeline_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_shingle_df=None).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, k=16, bands=8, n=3, threshold=0.8).collect()
+    }
+    assert lsh == exact  # verify-step ⇒ no false positives; bands ⇒ recall
+
+
+def test_cosine_topk_arrow_rejects_oversized_query_set(spark):
+    import pytest
+
+    from lol_data_pipeline_spark.operators.similarity import cosine_topk_arrow
+
+    from pyspark.sql import functions as F
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_arrow(vecs, vecs, k=3, max_queries=10)
 
 
 def test_simhash_exact_dup_distance_zero(spark):
