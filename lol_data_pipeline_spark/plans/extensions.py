@@ -509,29 +509,60 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
-@query("mm_extract_features", sql=None)  # mapInPandas stub — rows-only check
+# The synthesize→decode chain round-trips REAL container bytes
+# (PNG/BMP/WAV headers, operators/multimodal.py); the oracle predicts
+# the same features arithmetically from the id derivations documented
+# on synthesize_payload — so a decoder bug (wrong offset, wrong
+# endianness) breaks the hash-match.
+SQL_MEDIA_FEATURES = """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/bmp'
+                           ELSE 'audio/wav' END AS mime,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 54 ELSE 44 END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN 64 + (doc_id * 7) % 1856 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN 64 + (doc_id * 13) % 1016 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 < 2 THEN 1
+                     ELSE (1 + doc_id % 5) * 4 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN
+                  CASE (doc_id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+                END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN (1 + doc_id % 5) * 1000 END AS BIGINT) AS duration_ms
+    FROM documents
+"""
+
+
+@query("mm_extract_features", sql=SQL_MEDIA_FEATURES)
 def mm_extract_features(spark, sf_dir):
-    """Multimodal decode/feature-extract over binary payloads via
-    Arrow-batched mapInPandas (operators/multimodal.py). The decoder
-    is a deterministic stub (no media codecs in this container); the
-    schema/partitioning/batch plumbing is the real scale path."""
+    """Multimodal decode/feature-extract via Arrow-batched
+    mapInPandas with the REAL header-decoder tier: payloads are
+    spec-conforming PNG/BMP/WAV bytes and parse_media_header reads
+    width/height/sample-rate/duration back out of them (struct
+    unpacking per the container specs — no codec library). The
+    oracle cross-checks the round trip arithmetically."""
     from lol_data_pipeline_spark.operators import multimodal as mm
 
-    media = mm.attach_binary_payload(T(spark, sf_dir, "documents"))
-    return mm.extract_features(media)
+    media = mm.synthesize_media(T(spark, sf_dir, "documents"))
+    return mm.extract_media_features(media)
 
 
-@query("mm_frame_sample", sql=None)  # stubbed decoder upstream — rows-only
+@query(
+    "mm_frame_sample",
+    sql=f"""
+    WITH f AS ({SQL_MEDIA_FEATURES})
+    SELECT media_id,
+           CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 5)) AS INTEGER) AS frame_idx
+    FROM f
+    """,
+)
 def mm_frame_sample(spark, sf_dir):
-    """Full multimodal chain: attach binary payload → resize stage →
-    mapInPandas decode/feature-extract → frame sampling (sequence +
-    explode, one row per sampled frame index). The decode is the
-    deterministic stub (no codecs in this container); every Spark
-    stage — schema, batching, explode plan — is real."""
+    """Full multimodal chain: synthesize real container bytes →
+    mapInPandas header decode → frame sampling (sequence + explode,
+    one row per sampled frame index) — all stages oracle-checked."""
     from lol_data_pipeline_spark.operators import multimodal as mm
 
-    media = mm.attach_binary_payload(T(spark, sf_dir, "documents"))
-    feats = mm.extract_features(mm.resize_stub(media, max_dim=512))
+    media = mm.synthesize_media(T(spark, sf_dir, "documents"))
+    feats = mm.extract_media_features(media)
     return mm.frame_sample(feats, every_n=5)
 
 
