@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.caching import tracked_persist
 from lol_data_pipeline_spark.functions.scalar import md5_long
-from lol_data_pipeline_spark.functions.text import word_shingles
+from lol_data_pipeline_spark.functions.text import word_shingle_arrays
 from lol_data_pipeline_spark.io import widen
 
 
@@ -55,9 +55,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs, distinct per doc — the inverted-index input."""
+    """(id, shingle) pairs, distinct per doc — the inverted-index
+    input. Built on the projection-barrier shingler (tokens
+    materialized once per row, not once per shingle — see
+    functions.text.word_shingle_arrays)."""
+    arr = word_shingle_arrays(widen(docs), n, text_col, keep=[id_col])
+    # explode_OUTER + null-drop, not plain explode: for explode,
+    # InferFiltersFromGenerate clones the generator expression into a
+    # `size(...) > 0` filter that predicate pushdown then re-expands
+    # (the projection barrier substitutes away) below the widening
+    # exchange — re-running the O(words²) shingle transform on the
+    # narrow pre-exchange scan task. The outer form infers nothing;
+    # the null filter runs on the generated column, post-exchange.
     return (
-        widen(docs).select(F.col(id_col).alias("id"), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"))
+        arr.select(F.col(id_col).alias("id"), F.explode_outer("sh_arr").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -113,14 +125,18 @@ def _doc_shingle_arrays(
     array — the narrow (shuffle-free) form of the inverted index.
     Docs with zero shingles are dropped, matching the explode-based
     form where they simply produce no rows."""
+    from lol_data_pipeline_spark.functions.text import tokens
+
+    # The ≥n-token prefilter is the CHEAP (O(words), codegen'd)
+    # equivalent of `size(sh_arr) > 0` — filtering on sh_arr itself
+    # would be substituted through the projection barrier by
+    # predicate pushdown, re-running the O(words²) shingle transform
+    # at the scan.
+    narrow = widen(docs).filter(F.size(tokens(text_col)) >= n)
     return (
-        widen(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(word_shingles(text_col, n)).alias("sh_arr"),
-        )
+        word_shingle_arrays(narrow, n, text_col, keep=[id_col])
+        .select(F.col(id_col).alias("id"), "sh_arr")
         .withColumn("n_sh", F.size("sh_arr"))
-        .filter(F.col("n_sh") > 0)
     )
 
 
@@ -182,12 +198,26 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    # Materialize signatures once: the bucket self-join otherwise
-    # re-evaluates the whole shingle→md5→aggregate pipeline on each
-    # side (exchange reuse does not cross a broadcast conversion).
-    # This is the scale play too — a production run persists (or
-    # writes) the signature table and joins against it repeatedly.
-    sigs = tracked_persist(minhash_signatures(docs, k, n, text_col, id_col))
+    # ONE shingling pass: the per-doc shingle-array table feeds both
+    # signature computation (via explode) and the final exact-Jaccard
+    # verify — persisted so the expensive tokenize+shingle work runs
+    # once. This is the scale play too — a production run persists
+    # (or writes) the shingle/signature tables and reuses them.
+    base = tracked_persist(_doc_shingle_arrays(docs, n, text_col, id_col))
+    sh = base.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
+    # Materialize signatures too: the bucket self-join otherwise
+    # re-evaluates the md5→aggregate pipeline on each side (exchange
+    # reuse does not cross a broadcast conversion).
+    sigs = tracked_persist(
+        sh.groupBy("id").agg(
+            *[
+                F.min(F.pmod(F.col("bh") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
+                for i, (a, b) in enumerate(_affine_params(k))
+            ]
+        )
+    )
     # One row per (doc, band) via a single explode — NOT a union of
     # per-band selects, which would re-evaluate the signature subtree
     # once per band.
@@ -224,10 +254,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Verify ONLY the candidate pairs: join each side's per-row
-    # shingle array and intersect — at scale candidates are a tiny
-    # fraction. Persisted for the same reason as the signatures:
-    # both verify joins read it.
-    base = tracked_persist(_doc_shingle_arrays(docs, n, text_col, id_col))
+    # shingle array (the SAME persisted table the signatures came
+    # from) and intersect — at scale candidates are a tiny fraction.
     return (
         cand.join(
             base.select(
@@ -278,12 +306,20 @@ def simhash_signatures(
     functions are CodegenFallback). One shuffle keyed by doc id,
     map-side partial aggregation shrinks it to one row per (task,
     doc)."""
-    toks = widen(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
-        ).alias("tok"),
-    ).withColumn("th", md5_long(F.col("tok")))
+    # explode_outer + null-drop (see doc_shingles): plain explode
+    # would get an inferred `size(...) > 0` filter cloning the
+    # split+filter work into the pre-exchange scan task.
+    toks = (
+        widen(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != ""))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .withColumn("th", md5_long(F.col("tok")))
+    )
     if bits > 60:
         toks = toks.withColumn("th2", md5_long(F.col("tok"), seed=1))
 

@@ -129,3 +129,36 @@ def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     out = df.select(tx.word_shingles("text", 3).alias("sh")).collect()[0].sh
     assert out == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_doc_empty_not_descending(spark):
+    """Docs with fewer than n tokens must yield NO shingles: a bare
+    sequence(1, len-n+1) would DESCEND (sequence(1,0) == [1,0]) and
+    hit an ANSI slice error at start index 0."""
+    df = spark.createDataFrame([("a b",), ("a",), ("",)], "text string")
+    out = [r.sh for r in df.select(tx.word_shingles("text", 3).alias("sh")).collect()]
+    assert out == [[], [], []]
+
+
+def test_char_shingles_short_string_empty(spark):
+    df = spark.createDataFrame([("abc",), ("abcdefg",)], "text string")
+    out = [r.sh for r in df.select(tx.char_shingles("text", 5).alias("sh")).collect()]
+    assert out == [[], ["abcde", "bcdef", "cdefg"]]
+
+
+def test_word_shingle_arrays_matches_expression_form(spark):
+    """The projection-barrier fast path and the expression form agree."""
+    df = spark.createDataFrame(
+        [(1, "w x y z w x y"), (2, "a b"), (3, "p q r")], "id long, text string"
+    )
+    fast = {
+        r.id: sorted(r.sh_arr)
+        for r in tx.word_shingle_arrays(df, 3, "text", keep=["id"]).collect()
+    }
+    expr = {
+        r.id: sorted(r.sh)
+        for r in df.select(
+            "id", F.array_distinct(tx.word_shingles("text", 3)).alias("sh")
+        ).collect()
+    }
+    assert fast == expr
