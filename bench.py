@@ -52,6 +52,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "mm_extract_features",
+    # corpus curation
+    "corpus_pii_scrub",
+    "corpus_decontaminate",
+    "corpus_pack_token_budget",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

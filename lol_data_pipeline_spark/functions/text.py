@@ -118,7 +118,12 @@ def _shingle_idx(toks: Column, n: int) -> Column:
 
 
 def word_shingle_arrays(
-    df, n: int = 3, text_col: str = "text", out_col: str = "sh_arr", keep: list[str] | None = None
+    df,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "sh_arr",
+    keep: list[str] | None = None,
+    distinct: bool = True,
 ):
     """Distinct word-shingle array per row, computed via a projection
     barrier: tokens are materialized as a column in a first Project,
@@ -132,7 +137,9 @@ def word_shingle_arrays(
     with_toks = df.withColumn(toks_col, tokens(text_col))
     idx = _shingle_idx(F.col(toks_col), n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col(toks_col), i, n)))
-    return with_toks.select(*keep, F.array_distinct(sh).alias(out_col))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return with_toks.select(*keep, sh.alias(out_col))
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:

@@ -1,0 +1,340 @@
+"""Training-data curation pipeline operators over the documents
+table: PII scrubbing, repetition scoring, quality filtering,
+stratified sampling, token-budget sequence packing, benchmark
+decontamination.
+
+These are the corpus-preparation stages an LLM data pipeline runs
+between raw crawl and tokenizer — each a pure DataFrame plan with a
+DuckDB oracle. Regex patterns are restricted to constructs with
+identical semantics in Java regex (Spark) and RE2 (DuckDB).
+
+Scale notes (100 TB):
+- pii_scrub / repetition / quality_filter are per-row projections —
+  no shuffle at all; they run at scan speed on any cluster size.
+- sample_stratified is a deterministic hash filter — no shuffle, no
+  sampleBy() (whose per-stratum fractions are seeded but
+  partitioning-dependent); the SAME rows are kept on any cluster.
+- pack_token_budget is one window per source partition — a single
+  hash-partition shuffle on source; bins come off a running sum, so
+  packing is streaming within each partition, never driver-side.
+- decontaminate joins the corpus's inverted shingle index against a
+  benchmark-only index: cost is |corpus shingles ∩ benchmark
+  shingles|, never corpus × benchmark. The benchmark side (a test
+  set, thousands of docs) broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.functions import text as tx
+from lol_data_pipeline_spark.functions.scalar import md5_long
+from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG, SQL_TOKS
+from lol_data_pipeline_spark.plans.queries import T, query
+
+# ---------------------------------------------------------------------------
+# PII scrubbing. The synthetic corpus has no natural PII, so the plan
+# INJECTS deterministic id-derived contact strings first, then
+# scrubs — the oracle injects identically and predicts the redaction
+# counts, so a pattern that silently stops matching breaks parity.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@query(
+    "corpus_pii_scrub",
+    sql=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or 555-',
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' id 987-65-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_SSN_RE}', '<SSN>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_SSN_RE}')) AS BIGINT) AS n_ssn_like
+    FROM aug
+    """,
+)
+def corpus_pii_scrub(spark, sf_dir):
+    """PII redaction: email / SSN-shaped / phone-shaped patterns
+    replaced with typed placeholder tags, plus per-doc redaction
+    counts (the audit trail a compliance pipeline keeps). Pure
+    regexp projection — scan-speed at any scale. SSN (3-2-4) is
+    scrubbed BEFORE phone (3-3-4): the orders are disjoint but the
+    fixed order makes overlapping custom patterns deterministic."""
+    aug = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" id 987-65-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _SSN_RE,
+            "<SSN>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_SSN_RE), F.lit(0))).cast("long").alias("n_ssn_like"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring: duplicate n-gram mass per document.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_repetition",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(0, len(t) - 2)),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS s
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+           round(CASE WHEN len(s) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(s)) * 1.0 / len(s) END, 4)
+             AS rep_ratio
+    FROM sh
+    """,
+)
+def corpus_repetition(spark, sf_dir):
+    """Repetition detection: fraction of word 3-grams that are
+    repeats of an earlier 3-gram in the same document (1 −
+    distinct/total). High-repetition docs (boilerplate, generated
+    spam, navigation chrome) are a standard pre-training drop
+    filter. Per-row projection over the shingle array — no
+    shuffle."""
+    sh = tx.word_shingle_arrays(
+        T(spark, sf_dir, "documents"), 3, "text", keep=["doc_id"], distinct=False
+    )
+    n_sh = F.size("sh_arr")
+    n_d = F.size(F.array_distinct("sh_arr"))
+    return sh.select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_d.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(n_sh == 0, F.lit(0.0)).otherwise(1.0 - n_d * F.lit(1.0) / n_sh), 4
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter composition: the keep/drop gate a curation pipeline
+# applies, with per-rule verdicts for auditability.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_quality_filter",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, lang, n_chars, {SQL_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           (len(t) BETWEEN 30 AND 5000) AS len_ok,
+           (len(list_distinct(t)) * 1.0 / len(t) >= 0.3) AS diversity_ok,
+           (lang = 'en') AS lang_ok,
+           ((len(t) BETWEEN 30 AND 5000)
+            AND (len(list_distinct(t)) * 1.0 / len(t) >= 0.3)
+            AND lang = 'en') AS kept
+    FROM tok
+    WHERE len(t) > 0
+    """,
+)
+def corpus_quality_filter(spark, sf_dir):
+    """Quality-gate composition: token-count bounds, lexical
+    diversity (distinct/total tokens), and language allowlist, each
+    reported as its own verdict column plus the conjunctive `kept`
+    flag — the audit-friendly shape (a curation run logs WHY a doc
+    was dropped, not just that it was). One tokenize, one
+    projection, no shuffle."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.tokens("text").alias("t")
+    )
+    n = F.size("t")
+    div = F.size(F.array_distinct("t")) * F.lit(1.0) / n
+    len_ok = n.between(30, 5000)
+    div_ok = div >= 0.3
+    lang_ok = F.col("lang") == "en"
+    return tok.filter(n > 0).select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        div_ok.alias("diversity_ok"),
+        lang_ok.alias("lang_ok"),
+        (len_ok & div_ok & lang_ok).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+
+_STRATUM_PCT = {"en": 50, "de": 30, "fr": 30, "es": 30, "zh": 20}
+
+
+def _sql_rate_case() -> str:
+    clauses = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in _STRATUM_PCT.items()
+    )
+    return f"CASE lang {clauses} ELSE 10 END"
+
+
+@query(
+    "corpus_sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {SQL_MD5_LONG.format(expr="concat('smp:', CAST(doc_id AS VARCHAR))")} % 100
+          < {_sql_rate_case()}
+    """,
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Stratified downsampling with per-language rates (upweight
+    English, downweight zh — the mixture-rebalancing step of corpus
+    assembly). The keep decision is a pure hash of the doc id —
+    deterministic and partitioning-independent, unlike sampleBy()
+    whose outcome depends on row-to-partition placement; the same
+    corpus yields the same sample on 1 executor or 1000. No
+    shuffle."""
+    d = T(spark, sf_dir, "documents")
+    rate = F.lit(10)
+    for lang, pct in _STRATUM_PCT.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    keep = (
+        F.pmod(md5_long(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), F.lit(100))
+        < rate
+    )
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_pack_token_budget",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+                 FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum - 1) // 2048 AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def corpus_pack_token_budget(spark, sf_dir):
+    """Sequence packing: assign documents (per source shard, in
+    doc-id order) to fixed token-budget bins by running token count —
+    the batching stage that turns a filtered corpus into ~2048-token
+    training sequences. One window per source partition: a single
+    hash shuffle on source, packing itself is a streaming running
+    sum, never a driver loop. Bin id = ceil-division of the
+    cumulative count, so a doc straddling a boundary closes the
+    earlier bin (the greedy first-fit rule)."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tx.tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - 1) / F.lit(2048)).cast("long").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_decontaminate",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               list_transform(generate_series(1, greatest(0, len(t) - 4)),
+                              i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS s
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0', 'src1')),
+    hits AS (
+      SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh JOIN bench ON bench.s = sh.s
+      WHERE sh.source NOT IN ('src0', 'src1')
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shared, (n_shared >= 3) AS contaminated
+    FROM hits
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥3
+    distinct word 5-grams with the held-out set (sources src0/src1
+    standing in for an eval benchmark) — the overlap rule used to
+    keep test questions out of pre-training corpora. The benchmark's
+    distinct-shingle index is small (it's a test set) and
+    BROADCASTS; the corpus side streams through the join at scan
+    parallelism, so cost is corpus-shingles × O(1), never corpus ×
+    benchmark."""
+    sh = tx.word_shingle_arrays(
+        T(spark, sf_dir, "documents"), 5, "text", keep=["doc_id", "source"]
+    ).select(
+        "doc_id",
+        "source",
+        F.explode_outer("sh_arr").alias("s"),
+    ).filter(F.col("s").isNotNull())
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = sh.filter(is_bench).select("s").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
+        )
+    )

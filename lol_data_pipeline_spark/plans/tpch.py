@@ -496,3 +496,201 @@ def rel_q8_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(share) / F.sum(_rev()), 6).alias("mkt_share"))
     )
+
+
+@query(
+    "rel_q2_min_acctbal_supplier",
+    sql="""
+    SELECT n.n_name, s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def rel_q2_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2 pattern (adapted — no partsupp in this schema): a
+    correlated scalar-min subquery selecting each nation's
+    minimum-balance supplier, decorrelated into aggregate-then-join —
+    exactly Catalyst's own RewriteCorrelatedScalarSubquery form. The
+    per-group min table is group-count-sized, so it broadcasts; the
+    equality probe is a BroadcastHashJoin, no shuffle of supplier.
+    Min is an exact (order-insensitive) agg, so the double equality
+    is engine-portable."""
+    s, n = (T(spark, sf_dir, t) for t in ("supplier", "nation"))
+    mins = s.groupBy(F.col("s_nationkey").alias("m_nk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        s.join(
+            F.broadcast(mins),
+            (F.col("s_nationkey") == F.col("m_nk")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "rel_q11_important_parts",
+    sql="""
+    WITH v AS (
+      SELECT l_partkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, round(qty, 2) AS qty
+    FROM v
+    WHERE qty > (SELECT 0.0008 * sum(qty) FROM v)
+    """,
+)
+def rel_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 pattern: per-group value HAVING a global-total
+    scalar threshold. The total is a 1-row aggregate broadcast into
+    the filter (scalar-subquery broadcast — no second shuffle of the
+    grouped table). Quantities are integral, so both the per-part and
+    global double sums are exact and the threshold compare is
+    engine-portable."""
+    li = T(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    total = per_part.agg((F.lit(0.0008) * F.sum("qty")).alias("cut"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("qty") > F.col("cut"))
+        .select("l_partkey", F.round("qty", 2).alias("qty"))
+    )
+
+
+@query(
+    "rel_q16_supplier_cnt",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 pattern: NOT-IN exclusion (suppliers in arrears
+    standing in for the complaints predicate) as a broadcast
+    anti-join, then count(DISTINCT supplier) per part descriptor.
+    The distinct-agg expands keys map-side; only the small distinct
+    pairs shuffle."""
+    li, p, s = (T(spark, sf_dir, t) for t in ("lineitem", "part", "supplier"))
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.filter((F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13))
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "rel_q20_dominant_shippers",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN ps ON ps.l_suppkey = s.s_suppkey
+    JOIN pt ON pt.l_partkey = ps.l_partkey
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_name LIKE 'red%' AND ps.sq > 0.3 * pt.tq
+    """,
+)
+def rel_q20_dominant_shippers(spark, sf_dir):
+    """TPC-H Q20 pattern (availqty threshold adapted to shipped
+    volume): suppliers who shipped >30% of a red part's 1996 volume —
+    a per-(part,supplier) aggregate compared against a correlated
+    per-part total, then a semi-join-shaped DISTINCT onto supplier.
+    The per-part total REUSES the (part,supplier) aggregate (one
+    lineitem scan feeds both levels); part filter broadcasts.
+    Integral quantities keep the 0.3·total compare exact."""
+    li, s, p = (T(spark, sf_dir, t) for t in ("lineitem", "supplier", "part"))
+    ps = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("t_pk")).agg(F.sum("sq").alias("tq"))
+    red = p.filter(F.col("p_name").like("red%")).select("p_partkey")
+    return (
+        ps.join(pt, F.col("l_partkey") == F.col("t_pk"))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("sq") > 0.3 * F.col("tq"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "rel_q21_sole_late_supplier",
+    sql="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def rel_q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 pattern (late = shipped >60 days after order date,
+    standing in for the absent commit/receipt dates): suppliers who
+    were the ONLY late shipper on a finished multi-supplier order.
+    EXISTS → left-semi self-join on the order's other-supplier rows;
+    NOT EXISTS → left-anti against the other-supplier LATE rows.
+    Both correlated subqueries become hash joins keyed on l_orderkey,
+    reusing the same shuffle partitioning across the semi, anti, and
+    count aggregations."""
+    li, o, s = (T(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier"))
+    late1 = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    late_others = late1.select(
+        F.col("l_orderkey").alias("y_ok"), F.col("l_suppkey").alias("y_sk")
+    )
+    sole_late = (
+        late1.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_ok")) & (F.col("l_suppkey") != F.col("x_sk")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_ok")) & (F.col("l_suppkey") != F.col("y_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -35,6 +35,7 @@ CROSS_OK = {
     "ann_lsh_topk",
     "dedup_embedding_cosine",
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
+    "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
