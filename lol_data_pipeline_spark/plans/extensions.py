@@ -580,3 +580,114 @@ def ref_ingest_pipeline(spark, sf_dir):
     # parallelism while halving mapInPandas scheduling overhead vs 4.
     responses = riot.fetch_match_details(ids.select("match_id").distinct(), n_tasks=16)
     return riot.flatten_matches(riot.parse_responses(responses), puuid="puuid_1")
+
+
+def _sql_components(iters: int = 4) -> str:
+    """Min-label propagation oracle, unrolled ``iters`` rounds over
+    the exact capped-Jaccard pair graph (the same pair CTE as
+    dedup_ngram_jaccard — proven hash-equal to the Spark side)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        cur = f"l{i}"
+        rounds.append(f""",
+{cur} AS (
+  SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT e.dst AS nv, min(p.label) AS nl
+    FROM edges e JOIN {prev} p ON p.v = e.src GROUP BY 1
+  ) m ON m.nv = l.v
+)""")
+        prev = cur
+    return f"""
+WITH pairs AS ({_sql_jaccard_pairs(0.8, max_df=500)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges){''.join(rounds)},
+sizes AS (SELECT label AS component, CAST(count(*) AS BIGINT) AS group_size
+          FROM {prev} GROUP BY 1)
+SELECT CAST(l.v AS BIGINT) AS doc_id,
+       CAST(l.label AS BIGINT) AS keep_id,
+       s.group_size,
+       (l.v != l.label) AS drop
+FROM {prev} l JOIN sizes s ON s.component = l.label
+"""
+
+
+@query("dedup_components", sql=_sql_components(4))
+def dedup_components(spark, sf_dir):
+    """Transitive closure of the near-dup pair graph: connected
+    components by 4 rounds of synchronous min-label propagation
+    (operators/graph.py), emitting each member's canonical keep id,
+    group size, and drop verdict. Closes the A~B~C chains that
+    pairwise dedup output misses. Integer-only dataflow — the oracle
+    unrolls the identical 4 rounds symbolically."""
+    from lol_data_pipeline_spark.operators import graph as g
+
+    pairs = dd.ngram_jaccard_pairs(
+        T(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_df=500
+    )
+    return g.dedup_groups(pairs, iters=4)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Lloyd-iteration oracle mirroring operators/clustering.py:
+    deterministic lowest-id seeds, argmin by (d², cid) with
+    list_inner_product distances (bit-equal to the Spark zip_with
+    fold), fixed-point integer centroid sums (order-independent),
+    identical double rescale (s / n / 2^20)."""
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    prev = "c0"
+    for i in range(iters):
+        a = f"a{i}"
+        ctes.append(f"""{a} AS (
+  SELECT vec_id, x, cid AS cluster FROM (
+    SELECT e.vec_id, e.x, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)""")
+        if i < iters - 1:
+            ctes.append(f"""s{i} AS (
+  SELECT cluster, p.pos,
+         sum(CAST(floor(x[p.pos] * 1048576.0) AS BIGINT)) AS sv,
+         count(*) AS n
+  FROM {a}, (SELECT unnest(generate_series(1, {dim})) AS pos) p
+  GROUP BY 1, 2
+)""")
+            ctes.append(f"""c{i + 1} AS (
+  SELECT cluster AS cid, list(sv / n / 1048576.0 ORDER BY pos) AS c
+  FROM s{i} GROUP BY 1
+)""")
+            prev = f"c{i + 1}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters - 1}"
+    )
+
+
+@query("cluster_kmeans", sql=_sql_kmeans(8, 2, 64))
+def cluster_kmeans(spark, sf_dir):
+    """Deterministic k-means (k=8, 2 Lloyd rounds) over the
+    embeddings table — the semantic-clustering stage of corpus
+    curation (cluster-then-dedup / diversity sampling). Assignment is
+    a pure projection against broadcast literal centroids; the
+    centroid update is a fixed-point integer aggregate, making an
+    iterative float algorithm hash-checkable across engines (see
+    operators/clustering.py)."""
+    from lol_data_pipeline_spark.operators import clustering as cl
+
+    return cl.kmeans_assign(T(spark, sf_dir, "embeddings"), k=8, iters=2, dim=64)
