@@ -338,3 +338,40 @@ def corpus_decontaminate(spark, sf_dir):
             "doc_id", "n_shared", (F.col("n_shared") >= 3).alias("contaminated")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_normalize",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized,
+           CAST(length(text) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def corpus_normalize(spark, sf_dir):
+    """Canonical text normalization: lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim — the
+    pre-tokenizer cleanup pass (and the canonical form exact-dedup
+    should hash, so case/punctuation variants collapse). Patterns
+    restricted to Java-regex/RE2-identical constructs. Pure
+    projection — scan speed."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

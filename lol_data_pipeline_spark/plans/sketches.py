@@ -121,3 +121,118 @@ def rel_time_rollup_hierarchy(spark, sf_dir):
         F.round(F.sum("sv"), 2).alias("sum_value"),
         F.count("*").cast("long").alias("n_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with deterministic md5 registers (p=8, m=256).
+#
+# Spark's approx_count_distinct is HLL++ with an opaque hash — not
+# reproducible in another engine. This is the CLASSIC HLL estimator
+# (Flajolet et al.) over the engine-portable 60-bit md5 hash:
+#   idx = h & 255          (8-bit register index)
+#   w   = h >> 8           (remaining 52 bits)
+#   rho = leading-zero count of w within 52 bits, + 1   (1..53)
+#   M[idx] = max(rho);  E = alpha·m² / Σ 2^-M[j]
+# The harmonic sum is computed EXACTLY as an integer:
+#   Σ 2^-M[j] = S / 2^53  with  S = Σ 2^(53-M[j])  (empty register →
+#   2^53), so the only float ops are one constant multiply and one
+#   divide — bit-equal across engines. rho is a generated 52-branch
+#   integer CASE chain (no float log2).
+#
+# Scale: one hash-aggregate to (group, idx) register maxima —
+# map-side partials shrink each task's contribution to ≤ m rows per
+# group — then a tiny m-row re-aggregate. Mergeable by construction
+# (max of maxes), the property that lets 1000 executors sketch 100 TB
+# and union the result in milliseconds.
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_WBITS = 60 - _HLL_P  # 52 bits hashed into each register
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_C = _HLL_ALPHA * float(_HLL_M) * float(_HLL_M) * float(1 << 53)
+
+
+def _rho_case_sql(w: str) -> str:
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - k)} THEN {k}" for k in range(1, _HLL_WBITS + 1)
+    )
+    return f"CASE {whens} ELSE {_HLL_WBITS + 1} END"
+
+
+def _rho_case_col(w):
+    expr = F.lit(_HLL_WBITS + 1)
+    for k in range(_HLL_WBITS, 0, -1):
+        expr = F.when(w >= (1 << (_HLL_WBITS - k)), F.lit(k)).otherwise(expr)
+    return expr
+
+
+@query(
+    "sketch_hll_distinct",
+    sql=f"""
+    WITH h AS (
+      SELECT l_returnflag, l_orderkey,
+             {SQL_MD5_LONG.format(expr="CAST(l_orderkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ), regs AS (
+      SELECT l_returnflag, h & {_HLL_M - 1} AS idx,
+             max({_rho_case_sql(f"(h >> {_HLL_P})")}) AS m_j
+      FROM h GROUP BY 1, 2
+    ), agg AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_used,
+             sum(CAST(2 AS BIGINT) ** (53 - m_j))
+               + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** 53) AS s
+      FROM regs GROUP BY 1
+    ), ex AS (
+      SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.l_returnflag, e.exact_distinct, a.n_used,
+           CAST(a.s AS BIGINT) AS harmonic_s,
+           round({_HLL_C!r} / a.s, 2) AS hll_estimate
+    FROM agg a JOIN ex e ON e.l_returnflag = a.l_returnflag
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct estimate per l_returnflag
+    vs the exact count. Register maxima come out of one map-side-
+    combinable hash aggregate; the harmonic mean is exact integer
+    arithmetic rescaled by one double divide, so the DuckDB oracle
+    reproduces the estimate bit-for-bit — the reproducibility that
+    approx_count_distinct's opaque HLL++ hash can't give."""
+    li = T(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        md5_long(F.col("l_orderkey").cast("string")).alias("h"),
+    )
+    regs = (
+        h.select(
+            "l_returnflag",
+            F.col("h").bitwiseAND(_HLL_M - 1).alias("idx"),
+            _rho_case_col(F.shiftright("h", _HLL_P)).alias("rho"),
+        )
+        .groupBy("l_returnflag", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_used"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
+            + (_HLL_M - F.count("*")) * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("harmonic_s"),
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        agg.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            "n_used",
+            "harmonic_s",
+            F.round(F.lit(_HLL_C) / F.col("harmonic_s"), 2).alias("hll_estimate"),
+        )
+    )

@@ -23,7 +23,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 SCHEMA = StructType(
@@ -74,3 +79,55 @@ class MatchIdDataSource(DataSource):
 
     def reader(self, schema):
         return MatchIdReader(self.options)
+
+    def streamReader(self, schema):
+        return MatchIdStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: the same paginated scan as an incremental
+# readStream source — pages appear over time, each micro-batch plans
+# the newly-visible pages as parallel InputPartitions. Offsets are
+# page cursors, so replay after failure re-reads exactly the pages of
+# the failed batch (exactly-once with a deterministic page fetch).
+# ---------------------------------------------------------------------------
+
+
+class MatchIdStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the paginated ID API.
+
+    ``latestOffset`` models polling the API: each call discovers up
+    to ``pages_per_batch`` new pages until ``max_pages`` is reached
+    (a live source would compare the remote cursor instead). Spark
+    hands (start, end] back to ``partitions()``, which fans the page
+    range out one InputPartition per (queue, page) — identical
+    executor-side layout to the batch reader, so the retry/rate
+    policy placement carries over."""
+
+    def __init__(self, options):
+        self.queues = [q for q in str(options.get("queues", "draft,blind")).split(",") if q]
+        self.page_size = int(options.get("page_size", 100))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self.max_pages = int(options.get("max_pages", 6))
+        self._seen = 0
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def latestOffset(self):
+        self._seen = min(self._seen + self.pages_per_batch, self.max_pages)
+        return {"page": self._seen}
+
+    def partitions(self, start, end):
+        return [
+            MatchPagePartition(q, p * self.page_size, self.page_size)
+            for p in range(int(start["page"]), int(end["page"]))
+            for q in self.queues
+        ]
+
+    def read(self, partition: MatchPagePartition):
+        for i in range(partition.page_start, partition.page_start + partition.page_size):
+            yield (f"NA1_{i:07d}", partition.queue_type, partition.page_start)
+
+    def commit(self, end):
+        pass  # page fetches are idempotent; nothing to release

@@ -64,3 +64,36 @@ def test_load_file_json_and_csv_roundtrip(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in back_j.collect()} == want
     assert {tuple(r) for r in back_c.collect()} == want
+
+
+def test_stream_datasource_incremental_pages(spark, tmp_path):
+    """readStream over the custom source: micro-batches advance the
+    page cursor (pages_per_batch per poll) until max_pages; every
+    match id lands exactly once (offset-range planning + idempotent
+    page reads = exactly-once)."""
+    q = (
+        spark.readStream.format("riot_match_ids")
+        .option("queues", "draft,blind")
+        .option("page_size", 50)
+        .option("pages_per_batch", 2)
+        .option("max_pages", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName("stream_pages")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM stream_pages").collect()
+    # 4 pages × 50 ids × 2 queues, each exactly once
+    assert len(out) == 400
+    per_queue = {}
+    for r in out:
+        per_queue.setdefault(r.queue_type, set()).add(r.match_id)
+    assert set(per_queue) == {"draft", "blind"}
+    for ids in per_queue.values():
+        assert len(ids) == 200  # no duplicates within a queue
+    assert {r.page_start for r in out} == {0, 50, 100, 150}
