@@ -293,16 +293,27 @@ def simhash_signatures(
     """SimHash signature: bit i of the signature is 1 iff the sum of
     (+1/-1) votes (bit i of each distinct token's hash) is >= 0.
 
-    The engine-portable md5_long hash yields 60 bits, so bits 60-63
-    vote from a second, independently-seeded hash of the same token
-    (md5_long(tok, seed=1)) — the full 64 signature bits are i.i.d.
-    The signature is a signed int64 in two's complement (bit 63 is
-    the sign bit), identical in Spark and DuckDB, so xor/bit_count
-    candidate math is engine-portable even for "negative" signatures.
+    One md5 per token supplies all 64 bits: the 32-hex digest is
+    split into two 60-bit integers (hex chars 1-15 → bits 0-59, hex
+    chars 16-30 → bits 60-63 from its low nibble) — md5's bytes are
+    i.i.d., so no second hash is needed. The signature is a signed
+    int64 in two's complement (bit 63 is the sign bit), identical in
+    Spark and DuckDB, so xor/bit_count candidate math is
+    engine-portable even for "negative" signatures.
 
-    Explode + hash-aggregate on purpose: the 64 bit-vote sums stay
-    inside whole-stage codegen (a per-row `aggregate`/`transform`
-    array formulation was measured ~10× slower — higher-order array
+    The 64 per-bit vote counts are PACKED three to a long (21-bit
+    lanes): each token contributes b_{3j} + b_{3j+1}·2²¹ +
+    b_{3j+2}·2⁴², so the aggregate is 22 pure-integer sums instead
+    of 64 sum(CASE) columns — one third the generated code (the wide
+    form was compile-bound locally) and one third the partial-agg
+    row width on the shuffle. vote_i ≥ 0 ⇔ 2·cnt_i ≥ n_tokens, so
+    the unpacked lane reproduces the ±1-vote semantics exactly.
+    Lane capacity bounds distinct tokens per doc at 2²¹-1 (≈2M) —
+    far above any real document's distinct-token count.
+
+    Explode + hash-aggregate on purpose: the packed sums stay inside
+    whole-stage codegen (a per-row `aggregate`/`transform` array
+    formulation was measured ~10× slower — higher-order array
     functions are CodegenFallback). One shuffle keyed by doc id,
     map-side partial aggregation shrinks it to one row per (task,
     doc)."""
@@ -318,27 +329,58 @@ def simhash_signatures(
             ).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .withColumn("th", md5_long(F.col("tok")))
+        # hx aliased in its own Project: referenced twice below, so
+        # CollapseProject keeps the barrier and md5 runs once per row.
+        .withColumn("hx", F.md5("tok"))
+        .select(
+            "id",
+            F.conv(F.substring("hx", 1, 15), 16, 10).cast("long").alias("th"),
+            # Only 4 extra bits are needed (60..63): one hex char.
+            F.conv(F.substring("hx", 16, 1), 16, 10).cast("long").alias("th2"),
+        )
     )
-    if bits > 60:
-        toks = toks.withColumn("th2", md5_long(F.col("tok"), seed=1))
 
     def _bit(i: int):
-        src, off = (F.col("th"), i) if i < 60 else (F.col("th2"), i - 60)
-        return F.shiftright(src, off).bitwiseAND(F.lit(1)) == 1
+        src, off = ("th", i) if i < 60 else ("th2", i - 60)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
 
-    votes = toks.groupBy("id").agg(
-        *[F.sum(F.when(_bit(i), 1).otherwise(-1)).alias(f"v{i}") for i in range(bits)]
+    lanes = [list(range(j, min(j + 3, bits))) for j in range(0, bits, 3)]
+    packed = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(
+                sum(
+                    (F.shiftleft(_bit(i), 21 * pos) for pos, i in enumerate(group[1:], 1)),
+                    _bit(group[0]),
+                )
+            ).alias(f"s{g}")
+            for g, group in enumerate(lanes)
+        ],
     )
-    sig = F.lit(0).cast("long")
-    for i in range(min(bits, 63)):
-        sig = sig + F.when(F.col(f"v{i}") >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-    if bits == 64:
-        # Bit 63 is the int64 sign bit: adding -2^63 sets it exactly
-        # (two's complement), staying in range since bits 0-62 sum to
-        # at most 2^63 - 1.
-        sig = sig + F.when(F.col("v63") >= 0, F.lit(-(2**63)).cast("long")).otherwise(F.lit(0))
-    return votes.select("id", sig.alias("simhash"))
+
+    def _cnt(i: int):
+        g, pos = divmod(i, 3)
+        return F.shiftright(F.col(f"s{g}"), 21 * pos).bitwiseAND(F.lit((1 << 21) - 1))
+
+    # Assembly: bit i = (cnt_i ≥ ⌈n/2⌉) — `half` is aliased in its
+    # own Project (referenced 64×, so CollapseProject keeps the
+    # barrier) to drop a per-bit multiply — as a plain boolean→long
+    # cast shifted into place (shiftleft by 63 lands on the sign bit
+    # — two's complement, matching the oracle's -2^63 CASE term).
+    # Summed as a BALANCED tree: a 64-deep left-nested addition chain
+    # makes several Catalyst transform passes quadratic in depth —
+    # measured ~1.4 s of pure driver planning time on a 5k-row input.
+    halved = packed.withColumn("half", F.shiftright(F.col("n_tok") + 1, 1))
+    terms = [
+        F.shiftleft((_cnt(i) >= F.col("half")).cast("long"), i)
+        for i in range(bits)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[j] + terms[j + 1] if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    return halved.select("id", terms[0].alias("simhash"))
 
 
 def simhash_pairs(

@@ -254,27 +254,29 @@ def dedup_minhash_lsh(spark, sf_dir):
 def _sql_simhash_pairs(bits: int = 64, max_hamming: int = 3) -> str:
     """All-pairs SimHash oracle, parameterized over signature width.
 
-    Mirrors dd.simhash_signatures exactly: bits 0-59 vote from the
-    60-bit md5_long(tok); bits 60-63 from the seeded second hash
-    md5_long(tok, seed=1) (i.e. md5('1:' || tok)); bit 63 is the
-    int64 sign bit, set by adding -2^63 (two's complement — both
-    engines share the representation, so xor/bit_count agree)."""
+    Mirrors dd.simhash_signatures exactly: ONE md5 per token, hex
+    chars 1-15 → th (bits 0-59), hex char 16 → th2 (bits 60-63).
+    The ±1-vote rule is expressed as its set-bit-count equivalent
+    (vote_i ≥ 0 ⇔ 2·cnt_i ≥ n — the packed Spark aggregate unpacks
+    to the same counts). Bit 63 is the int64 sign bit, set by adding
+    -2^63 (two's complement — both engines share the representation,
+    so xor/bit_count agree)."""
     th = SQL_MD5_LONG.format(expr="tok")
-    th2 = SQL_MD5_LONG.format(expr="concat('1:', tok)")
+    th2 = "CAST(concat('0x', substr(md5(tok), 16, 1)) AS BIGINT)"
     hash2 = ", " + th2 + " AS th2" if bits > 60 else ""
 
-    def _vote(i: int) -> str:
+    def _cnt(i: int) -> str:
         src, off = ("th", i) if i < 60 else ("th2", i - 60)
-        return f"sum(CASE WHEN ({src} >> {off}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        return f"sum(({src} >> {off}) & 1) AS c{i}"
 
-    vote_cols = ", ".join(_vote(i) for i in range(bits))
+    vote_cols = ", ".join([_cnt(i) for i in range(bits)] + ["count(*) AS n_tok"])
     sig_terms = [
-        f"(CASE WHEN v{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        f"(CASE WHEN 2 * c{i} >= n_tok THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(min(bits, 63))
     ]
     if bits == 64:
         sig_terms.append(
-            "(CASE WHEN v63 >= 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+            "(CASE WHEN 2 * c63 >= n_tok THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
         )
     sig = " + ".join(sig_terms)
     return f"""
