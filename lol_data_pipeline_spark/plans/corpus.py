@@ -375,3 +375,41 @@ def corpus_normalize(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars_raw"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup removal: the operation a curation pipeline
+# actually runs (pairs → transitive groups → keep one per group).
+# ---------------------------------------------------------------------------
+
+
+def _sql_keep_first() -> str:
+    from lol_data_pipeline_spark.plans.extensions import _sql_components
+
+    return f"""
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM ({_sql_components(4)}) c WHERE c.drop
+    )
+    """
+
+
+@query("corpus_dedup_keep_first", sql=_sql_keep_first())
+def corpus_dedup_keep_first(spark, sf_dir):
+    """The actionable form of near-dup dedup: documents minus every
+    non-representative member of a transitive duplicate group
+    (capped-Jaccard pairs → 4-round min-label components → keep the
+    minimum doc_id per group, drop the rest via left_anti). The drop
+    set is NOT broadcast on purpose: at corpus scale it is
+    proportional to the dup rate, so the anti-join must stay a
+    shuffle join (AQE will broadcast it when it is actually small)."""
+    from lol_data_pipeline_spark.operators import dedup as dd
+    from lol_data_pipeline_spark.operators import graph as g
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_shingle_df=500)
+    drops = g.dedup_groups(pairs, iters=4).filter(F.col("drop")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

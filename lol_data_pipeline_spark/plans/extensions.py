@@ -409,6 +409,55 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_SQL_Q_I8 = (
+    "list_transform(CAST({v} AS DOUBLE[]), "
+    "x -> greatest(-127, least(127, floor(x * 127.0 + 0.5))))"
+)
+
+
+@query(
+    "ann_sq_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec,
+             {_SQL_Q_I8.format(v='embedding')} AS qint
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS match_id, embedding AS cvec,
+             {_SQL_Q_I8.format(v='embedding')} AS cint
+      FROM embeddings
+    ), approx AS (
+      SELECT q.query_id, c.match_id, q.qvec, c.cvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qint, c.cint) DESC, c.match_id
+             ) AS arank
+      FROM q JOIN c ON c.match_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, match_id,
+             {SQL_COS.format(a='qvec', b='cvec')} AS sim
+      FROM approx WHERE arank <= 20
+    ), ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_sq_topk(spark, sf_dir):
+    """Scalar-quantized (int8) ANN: integer-dot candidate ranking
+    (4x smaller scan), exact-cosine rescore of the top refine*k=20,
+    then top-5. The oracle models the same two-stage algorithm, so
+    quantization recall loss cannot cause a mismatch."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.sq_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, refine=4
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @query(
     "ann_cosine_topk_arrow",
     sql=f"""

@@ -236,3 +236,209 @@ def sketch_hll_distinct(spark, sf_dir):
             F.round(F.lit(_HLL_C) / F.col("harmonic_s"), 2).alias("hll_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (d=4 hash rows × w=512 counters).
+#
+# The sketch is a d×w grid of ADDITIVE counters — each key increments
+# one counter per hash row, an estimate reads back the min of its d
+# counters (over-count only, never under). Sums make it mergeable:
+# every executor sketches its partitions independently and the grids
+# add elementwise, so 100 TB collapses to d·w longs per node before a
+# single tiny reduce. Hash row j uses the engine-portable
+# md5_long(key, seed=j+1), so DuckDB rebuilds the identical grid.
+# ---------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 512
+
+
+def _sql_cm_bucket(j: str, key: str) -> str:
+    h = SQL_MD5_LONG.format(expr=f"concat(CAST({j} + 1 AS VARCHAR), ':', {key})")
+    return f"({h} % {_CM_W})"
+
+
+@query(
+    "sketch_countmin_freq",
+    sql=f"""
+    WITH rows_ AS (
+      SELECT l_suppkey, jj.j,
+             {_sql_cm_bucket("jj.j", "CAST(l_suppkey AS VARCHAR)")} AS b
+      FROM lineitem, (VALUES (0), (1), (2), (3)) jj(j)
+    ), grid AS (
+      SELECT j, b, CAST(count(*) AS BIGINT) AS c FROM rows_ GROUP BY 1, 2
+    ), probe AS (
+      SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_suppkey <= 10
+    ), probed AS (
+      SELECT p.k, jj.j,
+             {_sql_cm_bucket("jj.j", "CAST(p.k AS VARCHAR)")} AS b
+      FROM probe p, (VALUES (0), (1), (2), (3)) jj(j)
+    ), est AS (
+      SELECT pr.k, min(g.c) AS cm_estimate
+      FROM probed pr JOIN grid g ON g.j = pr.j AND g.b = pr.b
+      GROUP BY 1
+    ), exact AS (
+      SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS exact_n
+      FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1
+    )
+    SELECT CAST(e.k AS BIGINT) AS l_suppkey, x.exact_n, e.cm_estimate
+    FROM est e JOIN exact x ON x.k = e.k
+    """,
+)
+def sketch_countmin_freq(spark, sf_dir):
+    """Count-Min frequency estimates for suppkeys 1-10 vs their exact
+    counts (estimate ≥ exact always; equality when no bucket
+    collisions). The d·w=2048-cell grid is built in ONE hash-aggregate
+    over an explode(d) of the fact table and broadcast to the probe
+    join — the probe side never shuffles."""
+    li = T(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey").cast("string")
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.pmod(md5_long(key, seed=j + 1), F.lit(_CM_W)).alias("b"),
+            )
+            for j in range(_CM_D)
+        ]
+    )
+    grid = (
+        li.select(F.explode(hashes).alias("jb"))
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    probe = li.filter(F.col("l_suppkey") <= 10).select("l_suppkey").distinct()
+    pk = F.col("l_suppkey").cast("string")
+    probed = probe.select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(md5_long(pk, seed=j + 1), F.lit(_CM_W)).alias("b"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("l_suppkey", "jb.j", "jb.b")
+    est = (
+        probed.join(F.broadcast(grid), ["j", "b"])
+        .groupBy("l_suppkey")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_suppkey") <= 10)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "l_suppkey").select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"), "exact_n", "cm_estimate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (m=4096 bits, k=3 hashes).
+#
+# The member set's bit positions are a distinct-set of ≤ m ints —
+# built with one explode(k)+distinct, broadcast to the probe side
+# (the filter is KBs regardless of member-set size, the whole point
+# of a Bloom filter). Probe key "maybe present" ⇔ all k of its bits
+# are set; guaranteed no false negatives, false positives only on
+# full k-bit collision. Mergeable: bit-set union.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _sql_bloom_bit(j: str, key: str) -> str:
+    h = SQL_MD5_LONG.format(expr=f"concat('b', CAST({j} AS VARCHAR), ':', {key})")
+    return f"({h} % {_BLOOM_M})"
+
+
+@query(
+    "sketch_bloom_membership",
+    sql=f"""
+    WITH bits AS (
+      SELECT DISTINCT {_sql_bloom_bit("jj.j", "CAST(o_custkey AS VARCHAR)")} AS bit
+      FROM orders, (VALUES (0), (1), (2)) jj(j)
+    ), probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey <= 300
+    ), probed AS (
+      SELECT p.c_custkey, jj.j,
+             {_sql_bloom_bit("jj.j", "CAST(p.c_custkey AS VARCHAR)")} AS bit
+      FROM probe p, (VALUES (0), (1), (2)) jj(j)
+    ), hits AS (
+      SELECT pr.c_custkey,
+             count(b.bit) = {_BLOOM_K} AS bloom_maybe
+      FROM probed pr LEFT JOIN bits b ON b.bit = pr.bit
+      GROUP BY 1
+    ), truth AS (
+      SELECT p.c_custkey,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+               AS actually_present
+      FROM probe p
+    )
+    SELECT h.c_custkey, h.bloom_maybe, t.actually_present
+    FROM hits h JOIN truth t ON t.c_custkey = h.c_custkey
+    """,
+)
+def sketch_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership of customer keys 1-300 against the
+    set of custkeys that placed orders, alongside ground truth (a
+    semi-join): bloom_maybe is true for every actual member (no
+    false negatives) plus any k-fold hash collisions. The bit set is
+    built fact-side and broadcast; probes never shuffle."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    mk = F.col("o_custkey").cast("string")
+    bits = (
+        orders.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), mk)), F.lit(_BLOOM_M))
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = cust.filter(F.col("c_custkey") <= 300).select("c_custkey")
+    pk = F.col("c_custkey").cast("string")
+    probed = probe.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), pk)), F.lit(_BLOOM_M))
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("c_custkey")
+        .agg((F.count("*") == _BLOOM_K).alias("bloom_maybe"))
+    )
+    # Probes missing every bit vanish from the semi-join — restore
+    # them as bloom_maybe = false with a left join back to the probe set.
+    truth = probe.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).withColumn("actually_present", F.lit(True))
+    return (
+        probe.join(hits, "c_custkey", "left")
+        .join(truth.select("c_custkey", "actually_present"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("bloom_maybe", F.lit(False)).alias("bloom_maybe"),
+            F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
+        )
+    )

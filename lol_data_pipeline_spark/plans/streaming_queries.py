@@ -123,3 +123,37 @@ def stream_join_click_purchase(spark, sf_dir):
     """Watermarked stream-stream inner join with a time-range
     constraint (purchases ≤30 min after a click, same user)."""
     return sw.click_purchase_join(spark, sf_dir)
+
+
+@query(
+    "stream_ingest_ids",
+    sql="""
+    SELECT 'NA1_' || lpad(CAST(r.range AS VARCHAR), 7, '0') AS match_id,
+           q.queue_type,
+           CAST((r.range // 100) * 100 AS INTEGER) AS page_start
+    FROM range(0, 600) r, (VALUES ('draft'), ('blind')) q(queue_type)
+    """,
+)
+def stream_ingest_ids(spark, sf_dir):
+    """Incremental ingest through the custom PySpark 4 streaming
+    DataSource (sources.datasource.MatchIdStreamReader): the
+    paginated ID scan of the reference (src/api/matches.py:21-53)
+    as a readStream whose micro-batches discover two pages per poll,
+    fanned out one InputPartition per (queue, page). Run to
+    completion (6 pages × 100 ids × 2 queues) the emitted set is the
+    deterministic page synthesis the oracle regenerates with a
+    range() scan — exactly-once: page-cursor offsets mean a replayed
+    batch re-reads exactly its own pages, never re-emits others."""
+    from lol_data_pipeline_spark.sources.datasource import MatchIdDataSource
+    from lol_data_pipeline_spark.streaming.windows import run_to_completion
+
+    spark.dataSource.register(MatchIdDataSource)
+    stream = (
+        spark.readStream.format("riot_match_ids")
+        .option("queues", "draft,blind")
+        .option("page_size", 100)
+        .option("pages_per_batch", 2)
+        .option("max_pages", 6)
+        .load()
+    )
+    return run_to_completion(stream, mode="append")

@@ -1,0 +1,76 @@
+"""Sketch invariants: the properties that hold for ANY input, beyond
+the oracle's value-equality check (Count-Min never under-counts,
+Bloom never false-negatives, SQ-ANN candidate recall ⊇ exact top-1
+when quantization is lossless, HLL register merge = max)."""
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.plans.queries import REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = _run("sketch_countmin_freq", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cm_estimate >= r.exact_n, r
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    rows = _run("sketch_bloom_membership", spark, sf_dir).collect()
+    assert rows
+    present = [r for r in rows if r.actually_present]
+    assert present
+    for r in present:
+        assert r.bloom_maybe, f"false negative for custkey {r.c_custkey}"
+
+
+def test_hll_estimate_within_classic_error(spark, sf_dir):
+    # classic HLL standard error = 1.04/sqrt(m); allow 5 sigma.
+    rows = _run("sketch_hll_distinct", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel < 5 * 1.04 / (256**0.5), r
+
+
+def test_sq_topk_matches_exact_on_clean_margin(spark, sf_dir):
+    """With refine*k=20 candidates over well-separated synthetic
+    embeddings, the rescored top-1 per query should equal exact
+    brute-force top-1 for nearly all queries (quantization to int8
+    preserves large margins)."""
+    sq = {
+        (r.query_id, r.rank): r.match_id
+        for r in _run("ann_sq_topk", spark, sf_dir).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.match_id
+        for r in _run("ann_cosine_topk", spark, sf_dir).collect()
+    }
+    q_ids = {q for q, _ in exact}
+    agree = sum(1 for q in q_ids if sq.get((q, 1)) == exact.get((q, 1)))
+    assert agree >= int(0.8 * len(q_ids)), (agree, len(q_ids))
+
+
+def test_stream_ingest_ids_exactly_once(spark, sf_dir):
+    out = _run("stream_ingest_ids", spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 1200
+    assert len({(r.match_id, r.queue_type) for r in rows}) == 1200
+
+
+def test_keep_first_removes_only_group_members(spark, sf_dir):
+    """Every removed doc must appear as a drop=true member of a
+    component, and every kept group representative survives."""
+    from lol_data_pipeline_spark.plans.queries import T
+
+    docs = {r.doc_id for r in T(spark, sf_dir, "documents").select("doc_id").collect()}
+    kept = {r.doc_id for r in _run("corpus_dedup_keep_first", spark, sf_dir).collect()}
+    groups = _run("dedup_components", spark, sf_dir).collect()
+    dropped = {r.doc_id for r in groups if r.drop}
+    reps = {r.keep_id for r in groups}
+    assert docs - kept == dropped
+    assert reps <= kept

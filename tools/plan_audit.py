@@ -33,6 +33,7 @@ CROSS_OK = {
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_sq_topk",
     "dedup_embedding_cosine",
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
