@@ -31,7 +31,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.caching import tracked_persist
@@ -155,6 +155,20 @@ def _affine_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
+def _minhash_agg_cols(k: int) -> list[Column]:
+    """The k affine-permutation min aggregates, each parsed from ONE
+    SQL string: building them op-by-op with Column methods costs a
+    py4j round-trip per operator (~6k JVM calls for k=16 across the
+    plan), which dominated the query's wall clock — plan BUILD time,
+    not execution (measured: 0.9 s build vs 0.07 s to optimize).
+    Products stay < 2^62 (bh, a, b < 2^31), so ANSI int64 math
+    cannot overflow."""
+    return [
+        F.expr(f"min(pmod(bh * {a} + {b}, {_MINHASH_P}))").alias(f"h{i}")
+        for i, (a, b) in enumerate(_affine_params(k))
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -171,12 +185,7 @@ def minhash_signatures(
     sh = doc_shingles(docs, n, text_col, id_col).withColumn(
         "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
     )
-    return sh.groupBy("id").agg(
-        *[
-            F.min(F.pmod(F.col("bh") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
-            for i, (a, b) in enumerate(_affine_params(k))
-        ]
-    )
+    return sh.groupBy("id").agg(*_minhash_agg_cols(k))
 
 
 def minhash_lsh_pairs(
@@ -210,31 +219,21 @@ def minhash_lsh_pairs(
     # Materialize signatures too: the bucket self-join otherwise
     # re-evaluates the md5→aggregate pipeline on each side (exchange
     # reuse does not cross a broadcast conversion).
-    sigs = tracked_persist(
-        sh.groupBy("id").agg(
-            *[
-                F.min(F.pmod(F.col("bh") * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))).alias(f"h{i}")
-                for i, (a, b) in enumerate(_affine_params(k))
-            ]
-        )
-    )
+    sigs = tracked_persist(sh.groupBy("id").agg(*_minhash_agg_cols(k)))
     # One row per (doc, band) via a single explode — NOT a union of
     # per-band selects, which would re-evaluate the signature subtree
-    # once per band.
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * r + j}").cast("string") for j in range(r)]
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
+    # once per band. One expr-parse for the whole band array (see
+    # _minhash_agg_cols on plan-build cost).
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(f"cast(h{b * r + j} as string)" for j in range(r)),
+        )
+        for b in range(bands)
     )
-    buckets = sigs.select("id", F.explode(band_keys).alias("bk")).select(
-        "id", "bk.band", "bk.bkey"
-    )
+    buckets = sigs.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("id", "bk.band", "bk.bkey")
     # Bucket self-join streams candidate pairs through the join
     # operator (mega-buckets distribute over tasks; AQE splits skewed
     # keys) — materializing per-bucket pair arrays instead blows up
@@ -340,47 +339,53 @@ def simhash_signatures(
         )
     )
 
-    def _bit(i: int):
+    def _bit(i: int) -> str:
         src, off = ("th", i) if i < 60 else ("th2", i - 60)
-        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        return f"(shiftright({src}, {off}) & 1)"
 
+    # Every wide expression below is parsed from ONE SQL string per
+    # column (F.expr): the op-by-op Column form costs a py4j JVM
+    # round-trip per operator — ~1.5 s of pure Python plan-BUILD
+    # time for the 64-bit tree, twice the query's execution time.
     lanes = [list(range(j, min(j + 3, bits))) for j in range(0, bits, 3)]
     packed = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         *[
-            F.sum(
-                sum(
-                    (F.shiftleft(_bit(i), 21 * pos) for pos, i in enumerate(group[1:], 1)),
-                    _bit(group[0]),
+            F.expr(
+                "sum("
+                + " + ".join(
+                    [_bit(group[0])]
+                    + [f"shiftleft({_bit(i)}, {21 * pos})" for pos, i in enumerate(group[1:], 1)]
                 )
+                + ")"
             ).alias(f"s{g}")
             for g, group in enumerate(lanes)
         ],
     )
 
-    def _cnt(i: int):
+    def _cnt(i: int) -> str:
         g, pos = divmod(i, 3)
-        return F.shiftright(F.col(f"s{g}"), 21 * pos).bitwiseAND(F.lit((1 << 21) - 1))
+        return f"(shiftright(s{g}, {21 * pos}) & {(1 << 21) - 1})"
 
     # Assembly: bit i = (cnt_i ≥ ⌈n/2⌉) — `half` is aliased in its
     # own Project (referenced 64×, so CollapseProject keeps the
     # barrier) to drop a per-bit multiply — as a plain boolean→long
     # cast shifted into place (shiftleft by 63 lands on the sign bit
     # — two's complement, matching the oracle's -2^63 CASE term).
-    # Summed as a BALANCED tree: a 64-deep left-nested addition chain
-    # makes several Catalyst transform passes quadratic in depth —
-    # measured ~1.4 s of pure driver planning time on a 5k-row input.
+    # Summed as a BALANCED parenthesized tree: a 64-deep left-nested
+    # addition chain makes several Catalyst transform passes
+    # quadratic in depth — measured ~1.4 s of pure driver planning
+    # time on a 5k-row input.
     halved = packed.withColumn("half", F.shiftright(F.col("n_tok") + 1, 1))
     terms = [
-        F.shiftleft((_cnt(i) >= F.col("half")).cast("long"), i)
-        for i in range(bits)
+        f"shiftleft(cast({_cnt(i)} >= half as bigint), {i})" for i in range(bits)
     ]
     while len(terms) > 1:
         terms = [
-            terms[j] + terms[j + 1] if j + 1 < len(terms) else terms[j]
+            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
             for j in range(0, len(terms), 2)
         ]
-    return halved.select("id", terms[0].alias("simhash"))
+    return halved.select("id", F.expr(terms[0]).alias("simhash"))
 
 
 def simhash_pairs(
@@ -406,19 +411,13 @@ def simhash_pairs(
     # come straight out of each bucket's sorted member list — no
     # band union, no bucket self-join, so the signature subtree is
     # evaluated exactly once.
-    chunk_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.shiftright(F.col("simhash"), bnd * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk"),
-            )
-            for bnd in range(nbands)
-        ]
+    mask = (1 << width) - 1
+    chunk_keys = ", ".join(
+        f"named_struct('band', {bnd}, 'chunk', shiftright(simhash, {bnd * width}) & {mask})"
+        for bnd in range(nbands)
     )
     buckets = sigs.select(
-        "id", "simhash", F.explode(chunk_keys).alias("bk")
+        "id", "simhash", F.explode(F.expr(f"array({chunk_keys})")).alias("bk")
     ).select("id", "simhash", "bk.band", "bk.chunk")
     # Stream candidates through a bucket self-join (see
     # minhash_lsh_pairs for why not per-bucket pair arrays: even at
@@ -431,24 +430,21 @@ def simhash_pairs(
     # an exchange over millions of duplicate candidate rows.
     a = buckets.alias("a")
     b = buckets.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    chunk_eq = [
-        F.shiftright(xor, bnd * width).bitwiseAND(F.lit((1 << width) - 1)) == 0
-        for bnd in range(nbands)
-    ]
-    first_eq_band = F.array_position(F.array(*chunk_eq), F.lit(True)) - 1
+    xor = "(a.simhash ^ b.simhash)"
+    chunk_eq = ", ".join(
+        f"(shiftright({xor}, {bnd * width}) & {mask}) = 0" for bnd in range(nbands)
+    )
+    first_eq_band = f"(array_position(array({chunk_eq}), true) - 1)"
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.band = b.band AND a.chunk = b.chunk AND a.id < b.id"),
         )
-        .filter(F.col("a.band") == first_eq_band)
+        .filter(F.expr(f"a.band = {first_eq_band}"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(xor).alias("hamming"),
+            F.expr(f"bit_count{xor}").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
