@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_pii_scrub",
     "corpus_decontaminate",
     "corpus_pack_token_budget",
+    "corpus_chunk_overlap",
+    "text_search_bm25",
+    "rel_sessionize_events",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

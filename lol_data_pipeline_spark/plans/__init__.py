@@ -7,3 +7,4 @@ import lol_data_pipeline_spark.plans.catalog  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.tpch  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.sketches  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.corpus  # noqa: E402,F401
+import lol_data_pipeline_spark.plans.behavior  # noqa: E402,F401

@@ -1,0 +1,170 @@
+"""Behavioral / statistical analytics over the events and lineitem
+tables: batch sessionization, equi-width histograms, z-score
+outliers.
+
+These are the batch twins of the streaming windows (a sessionize
+over bounded data is what `stream_session_window` computes over an
+unbounded one) and the profiling passes a curation pipeline runs
+before choosing filters. No reference parity — north-star
+extensions (SURVEY §7 M3).
+
+Scale notes:
+- sessionization is one window (shuffle on user_id) + one
+  hash-aggregate on (user_id, session_idx) — the second groupBy
+  reuses the first shuffle's partitioning (session_idx is a
+  function of rows within a user partition), so Catalyst plans no
+  second exchange.
+- histogram / outliers: global or per-group scalar statistics ride
+  a 1-row (or few-row broadcast) join; the fact table is scanned
+  once and never shuffled except the final tiny bin/group count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.plans.queries import T, query
+
+_SESSION_GAP_MS = 1_800_000  # 30 min
+
+
+@query(
+    "rel_sessionize_events",
+    sql=f"""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_SESSION_GAP_MS}
+                     THEN 1 ELSE 0 END AS s_flag
+      FROM base
+    ), sess AS (
+      SELECT *, sum(s_flag) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_idx
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def rel_sessionize_events(spark, sf_dir):
+    """Batch sessionization: split each user's event stream on >30 min
+    silence gaps (lag + running sum of boundary flags), then one
+    aggregate per session. The window shuffle on user_id is the only
+    exchange — the session aggregate groups by (user_id, session_idx),
+    which is produced inside the user partitions, so Catalyst reuses
+    the partitioning instead of re-shuffling."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    flag = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > _SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "stat_histogram_prices",
+    sql=f"""
+    WITH scal AS (
+      SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(max(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem
+    ), binned AS (
+      SELECT least({_HIST_BINS - 1}, CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - s.lo) / ((s.hi - s.lo) / {_HIST_BINS}.0)
+             ) AS BIGINT)) AS bin,
+             s.lo, s.hi
+      FROM lineitem CROSS JOIN scal s
+    )
+    SELECT bin,
+           round(min(lo) + bin * ((min(hi) - min(lo)) / {_HIST_BINS}.0), 2) AS bin_lo,
+           round(min(lo) + (bin + 1) * ((min(hi) - min(lo)) / {_HIST_BINS}.0), 2) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY 1
+    """,
+)
+def stat_histogram_prices(spark, sf_dir):
+    """Equi-width 20-bin histogram of l_extendedprice. Global
+    min/max ride a 1-row scalar broadcast into a pure projection —
+    the fact table is scanned once, never shuffled; the groupBy
+    output is at most 20 rows. (This is the data-profiling pass that
+    sizes the bins of a real AQE-style stats collector.)"""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    scal = li.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / float(_HIST_BINS)
+    binned = li.crossJoin(F.broadcast(scal)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.min("lo") + F.col("bin") * ((F.min("hi") - F.min("lo")) / float(_HIST_BINS)), 2).alias("bin_lo"),
+        F.round(F.min("lo") + (F.col("bin") + 1) * ((F.min("hi") - F.min("lo")) / float(_HIST_BINS)), 2).alias("bin_hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+_Z_THRESHOLD = 3.0
+
+
+@query(
+    "stat_outliers_zscore",
+    sql=f"""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > {_Z_THRESHOLD}
+    """,
+)
+def stat_outliers_zscore(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 3): group statistics
+    (few rows) broadcast back onto the fact scan — one aggregate
+    shuffle for the stats, zero shuffles for the probe. The
+    threshold compare runs on the raw double (both engines compute
+    (x−μ)/σ from identically-aggregated μ,σ); the emitted z is
+    rounded for the value-hash."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > _Z_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

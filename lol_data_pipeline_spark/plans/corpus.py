@@ -413,3 +413,65 @@ def corpus_dedup_keep_first(spark, sf_dir):
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: the tokenizer-feed step. Fixed-size token
+# windows with overlap, final ragged chunk kept if it clears a
+# minimum. Pure per-row explode — zero shuffles at any scale.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE, _MIN_CHUNK = 64, 48, 8
+
+
+@query(
+    "corpus_chunk_overlap",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(1, len(t)), {_STRIDE})) AS start
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS start_tok,
+             list_slice(t, start, start + {_CHUNK} - 1) AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks WHERE len(chunk) >= {_MIN_CHUNK}
+    """,
+)
+def corpus_chunk_overlap(spark, sf_dir):
+    """Split each document into {64-token, stride-48} overlapping
+    chunks (16-token overlap), dropping tail fragments under 8
+    tokens — the context-window preparation step between curation
+    and tokenization. chunk_idx derives from the start offset
+    ((start−1)/stride), so no positional explode is needed and both
+    engines label chunks identically. Per-row sequence+slice only:
+    no shuffle, runs at scan speed at any corpus size."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tx.tokens("text").alias("t"))
+    starts = base.select(
+        "doc_id",
+        "t",
+        F.explode_outer(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("t")), F.lit(_STRIDE))
+        ).alias("start"),
+    ).filter(F.col("start").isNotNull())
+    chunks = starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {_STRIDE} AS BIGINT)").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.slice("t", F.col("start"), _CHUNK).alias("chunk"),
+    )
+    return chunks.filter(F.size("chunk") >= _MIN_CHUNK).select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )

@@ -9,9 +9,11 @@ arithmetic (functions.scalar.md5_long).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.functions import text as tx
+from lol_data_pipeline_spark.io import widen as widen_
 from lol_data_pipeline_spark.operators import dedup as dd
 from lol_data_pipeline_spark.operators import similarity as sim
 from lol_data_pipeline_spark.plans.queries import REGISTRY, QuerySpec, T, query
@@ -742,3 +744,174 @@ def cluster_kmeans(spark, sf_dir):
     from lol_data_pipeline_spark.operators import clustering as cl
 
     return cl.kmeans_assign(T(spark, sf_dir, "embeddings"), k=8, iters=2, dim=64)
+
+
+# =========================================================================
+# text_search_* — full-text relevance (BM25)
+# =========================================================================
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def _sql_bm25(terms: list[str], k: int, k1: float, b: float) -> str:
+    from lol_data_pipeline_spark.operators.search import bm25_weight_sql
+
+    nt = len(terms)
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t_}')) AS DOUBLE) AS tf{i}"
+        for i, t_ in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(nt)
+    )
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(nt))
+    score = " + ".join(bm25_weight_sql(i, k1, b) for i in range(nt))
+    hits = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(nt))
+    return f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    pd AS (SELECT doc_id, len(t) AS dl, {tf_cols} FROM tok),
+    scal AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}
+      FROM pd
+    ),
+    sc AS (
+      SELECT doc_id,
+             round({score}, 6) AS score,
+             CAST({hits} AS BIGINT) AS n_terms_hit
+      FROM pd CROSS JOIN scal WHERE {any_hit}
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_terms_hit,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM sc
+    )
+    SELECT doc_id, score, n_terms_hit, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "text_search_bm25",
+    sql=_sql_bm25(_BM25_TERMS, _BM25_K, _BM25_K1, _BM25_B),
+)
+def text_search_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed 3-term query over documents —
+    the keyword-retrieval side of corpus curation (see
+    operators/search.py for the inverted-index layout: postings are
+    built only for the query's terms, the corpus is never shuffled,
+    and global doc-count/avgdl ride a 1-row scalar broadcast)."""
+    from lol_data_pipeline_spark.operators import search as srch
+
+    return srch.bm25_topk(
+        T(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+# =========================================================================
+# text_ngram_topk — corpus-wide frequent n-gram mining
+# =========================================================================
+
+
+@query(
+    "text_ngram_topk",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    grams AS (SELECT unnest({_sql_shingles(3)}) AS gram FROM tok),
+    counted AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM grams GROUP BY 1
+    ),
+    ranked AS (
+      SELECT gram, n_occurrences,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram) AS BIGINT) AS rank
+      FROM counted
+    )
+    SELECT gram, n_occurrences, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word trigrams by occurrence count (NOT
+    per-doc-distinct — frequency mining, the n-gram-statistics pass
+    of corpus analysis). One shingle pass, one hash-aggregate; the
+    final top-20 is a TakeOrdered over the aggregated gram counts."""
+    docs = T(spark, sf_dir, "documents")
+    grams = tx.word_shingle_arrays(
+        widen_(docs), 3, "text", keep=["doc_id"], distinct=False
+    ).select(F.explode_outer("sh_arr").alias("gram")).filter(F.col("gram").isNotNull())
+    counted = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+# =========================================================================
+# emb_random_projection — Johnson–Lindenstrauss ±1 dim reduction
+# =========================================================================
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 from md5 — the projection matrix is a seed
+    artifact shared verbatim by both engines (embedded as literals
+    in the Spark expression AND the oracle SQL)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+
+
+def _rp_balanced(terms: list[str]) -> str:
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _rp_cols(out_dim: int, in_dim: int, element: str) -> list[str]:
+    """One balanced-sum SQL string per output dim; ``element`` is a
+    format template for the i-th input element (engine-specific
+    indexing). The SAME balanced association is emitted for both
+    engines — IEEE addition is order-sensitive, so matching the tree
+    shape (not just the term set) is what makes the hash compare
+    exact."""
+    cols = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            sgn = "" if _rp_sign(j, i) > 0 else "-"
+            terms.append(f"({sgn}{element.format(i=i)})")
+        cols.append(f"round({_rp_balanced(terms)}, 6) AS rp{j}")
+    return cols
+
+
+@query(
+    "emb_random_projection",
+    sql=(
+        "SELECT vec_id, "
+        + ", ".join(
+            _rp_cols(16, 64, "CAST(embedding[{i} + 1] AS DOUBLE)")
+        )
+        + " FROM embeddings"
+    ),
+)
+def emb_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss dimensionality reduction 64→16 with a
+    deterministic ±1 sign matrix (md5-seeded, embedded as literals in
+    both engines' expressions): y_j = Σ_i s_ji·x_i. Pure per-row
+    projection — zero shuffles at any scale; the reduced table is
+    what the ANN family probes when 64-d is too wide to scan. Each
+    output dim is ONE parsed SQL expression (see dedup.py on py4j
+    plan-build cost) with a balanced addition tree mirrored exactly
+    in the oracle (IEEE addition is order-sensitive)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[F.expr(c) for c in _rp_cols(16, 64, "CAST(embedding[{i}] AS DOUBLE)")],
+    )

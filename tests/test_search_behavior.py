@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.operators.search import bm25_topk
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark shuffle"),
+            (1, "spark and some other words here now"),
+            (2, "nothing relevant at all in this one"),
+            (3, "shuffle spark shuffle words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark", "shuffle"], k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 2 not in by_id  # no query term -> not a candidate
+    assert by_id[0].rank < by_id[1].rank  # denser doc wins
+    assert by_id[3].n_terms_hit == 2 and by_id[1].n_terms_hit == 1
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_bm25_score_monotone_in_tf(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["hit"] * (i + 1) + ["pad"] * 5)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_topk(docs, ["hit"], k=10).collect()}
+    assert out[3] > out[2] > out[1] > out[0]
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_splits_on_gap(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["rel_sessionize_events"].fn(spark, sf_dir)
+    rows = out.collect()
+    # session indices per user are 1..n and dense
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.session_idx)
+    for idxs in per_user.values():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    # spot invariant: a session never contains an internal gap > 30 min
+    # (guaranteed by construction: duration <= n_events * gap)
+    for r in rows:
+        assert r.duration_ms <= (r.n_events - 1) * 1_800_000
+        assert r.session_start <= r.session_end
+
+
+def test_histogram_bins_partition_the_table(spark, sf_dir):
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["stat_histogram_prices"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in out) == total
+    assert len(out) <= 20 and all(0 <= r.bin <= 19 for r in out)
+    for r in out:
+        assert r.bin_lo < r.bin_hi
+
+
+def test_chunk_overlap_covers_and_overlaps(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["corpus_chunk_overlap"].fn(spark, sf_dir)
+    one = (
+        out.filter(F.col("doc_id") == out.select(F.min("doc_id")).first()[0])
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert one[0].start_tok == 1
+    for a, b in zip(one, one[1:]):
+        assert b.start_tok - a.start_tok == 48  # stride
+        assert a.n_chunk_tokens == 64  # all but the last chunk are full
+    assert all(r.n_chunk_tokens >= 8 for r in one)
+
+
+def test_random_projection_is_linear(spark):
+    from lol_data_pipeline_spark.plans.extensions import _rp_cols, _rp_sign
+
+    # linearity check: project a one-hot vector -> column j equals sign(j, i)
+    onehot = [0.0] * 64
+    onehot[5] = 1.0
+    df = spark.createDataFrame([(0, onehot)], "vec_id long, embedding array<double>")
+    row = df.select(
+        *[F.expr(c) for c in _rp_cols(16, 64, "CAST(embedding[{i}] AS DOUBLE)")]
+    ).first()
+    for j in range(16):
+        assert row[f"rp{j}"] == float(_rp_sign(j, 5))

@@ -37,6 +37,8 @@ CROSS_OK = {
     "dedup_embedding_cosine",
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
+    "text_search_bm25",  # corpus doc-count/avgdl scalar broadcast (1 row)
+    "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
