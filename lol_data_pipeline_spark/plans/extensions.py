@@ -915,3 +915,85 @@ def emb_random_projection(spark, sf_dir):
         "vec_id",
         *[F.expr(c) for c in _rp_cols(16, 64, "CAST(embedding[{i}] AS DOUBLE)")],
     )
+
+
+# =========================================================================
+# graph_pagerank — iterative graph analytics (fixed-point integer)
+# =========================================================================
+
+_PR_ITERS = 3
+
+
+def _sql_pagerank(iters: int) -> str:
+    """Unrolled fixed-point PageRank oracle (see operators/graph.py
+    pagerank — identical integer recurrence, `//` ≡ Spark DIV for
+    the all-positive operands here)."""
+    from lol_data_pipeline_spark.operators.graph import _PR_DAMP_PM, _PR_SCALE
+
+    ctes = [
+        """e AS (
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)""",
+        "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1)",
+        "e2 AS (SELECT e.src, e.dst, e.w, o.out_w FROM e JOIN outw o USING (src))",
+        "nodes AS (SELECT DISTINCT src AS v FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT v, n, CAST({_PR_SCALE} // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e2.dst, sum((p.r * e2.w * {_PR_DAMP_PM}) // (e2.out_w * 1000)) AS s
+  FROM e2 JOIN {prev} p ON p.v = e2.src GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT b.v, b.n,
+         CAST((150 * {_PR_SCALE}) // (1000 * b.n) + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM r0 b LEFT JOIN c{i} c ON c.dst = b.v
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS node, r AS rank_micro, round(r / {float(_PR_SCALE)}, 6) AS rank
+FROM {prev}"""
+    )
+
+
+@query("graph_pagerank", sql=_sql_pagerank(_PR_ITERS))
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (3 rounds, damping 0.85) over the
+    customer↔supplier transaction graph (edge weight = lineitems
+    traded, both directions so no dangling mass; node id = 2·custkey
+    / 2·suppkey+1). Fixed-point integer recurrence — bit-identical
+    across engines and partition orders; see operators/graph.py."""
+    from lol_data_pipeline_spark.operators.graph import pagerank
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
+    )
+    return pagerank(edges, iters=_PR_ITERS)

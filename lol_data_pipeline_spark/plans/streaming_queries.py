@@ -157,3 +157,48 @@ def stream_ingest_ids(spark, sf_dir):
         .load()
     )
     return run_to_completion(stream, mode="append")
+
+
+@query(
+    "stream_join_left_outer",
+    sql="""
+    WITH scal AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id,
+             round(p.value, 2) AS purchase_value
+      FROM clicks c JOIN purch p ON p.user_id = c.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+      SELECT c.user_id, c.click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM clicks c CROSS JOIN scal s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+          AND p.purchase_ts >= c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+      )
+      AND c.click_ts + INTERVAL 30 MINUTE < s.wm
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_join_left_outer(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join (clicks left): null
+    extension happens at state EVICTION — when the purchase-side
+    watermark (max ts − 1 h here, with the bounded replay's final
+    no-data micro-batch advancing it) passes a click's 30-minute
+    match window. The oracle reproduces exactly that cutoff: a
+    batch left join PLUS the watermark condition on unmatched rows —
+    the difference between the two IS the streaming semantics."""
+    return sw.click_purchase_left_join(spark, sf_dir)

@@ -97,3 +97,28 @@ def test_random_projection_is_linear(spark):
     ).first()
     for j in range(16):
         assert row[f"rp{j}"] == float(_rp_sign(j, 5))
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
+    from lol_data_pipeline_spark.operators.graph import _PR_SCALE
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["graph_pagerank"].fn(spark, sf_dir)
+    rows = out.collect()
+    total = sum(r.rank_micro for r in rows)
+    # fixed-point floor-division loses at most a few units per node
+    # per round; mass stays within a fraction of a percent of 1.0
+    assert 0.97 * _PR_SCALE < total <= _PR_SCALE
+    assert all(r.rank_micro > 0 for r in rows)
+    again = {r.node: r.rank_micro for r in REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()}
+    assert again == {r.node: r.rank_micro for r in rows}
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    from lol_data_pipeline_spark.operators.graph import pagerank
+
+    # star graph: hub 0 connected to 1..5 (both directions)
+    edges = [(0, i, 1) for i in range(1, 6)] + [(i, 0, 1) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    ranks = {r.node: r.rank_micro for r in pagerank(df, iters=3).collect()}
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))

@@ -102,3 +102,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the late event (ts=2min) must NOT have been added to the first
     # window — it stays at n=1 (only event_id=1)
     assert got.get(first_window) == 1, got
+
+
+def test_left_outer_join_null_extends_only_evicted_clicks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.streaming.windows import click_purchase_left_join
+
+    out = click_purchase_left_join(spark, sf_dir)
+    nulls = out.filter(F.col("purchase_id").isNull())
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    cutoff = wm - dt.timedelta(hours=1) - dt.timedelta(minutes=30)
+    # every null-extended click expired below the final watermark
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    late = (
+        nulls.join(clicks, "click_id")
+        .filter(F.col("click_ts") >= F.lit(cutoff))
+        .count()
+    )
+    assert late == 0
+    # inner matches are a subset of the left-outer result
+    from lol_data_pipeline_spark.streaming.windows import click_purchase_join
+
+    inner = click_purchase_join(spark, sf_dir).count()
+    assert out.filter(F.col("purchase_id").isNotNull()).count() == inner
