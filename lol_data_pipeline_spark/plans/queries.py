@@ -881,3 +881,75 @@ def rel_topk_per_group_op(spark, sf_dir):
     return top.select(
         "l_suppkey", "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice")
     )
+
+
+@query(
+    "rel_join_salted",
+    sql="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def rel_join_salted(spark, sf_dir):
+    """operators.relational.salted_join as a catalog entry: the big
+    side's key is salted into 16 sub-keys and the dim side explodes
+    across all salts, so ONE pathological hot key spreads over 16
+    reducers. Salting changes the physical distribution only — the
+    oracle is the plain join, which is exactly the point (AQE's
+    skew-join does this adaptively; the explicit form is for keys
+    AQE can't see, e.g. null-heavy FKs at 100 TB)."""
+    from lol_data_pipeline_spark.operators.relational import salted_join
+
+    cust = T(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nk")
+    nation = T(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    joined = salted_join(cust, nation, "nk", salt=16)
+    return joined.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@query(
+    "rel_incremental_agg_merge",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def rel_incremental_agg_merge(spark, sf_dir):
+    """Incremental-view maintenance: the full aggregate recomputed as
+    base-partial ⊎ delta-partial (sum-of-sums, count-of-counts,
+    min-of-mins, max-of-maxes) — the algebraic-merge property that
+    lets a materialized aggregate absorb new partitions without
+    touching history. The oracle is the from-scratch aggregate; the
+    plan proves the merge is lossless. At 100 TB this is the
+    difference between re-scanning the lake and scanning one day."""
+    li = T(spark, sf_dir, "lineitem")
+    cutoff = "1997-06-01"
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("p_sum"),
+            F.count("*").alias("p_cnt"),
+            F.min("l_extendedprice").alias("p_min"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("p_sum"), 2).alias("sum_qty"),
+            F.sum("p_cnt").cast("long").alias("n_rows"),
+            F.round(F.min("p_min"), 2).alias("min_price"),
+            F.round(F.max("p_max"), 2).alias("max_price"),
+        )
+    )

@@ -442,3 +442,117 @@ def sketch_bloom_membership(spark, sf_dir):
             F.coalesce("actually_present", F.lit(False)).alias("actually_present"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard estimates from
+# MERGED sketches — the reason KMV (and theta sketches generally)
+# exist: two tables sketched independently (64 longs each, anywhere
+# in the cluster) combine into cross-set cardinality estimates
+# without ever co-shuffling the raw keys.
+# ---------------------------------------------------------------------------
+
+
+def _sql_kmv_set(expr_from: str) -> str:
+    """k smallest distinct 60-bit hashes of a key set."""
+    return f"""(
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT {SQL_MD5_LONG.format(expr="CAST(k AS VARCHAR)")} AS h
+      FROM ({expr_from})
+    ) QUALIFY rn <= {_K}
+  )
+)"""
+
+
+@query(
+    "sketch_kmv_setops",
+    sql=f"""
+    WITH ka AS {_sql_kmv_set("SELECT o_custkey AS k FROM orders")},
+    kb AS {_sql_kmv_set("SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000")},
+    merged AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+      QUALIFY rn <= {_K}
+    ),
+    stats AS (
+      SELECT max(CASE WHEN rn = {_K} THEN m.h END) AS kth,
+             CAST(count(*) AS BIGINT) AS n_merged,
+             CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS n_both
+      FROM merged m
+      LEFT JOIN ka a ON a.h = m.h
+      LEFT JOIN kb b ON b.h = m.h
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_union FROM (
+        SELECT o_custkey AS k FROM orders
+        UNION
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+      )
+    )
+    SELECT e.exact_union,
+           round(CASE WHEN s.n_merged < {_K} THEN CAST(s.n_merged AS DOUBLE)
+                 ELSE ({_K} - 1) / (s.kth / {_HASH_SPACE}) END, 4) AS union_est,
+           round(s.n_both / s.n_merged, 4) AS jaccard_est,
+           round((s.n_both / s.n_merged)
+                 * (CASE WHEN s.n_merged < {_K} THEN CAST(s.n_merged AS DOUBLE)
+                    ELSE ({_K} - 1) / (s.kth / {_HASH_SPACE}) END), 4) AS intersect_est
+    FROM stats s CROSS JOIN exact e
+    """,
+)
+def sketch_kmv_setops(spark, sf_dir):
+    """Mergeable-sketch set algebra: KMV sketches of {custkeys with
+    orders} and {custkeys with acctbal > 5000}, merged into union /
+    intersection / Jaccard estimates, next to the exact union. The
+    raw key sets never meet — only two 64-row sketches do (the merge
+    is 'k smallest of the union of min-sets'; ρ = fraction of merged
+    minima present in both sketches). Deterministic order statistics
+    ⇒ the oracle reproduces every estimate bit-for-bit."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+
+    def kmv(df, key):
+        return (
+            df.select(md5_long(F.col(key).cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_K)
+        )
+
+    ka = kmv(orders.select("o_custkey"), "o_custkey")
+    kb = kmv(cust.filter(F.col("c_acctbal") > 5000).select("c_custkey"), "c_custkey")
+    merged = (
+        ka.unionAll(kb)
+        .distinct()
+        .orderBy("h")
+        .limit(_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+    stats = (
+        merged.join(ka.withColumnRenamed("h", "ha"), merged.h == F.col("ha"), "left")
+        .join(kb.withColumnRenamed("h", "hb"), merged.h == F.col("hb"), "left")
+        .agg(
+            F.max(F.when(F.col("rn") == _K, F.col("h"))).alias("kth"),
+            F.count("*").cast("long").alias("n_merged"),
+            F.sum(
+                F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1).otherwise(0)
+            ).cast("double").alias("n_both"),
+        )
+    )
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .union(cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("exact_union"))
+    )
+    union_est = F.when(
+        F.col("n_merged") < _K, F.col("n_merged").cast("double")
+    ).otherwise((_K - 1) / (F.col("kth") / F.lit(_HASH_SPACE)))
+    rho = F.col("n_both") / F.col("n_merged")
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "exact_union",
+        F.round(union_est, 4).alias("union_est"),
+        F.round(rho, 4).alias("jaccard_est"),
+        F.round(rho * union_est, 4).alias("intersect_est"),
+    )

@@ -27,3 +27,18 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators.relational import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nk")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    salted = salted_join(cust, nation, "nk", salt=8).groupBy("n_name").count()
+    plain = cust.join(nation, "nk").groupBy("n_name").count()
+    assert {(r.n_name, r["count"]) for r in salted.collect()} == {
+        (r.n_name, r["count"]) for r in plain.collect()
+    }

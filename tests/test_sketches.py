@@ -74,3 +74,13 @@ def test_keep_first_removes_only_group_members(spark, sf_dir):
     reps = {r.keep_id for r in groups}
     assert docs - kept == dropped
     assert reps <= kept
+
+
+def test_kmv_setops_estimates_bracket_truth(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    r = REGISTRY["sketch_kmv_setops"].fn(spark, sf_dir).first()
+    # k=64 KMV: relative error ~1/sqrt(k-1) ≈ 13%; allow 3 sigma
+    assert abs(r.union_est - r.exact_union) / r.exact_union < 0.4
+    assert 0.0 <= r.jaccard_est <= 1.0
+    assert r.intersect_est <= r.union_est

@@ -40,6 +40,7 @@ CROSS_OK = {
     "text_search_bm25",  # corpus doc-count/avgdl scalar broadcast (1 row)
     "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
     "graph_pagerank",  # node-count scalar broadcast (1 row)
+    "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
