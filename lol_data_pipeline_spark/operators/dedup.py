@@ -12,14 +12,15 @@ Scale notes (100 TB):
   trigrams) are the skew risk; `max_shingle_df` drops shingles whose
   document frequency exceeds a cap, exactly what a production
   near-dup pipeline does.
-- minhash_lsh: signatures are computed PER ROW with array
-  expressions (array_min over affine transforms of one md5 per
-  shingle) — zero shuffles to sign 100 TB of docs; the only
-  shuffles are the (band, key) bucket groupBy and the candidate
-  verify joins. Candidate pairs are emitted inline from each
-  bucket's sorted id list (collect_list + slice/transform), never
-  via a bucket self-join, so the signature subtree is evaluated
-  once, not once per band per join side.
+- minhash_lsh: one md5 per shingle, k affine permutations folded in
+  a single whole-stage-codegen hash aggregate whose map-side
+  partials collapse to ONE row per (task, doc) before the shuffle —
+  so signing 100 TB shuffles ~(docs × 16 longs), not shingles. (A
+  per-row array_min/transform formulation with zero signing shuffle
+  was measured slower end-to-end — higher-order functions are
+  CodegenFallback — and the candidate/verify joins dominate both
+  forms.) Candidate pairs stream through a bucket self-join on the
+  persisted signature table; AQE splits any hot bucket.
 - simhash: one 64-bit signature per doc, again per-row (a single
   aggregate over the token-hash array accumulates all 64 bit
   votes); candidate pairs share at least one of 4 16-bit chunks
