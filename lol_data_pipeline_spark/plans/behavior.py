@@ -168,3 +168,119 @@ def stat_outliers_zscore(spark, sf_dir):
         .filter(F.abs(z) > _Z_THRESHOLD)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "rel_scd2_intervals",
+    sql="""
+    WITH snap AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), dedup AS (SELECT user_id, ts, value FROM snap WHERE rn = 1)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           round(value, 2) AS value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM dedup
+    """,
+)
+def rel_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: each user's purchase
+    updates become [valid_from, valid_to) intervals via lead() —
+    open-ended (NULL valid_to) marks the current version. Ties at
+    the same timestamp resolve to the highest event_id (latest
+    writer wins), mirrored exactly in the oracle. One window shuffle
+    on user_id; the interval table then serves as-of joins
+    (rel_asof_join) without re-sorting. This is the warehouse CDC
+    pattern: appends in, temporal dimension out."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wded = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        ev.withColumn("rn", F.row_number().over(wded))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lead_ts = F.lead("ts").over(w)
+    return dedup.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "dq_expectations",
+    sql="""
+    SELECT 'orders_custkey_not_null' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_in_customer',
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01'
+                                    OR ts >= TIMESTAMP '2025-01-01') AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite — the validation pass a
+    pipeline runs before publishing a partition: null checks, key
+    uniqueness, referential integrity (anti-join shaped as a
+    left-join count), domain ranges. Each check is one conditional
+    aggregate over one scan (the FK check broadcasts the dim); the
+    whole suite is a union of 5 tiny result rows. At 100 TB these
+    run as cheap piggyback aggregates on data already being
+    written."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    ev = T(spark, sf_dir, "events")
+
+    def check(name, df, viol_cond):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(viol_cond).cast("long").alias("n_violations"),
+            F.count("*").cast("long").alias("n_checked"),
+        )
+
+    c1 = check("orders_custkey_not_null", orders, F.col("o_custkey").isNull())
+    c2 = orders.agg(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("n_violations"),
+        F.count("*").cast("long").alias("n_checked"),
+    )
+    c3 = check(
+        "orders_custkey_in_customer",
+        orders.join(F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"), "left"),
+        F.col("c_custkey").isNull(),
+    )
+    c4 = check("lineitem_qty_positive", li, F.col("l_quantity") <= 0)
+    c5 = check(
+        "events_ts_in_range",
+        ev,
+        (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+    )
+    return c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5)

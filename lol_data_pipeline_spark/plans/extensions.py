@@ -997,3 +997,101 @@ def graph_pagerank(spark, sf_dir):
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
     )
     return pagerank(edges, iters=_PR_ITERS)
+
+
+# =========================================================================
+# ann_pq_topk — product-quantization ANN
+# =========================================================================
+
+_PQ_M, _PQ_DSUB, _PQ_NCENT, _PQ_K, _PQ_REFINE = 8, 8, 16, 5, 4
+
+
+@query(
+    "ann_pq_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+    ),
+    cents AS (
+      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {_PQ_NCENT}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    cs2 AS (
+      SELECT s.s, c.j, list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cs,
+             list_inner_product(
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}),
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB})
+             ) AS cc
+      FROM cents c CROSS JOIN sub s
+    ),
+    xs2 AS (
+      SELECT x.vec_id, s.s,
+             list_slice(CAST(x.embedding AS DOUBLE[]), s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
+      FROM embeddings x CROSS JOIN sub s
+    ),
+    d AS (
+      SELECT xs2.vec_id, xs2.s, c.j, c.cs,
+             list_inner_product(xs2.xsl, xs2.xsl)
+               - 2 * list_inner_product(xs2.xsl, c.cs) + c.cc AS d2
+      FROM xs2 JOIN cs2 c ON c.s = xs2.s
+    ),
+    chosen AS (
+      SELECT vec_id, s, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    xhat AS (
+      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
+      FROM chosen GROUP BY 1
+    ),
+    approx AS (
+      SELECT qq.query_id, h.match_id, qq.qvec,
+             row_number() OVER (
+               PARTITION BY qq.query_id
+               ORDER BY list_inner_product(CAST(qq.qvec AS DOUBLE[]), h.xh) DESC,
+                        h.match_id
+             ) AS arank
+      FROM q qq JOIN xhat h ON h.match_id <> qq.query_id
+    ),
+    cand AS (
+      SELECT a.query_id, a.match_id,
+             {SQL_COS.format(a='a.qvec', b='c.embedding')} AS sim
+      FROM approx a JOIN embeddings c ON c.vec_id = a.match_id
+      WHERE a.arank <= {_PQ_REFINE * _PQ_K}
+    ),
+    ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= {_PQ_K}
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (m=8 subspaces × 16 centroids — the
+    256×-compression candidate scan), asymmetric-distance candidate
+    ranking via reconstructed vectors, exact-cosine rescore of
+    refine·k. Codebook = deterministic seed vectors (embeddings
+    0..15, the kmeans seeding convention); the oracle re-derives the
+    identical codebook from the table, so encode→rank→rescore is
+    reproduced end-to-end. See operators/similarity.py:pq_cosine_topk."""
+    emb = T(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_NCENT)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    seeds = [[float(v) for v in r.c] for r in seed_rows]
+    return sim.pq_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        seeds,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_PQ_K,
+        refine=_PQ_REFINE,
+    )

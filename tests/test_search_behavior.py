@@ -122,3 +122,49 @@ def test_pagerank_ranks_hub_highest(spark):
     df = spark.createDataFrame(edges, "src long, dst long, w long")
     ranks = {r.node: r.rank_micro for r in pagerank(df, iters=3).collect()}
     assert all(ranks[0] > ranks[i] for i in range(1, 6))
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    pq = REGISTRY["ann_pq_topk"].fn(spark, sf_dir).collect()
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    pq_sets = {}
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.match_id)
+    ex_sets = {}
+    for r in exact:
+        ex_sets.setdefault(r.query_id, set()).add(r.match_id)
+    # PQ with refine*k rescoring should recover most of the exact
+    # top-5 — require >= 50% average recall on the fixture
+    recalls = [
+        len(pq_sets[q] & ex_sets[q]) / len(ex_sets[q]) for q in ex_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # ranks well-formed
+    for q, s in pq_sets.items():
+        assert len(s) == 5
+
+
+def test_dq_expectations_all_pass_on_fixture(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["dq_expectations"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.n_violations == 0 for r in rows), rows
+    assert all(r.n_checked > 0 for r in rows)
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["rel_scd2_intervals"].fn(spark, sf_dir).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for user_rows in per_user.values():
+        user_rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in user_rows if r.is_current) == 1
+        assert user_rows[-1].valid_to is None
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a.valid_to == b.valid_from  # intervals tile exactly

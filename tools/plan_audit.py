@@ -34,6 +34,7 @@ CROSS_OK = {
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_sq_topk",
+    "ann_pq_topk",
     "dedup_embedding_cosine",
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
