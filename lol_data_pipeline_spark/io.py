@@ -33,21 +33,48 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ts_from_epoch(colname: str):
+    """Normalize a long epoch column of UNKNOWN unit to a timestamp.
+
+    Parquet timestamps reach Spark as a raw int64 in two situations —
+    TIMESTAMP(NANOS) under ``spark.sql.legacy.parquet.nanosAsLong``,
+    and any timestamp column read through a user-forced ``bigint``
+    schema (e.g. the file streaming source) which reinterprets the
+    physical int64 in whatever unit the file stored. Assuming one
+    unit is how round 3's streaming bug happened (micros divided as
+    if nanos → every event in 1970). Detect the unit per row by
+    magnitude instead; valid for dates 1973–5138 in every unit, and
+    all four branches stay integer arithmetic (a double division at
+    1e18 ns would lose sub-microsecond precision).
+    """
+    from pyspark.sql import functions as F
+
+    c = colname
+    return F.expr(
+        f"""CASE
+          WHEN {c} IS NULL THEN CAST(NULL AS TIMESTAMP)
+          WHEN {c} > 100000000000000000 THEN timestamp_micros({c} div 1000)
+          WHEN {c} > 100000000000000 THEN timestamp_micros({c})
+          WHEN {c} > 100000000000 THEN timestamp_millis({c})
+          ELSE timestamp_seconds({c})
+        END"""
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; filters/projections push down.
 
-    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's reader only surfaces as a nanosecond long (see
-    session.py's nanosAsLong conf); convert to a microsecond
-    timestamp here, matching how the DuckDB oracle reads it.
+    If the events table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    Spark's reader only surfaces it as a long (see session.py's
+    nanosAsLong conf); normalize to a timestamp here, matching how
+    the DuckDB oracle reads it. TIMESTAMP(MICROS) files arrive as a
+    proper TimestampType and need no conversion.
     """
     df = spark.read.parquet(table_path(sf_dir, name))
-    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — float division loses precision at 1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", ts_from_epoch("ts"))
     return df
 
 

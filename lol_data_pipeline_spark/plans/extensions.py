@@ -619,7 +619,68 @@ def mm_frame_sample(spark, sf_dir):
     return mm.frame_sample(feats, every_n=5)
 
 
-@query("ref_ingest_pipeline", sql=None)  # hermetic synthetic source — rows-only
+# The mock fetcher (sources/riot.py:164) is pure md5 arithmetic, so
+# DuckDB can recompute the ENTIRE flattened pipeline output from
+# scratch: regenerate the 200 match ids (offset = int(md5('puuid_1')
+# [:6],16)*1000 = 1783685000), rederive h = int(md5(id)[:8],16), and
+# apply the same modular formulas the fetcher uses. This upgrades the
+# one rows-only registry entry to a full value-hash oracle.
+_SQL_INGEST = """
+WITH ids AS (
+  SELECT printf('NA1_%010d', r.range + 1783685000) AS match_id
+  FROM range(0, 200) r
+),
+hashed AS (
+  SELECT match_id,
+         ('0x' || substr(md5(match_id), 1, 8))::BIGINT AS h
+  FROM ids
+  WHERE ('0x' || substr(md5(match_id), 1, 8))::BIGINT % 23 <> 0
+),
+base AS (
+  SELECT match_id, h,
+         1600000000000 + (h % 100000) * 60000 AS base_ms,
+         (h % 17 = 0) AS legacy,
+         ((1 - h) % 97 + 97) % 97 AS pi
+  FROM hashed
+)
+SELECT
+  match_id AS matchId,
+  base_ms AS gameCreation,
+  strftime(epoch_ms(base_ms), '%Y-%m-%d') AS gameCreationDate,
+  CASE WHEN legacy THEN 1800000 + (h % 600) * 1000
+       ELSE 1800 + h % 600 END AS gameDuration,
+  CASE WHEN legacy THEN 'ms' ELSE 's' END AS gameDurationUnits,
+  base_ms + 60000 AS gameStartTimestamp,
+  strftime(epoch_ms(base_ms + 60000), '%Y-%m-%d') AS gameStartTimestampDate,
+  CASE WHEN legacy THEN NULL
+       ELSE base_ms + 60000 + (1800 + h % 600) * 1000 END AS gameEndTimestamp,
+  CASE WHEN legacy THEN NULL
+       ELSE strftime(epoch_ms(base_ms + 60000 + (1800 + h % 600) * 1000),
+                     '%Y-%m-%d') END AS gameEndTimestampDate,
+  4300000000 + h AS gameId,
+  CASE WHEN h % 3 = 0 THEN 'ARAM' ELSE 'CLASSIC' END AS gameMode,
+  'teambuilder-match-' || h AS gameName,
+  'MATCHED_GAME' AS gameType,
+  '13.' || (h % 24) || '.' || (h % 500) || '.' || (h % 9000) AS gameVersion,
+  CAST(CASE WHEN h % 3 = 0 THEN 12 ELSE 11 END AS INTEGER) AS mapId,
+  CASE WHEN pi < 10 THEN 'puuid_1' END AS participant_puuid,
+  CASE WHEN pi < 10 THEN 'champ_' || ((h + pi) % 160) END AS participant_championName,
+  CAST(CASE WHEN pi >= 10 THEN NULL WHEN pi < 5 THEN 100 ELSE 200 END
+       AS INTEGER) AS participant_teamId,
+  CASE WHEN pi < 10 THEN (h + pi) % 2 = 0 END AS participant_win,
+  CAST(CASE WHEN pi < 10 THEN (h + pi) % 20 END AS INTEGER) AS participant_kills,
+  CAST(CASE WHEN pi < 10 THEN (h + 3 * pi) % 15 END AS INTEGER) AS participant_deaths,
+  CAST(CASE WHEN pi < 10 THEN (h + 7 * pi) % 30 END AS INTEGER) AS participant_assists,
+  CAST(CASE WHEN pi < 10 THEN 8000 + (h + pi) % 9000 END AS INTEGER)
+      AS participant_goldEarned,
+  CASE WHEN pi < 10 THEN ((h + pi) % 100) / 10.0 END AS participant_challenges_kda,
+  CAST(CASE WHEN pi < 10 THEN 300 + (h + pi) % 200 END AS DOUBLE)
+      AS participant_challenges_goldPerMinute
+FROM base
+"""
+
+
+@query("ref_ingest_pipeline", sql=_SQL_INGEST)
 def ref_ingest_pipeline(spark, sf_dir):
     """The reference's full E1 lifecycle (SURVEY §3): paginated ID
     scan → distinct → rate-limited fan-out fetch (mock) → status

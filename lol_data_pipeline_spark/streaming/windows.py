@@ -21,12 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lol_data_pipeline_spark.io import table_path
-
-EVENTS_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+from lol_data_pipeline_spark.io import table_path, ts_from_epoch
 
 
 def _stage_dir(parquet_file: str) -> str:
@@ -49,13 +44,27 @@ def _stage_dir(parquet_file: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet; ts arrives as nanos (see
-    io.load_table) and is converted to a microsecond timestamp."""
-    raw = (
-        spark.readStream.schema(EVENTS_DDL)
-        .parquet(_stage_dir(table_path(sf_dir, "events")))
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """readStream over events.parquet with event-time normalized the
+    SAME way as the batch path (io.load_table).
+
+    The file source needs an explicit schema; we take the
+    batch-inferred one (a cheap footer read, no data scan) instead of
+    hand-writing a DDL — a forced ``bigint`` on a timestamp column
+    reinterprets the file's physical int64 in whatever unit the file
+    stored, which is exactly how round 3 read micros as nanos and put
+    every window in 1970. If the column still surfaces as a long
+    (TIMESTAMP(NANOS) under nanosAsLong), the shared magnitude-based
+    ``ts_from_epoch`` converts it; a proper TimestampType passes
+    through untouched.
+    """
+    from pyspark.sql import types as T
+
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(_stage_dir(path))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", ts_from_epoch("ts"))
+    return raw
 
 
 def _ckpt_dir() -> str:
