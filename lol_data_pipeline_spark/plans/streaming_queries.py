@@ -160,6 +160,25 @@ def stream_ingest_ids(spark, sf_dir):
 
 
 @query(
+    "stream_late_data_drop",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def stream_late_data_drop(spark, sf_dir):
+    """Watermark negative test: a three-micro-batch replay where the
+    second batch is entirely late data (≥2 h older than the 30-min
+    watermark) that MUST be dropped — the oracle counts on-time rows
+    only, so removing the watermark fails this parity row."""
+    return sw.late_data_drop(spark, sf_dir)
+
+
+@query(
     "stream_join_left_outer",
     sql="""
     WITH scal AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),

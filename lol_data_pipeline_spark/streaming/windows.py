@@ -106,6 +106,92 @@ def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(qname)
 
 
+def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark NEGATIVE test: late rows must actually be DROPPED.
+
+    Every other streaming entry replays the whole table in one
+    micro-batch, so the watermark never rejects anything and removing
+    it would not change the answer. Here the replay is four ordered
+    micro-batches (``maxFilesPerTrigger=1``, files mtime-ordered):
+
+      1. on-time bulk: events with ``event_id % 7 != 0``;
+      2. a single filler row at max_ts + 1 h. Needed because Spark's
+         late-record filter runs one batch BEHIND eviction (since the
+         3.5 watermark-propagation rework, late-events watermark =
+         previous batch's watermark — verified empirically on 4.1: a
+         late row arriving in the first batch after the bulk is still
+         merged). The filler burns that lag batch; its own window
+         starts after max_ts and is filtered from the result;
+      3. late replay: events with ``event_id % 7 == 0`` AND at least
+         2 h older than the bulk's max event time — unambiguously
+         beyond the 30-min watermark by then, so every row is
+         DROPPED by the late-record filter (2 h ≫ 30 min keeps the
+         check clear of <=/< boundary semantics);
+      4. a far-future sentinel (+1 day) that pushes the final
+         watermark past every real window so append mode emits them
+         all; its window never closes and is filtered out.
+
+    The result is therefore the tumbling aggregate of batch 1 ONLY —
+    which is what the oracle computes. Remove the watermark (or make
+    the delay large) and the late rows merge back in: the parity row
+    fails. That is the point.
+    """
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # 1-row driver aggregates for staging bounds — not data-sized state.
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    on_time = ev.filter(F.col("event_id") % 7 != 0)
+    late = ev.filter(
+        (F.col("event_id") % 7 == 0)
+        & (F.col("ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOURS"))
+    )
+    def _marker(offset_expr: str, tag: str):
+        return on_time.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(mx) + F.expr(offset_expr)).alias("ts"),
+            F.lit(tag).alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+
+    filler = _marker("INTERVAL 1 HOUR", "filler")
+    sentinel = _marker("INTERVAL 1 DAY", "sentinel")
+
+    key = hashlib.md5(f"late_drop:{sf_dir}".encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"stream_late_{key}")
+    if os.path.isdir(stage):
+        import shutil
+
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    for i, part in enumerate((on_time, filler, late, sentinel)):
+        d = os.path.join(stage, f"w{i}")
+        part.coalesce(1).write.parquet(d)
+        src = next(
+            f for f in os.listdir(d) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(stage, f"{i}_batch.parquet")
+        os.rename(os.path.join(d, src), dst)
+        # file source replays oldest-mtime first; make order explicit
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    res = run_to_completion(agg, mode="append")
+    return res.filter(F.col("window_start") <= F.lit(mx))
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event_type (epoch-aligned)."""
     ev = _events_stream(spark, sf_dir)

@@ -104,6 +104,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get(first_window) == 1, got
 
 
+def test_late_data_drop_actually_drops(spark, sf_dir):
+    """The stream_late_data_drop entry must really discard the late
+    replay batch: total streamed rows == on-time rows only, strictly
+    fewer than the full-table aggregate (which is what you'd get if
+    the watermark were removed)."""
+    out = sw.late_data_drop(spark, sf_dir)
+    streamed_total = out.agg(F.sum("n")).first()[0]
+    ev = load_table(spark, sf_dir, "events")
+    on_time = ev.filter(F.col("event_id") % 7 != 0).count()
+    full = ev.count()
+    assert streamed_total == on_time
+    assert streamed_total < full
+
+
 def test_left_outer_join_null_extends_only_evicted_clicks(spark, sf_dir):
     from pyspark.sql import functions as F
 
