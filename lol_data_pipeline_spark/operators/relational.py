@@ -42,3 +42,49 @@ def salted_join(
     s = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")))
     out = b.join(s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+_SALTED_PHASE1 = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+}
+_SALTED_PHASE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    exprs: list[tuple[str, str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: phase 1 aggregates on
+    ``keys + salt`` so ONE hot group key spreads over ``salt``
+    reducers; phase 2 merges the algebraic partials on ``keys``
+    alone (a tiny shuffle: salt rows per group).
+
+    ``exprs`` = [(column, fn, alias)] with fn in sum/count/min/max
+    (the algebraic set — avg is sum/count at the call site).
+
+    When this matters at 100 TB: hash aggregation already does
+    map-side partial combine, which absorbs most skew for these
+    functions. The explicit two-phase form is for the cases partials
+    can't save: aggregation after an exchange that is ALREADY keyed
+    (e.g. post-join), low-cardinality keys where a handful of
+    reducers own everything (5 event types on 1000 executors), and as
+    the template for non-combinable aggregates (collect/exact
+    distinct), where phase 1 must physically split the key.
+    """
+    for _, fn, _ in exprs:
+        if fn not in _SALTED_PHASE1:
+            raise ValueError(f"salted_agg supports {sorted(_SALTED_PHASE1)}, got {fn!r}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    p1 = salted.groupBy(*keys, "__salt").agg(
+        *[_SALTED_PHASE1[fn](col).alias(alias) for col, fn, alias in exprs]
+    )
+    return p1.groupBy(*keys).agg(
+        *[_SALTED_PHASE2[fn](alias).alias(alias) for _, fn, alias in exprs]
+    )

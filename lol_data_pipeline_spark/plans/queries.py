@@ -912,6 +912,48 @@ def rel_join_salted(spark, sf_dir):
 
 
 @query(
+    "rel_agg_salted",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_agg_salted(spark, sf_dir):
+    """operators.relational.salted_agg as a catalog entry: two-phase
+    skew-safe aggregation over a pathologically low-cardinality key
+    (5 event types — on a 1000-executor cluster a plain groupBy puts
+    everything on 5 reducers; phase 1 on (key, salt) uses 5×16).
+    Salting changes the physical distribution only, so the oracle is
+    the plain aggregate."""
+    from lol_data_pipeline_spark.operators.relational import salted_agg
+
+    ev = T(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("value", "count", "n"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
     "rel_incremental_agg_merge",
     sql="""
     SELECT l_returnflag,

@@ -556,3 +556,73 @@ def sketch_kmv_setops(spark, sf_dir):
         F.round(rho, 4).alias("jaccard_est"),
         F.round(rho * union_est, 4).alias("intersect_est"),
     )
+
+
+@query(
+    "sketch_quantile_hist",
+    sql="""
+    WITH p AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS tot FROM events),
+    b AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / 64.0)) AS INTEGER), 63) AS bin,
+             count(*) AS n
+      FROM events, p GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM b
+    )
+    SELECT q,
+           CAST(min(bin) AS INTEGER) AS qbin,
+           round(min(lo + (bin + 1) * ((hi - lo) / 64.0)), 6) AS est_value
+    FROM (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q) qs, c, p
+    WHERE cum >= q * tot
+    GROUP BY q
+    """,
+)
+def sketch_quantile_hist(spark, sf_dir):
+    """Equi-width histogram quantile sketch (64 bins): estimate for
+    quantile q = upper edge of the first bin whose cumulative count
+    reaches q·N, error bounded by one bin width.
+
+    Why not approx_percentile: Spark's t-digest is implementation-
+    specific (no oracle can reproduce it); the histogram is fully
+    deterministic, and — the property that matters at 100 TB —
+    MERGEABLE: per-partition (and per-day, per-shard) histograms
+    combine by adding bin counts, so the sketch state is 64 longs no
+    matter the data size. The cumulative window runs over 64 rows,
+    never over data."""
+    ev = T(spark, sf_dir, "events").select("value")
+    p = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("tot"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(64.0)
+    binned = ev.crossJoin(F.broadcast(p)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(63)
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "tot",
+    )
+    b = binned.groupBy("bin", "lo", "hi", "tot").agg(F.count("*").alias("n"))
+    c = b.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    return (
+        qs.crossJoin(c)
+        .filter(F.col("cum") >= F.col("q") * F.col("tot"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").cast("int").alias("qbin"),
+            F.round(
+                F.min(F.col("lo") + (F.col("bin") + 1) * width), 6
+            ).alias("est_value"),
+        )
+    )

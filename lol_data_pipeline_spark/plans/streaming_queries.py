@@ -160,6 +160,31 @@ def stream_ingest_ids(spark, sf_dir):
 
 
 @query(
+    "stream_user_topk",
+    sql="""
+    SELECT user_id, CAST(rnk AS INTEGER) AS rnk, value, event_id
+    FROM (
+      SELECT user_id, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_user_topk(spark, sf_dir):
+    """Per-user top-3 events by value as a custom stateful streaming
+    operator (bounded per-key state over an unbounded stream): the
+    oracle is the batch row_number() top-k with the same
+    deterministic tie-break. A transformWithStateInPandas variant
+    with identical semantics exists (streaming/stateful.py:
+    user_topk_values) but is container-blocked on protobuf."""
+    from lol_data_pipeline_spark.streaming.stateful import running_user_topk
+
+    return running_user_topk(spark, sf_dir, k=3)
+
+
+@query(
     "stream_late_data_drop",
     sql="""
     SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,

@@ -47,3 +47,123 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(agg, mode="update")
+
+
+TOPK_OUTPUT_DDL = "user_id bigint, rnk int, value double, event_id bigint"
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _topk_merge(cur: list, pdfs: Iterator[pd.DataFrame], k: int) -> list:
+    """Merge micro-batch rows into the running top-k list of
+    (value, event_id), ordered by value desc then event_id asc (the
+    deterministic tie-break the oracle mirrors)."""
+    for pdf in pdfs:
+        cur.extend(
+            zip(pdf["value"].astype("float64"), pdf["event_id"].astype("int64"))
+        )
+    cur.sort(key=lambda t: (-t[0], t[1]))
+    del cur[k:]
+    return cur
+
+
+def _topk_frame(user_id, cur: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(cur), dtype="int64"),
+            "rnk": pd.Series(range(1, len(cur) + 1), dtype="int32"),
+            "value": pd.Series([v for v, _ in cur], dtype="float64"),
+            "event_id": pd.Series([e for _, e in cur], dtype="int64"),
+        }
+    )
+
+
+def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-user running top-k events by value (applyInPandasWithState,
+    GroupState = two parallel arrays of the current top-k).
+
+    Top-k is the canonical "state smaller than the data" stateful
+    operator: the store holds k rows per key forever while the stream
+    is unbounded — a groupBy+window can't express "k best so far"
+    without retaining everything.
+    """
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        vals, ids = state.get if state.exists else ((), ())
+        cur = _topk_merge(list(zip(vals, ids)), pdfs, k)
+        state.update(([v for v, _ in cur], [e for _, e in cur]))
+        yield _topk_frame(key[0], cur)
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_OUTPUT_DDL,
+        stateStructType="vals array<double>, ids array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_completion(out, mode="update")
+
+
+def user_topk_values(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-user top-k via ``transformWithStateInPandas`` (Spark 4's
+    arbitrary-state API, the successor to applyInPandasWithState): a
+    ListState holds the current top-k (value, event_id) pairs per
+    user, merged with each micro-batch's rows and re-emitted in
+    update mode. Same semantics and oracle as
+    :func:`running_user_topk`.
+
+    CONTAINER LIMITATION: the TWS state-server protocol needs
+    ``google.protobuf``, which is not installed here and cannot be
+    (no pip) — calling this raises at plan-build time with that
+    explanation. The code path is real and runs wherever pyspark's
+    `connect` extra (protobuf) is present; ``running_user_topk`` is
+    the registered, executed variant in this environment.
+
+    The API also requires the RocksDB state store provider; set for
+    this run and restored after.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (the TWS "
+            "state-server wire protocol); not installed in this container "
+            "and pip is unavailable. Use running_user_topk (the "
+            "applyInPandasWithState variant with identical semantics)."
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "value double, event_id bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = _topk_merge([(float(v), int(e)) for v, e in self._top.get()], rows, k)
+            self._top.put([(float(v), int(e)) for v, e in cur])
+            yield _topk_frame(key[0], cur)
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        TopK(),
+        outputStructType=TOPK_OUTPUT_DDL,
+        outputMode="update",
+        timeMode="None",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    try:
+        return run_to_completion(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
