@@ -206,7 +206,12 @@ def stream_late_data_drop(spark, sf_dir):
 @query(
     "stream_join_left_outer",
     sql="""
-    WITH scal AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    WITH scal AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+             ) - INTERVAL 1 HOUR AS wm
+    ),
     clicks AS (
       SELECT user_id, ts AS click_ts, event_id AS click_id
       FROM events WHERE event_type = 'click'
@@ -239,10 +244,16 @@ def stream_late_data_drop(spark, sf_dir):
 )
 def stream_join_left_outer(spark, sf_dir):
     """Watermarked stream-stream LEFT OUTER join (clicks left): null
-    extension happens at state EVICTION — when the purchase-side
-    watermark (max ts − 1 h here, with the bounded replay's final
-    no-data micro-batch advancing it) passes a click's 30-minute
-    match window. The oracle reproduces exactly that cutoff: a
-    batch left join PLUS the watermark condition on unmatched rows —
-    the difference between the two IS the streaming semantics."""
+    extension happens at state EVICTION — when the query watermark
+    (advanced by the bounded replay's final no-data micro-batch)
+    passes a click's 30-minute match window. Each side's watermark
+    node sits AFTER its event_type filter, so it tracks that side's
+    own max event time, and the query watermark is the MIN of the
+    two (multipleWatermarkPolicy=min): wm = least(max click ts,
+    max purchase ts) − 1 h. The oracle reproduces exactly that
+    cutoff: a batch left join PLUS the watermark condition on
+    unmatched rows — the difference between the two IS the
+    streaming semantics. (Found at sf0.001, where the latest click
+    precedes the latest purchase by hours: modeling wm from
+    max(all ts) over-evicts by exactly that gap.)"""
     return sw.click_purchase_left_join(spark, sf_dir)
