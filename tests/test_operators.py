@@ -171,3 +171,59 @@ def test_salted_join_matches_plain_join(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    from lol_data_pipeline_spark.operators.relational import salted_agg
+
+    got = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("v", "count", "n"), ("v", "sum", "s"), ("v", "min", "mn"), ("v", "max", "mx")],
+            salt=8,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][2:] == want[k][2:]
+        assert abs(got[k][1] - want[k][1]) < 1e-6  # sum order differs
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest as _pytest
+
+    from lol_data_pipeline_spark.operators.relational import salted_agg
+
+    df = spark.range(1).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], [("v", "avg", "a")])
+
+
+def test_topk_merge_is_deterministic_and_bounded():
+    import pandas as pd
+
+    from lol_data_pipeline_spark.streaming.stateful import _topk_merge
+
+    batch = pd.DataFrame({"value": [5.0, 9.0, 9.0, 1.0], "event_id": [4, 2, 1, 9]})
+    cur = _topk_merge([(7.0, 3)], iter([batch]), k=3)
+    # value desc, event_id asc tie-break; bounded at k
+    assert cur == [(9.0, 1), (9.0, 2), (7.0, 3)]
+    # a later batch of smaller values cannot displace the current top
+    low = pd.DataFrame({"value": [0.5, 0.1], "event_id": [100, 101]})
+    assert _topk_merge(list(cur), iter([low]), k=3) == cur

@@ -42,6 +42,7 @@ CROSS_OK = {
     "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
     "graph_pagerank",  # node-count scalar broadcast (1 row)
     "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
+    "sketch_quantile_hist",  # 1-row bounds broadcast + 3 quantiles x 64 bins
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
