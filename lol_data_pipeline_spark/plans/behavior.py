@@ -284,3 +284,100 @@ def dq_expectations(spark, sf_dir):
         | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
     )
     return c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5)
+
+
+@query(
+    "rel_funnel_steps",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY 1
+    )
+    SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT '2_click_after_view', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def rel_funnel_steps(spark, sf_dir):
+    """Conversion funnel (view → click → purchase, order-respecting):
+    per user, the first view, the first click at-or-after it, and the
+    first purchase at-or-after that; output = users completing each
+    prefix. Every stage is keyed on user_id, so at scale one shuffle
+    partitioning carries all three aggregate+join rounds (the
+    per-user firsts are tiny relative to the event log — AQE
+    broadcast-converts them when they fit)."""
+    ev = T(spark, sf_dir, "events")
+
+    def first_at_or_after(etype, prev, prev_ts, alias):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            base = e
+        else:
+            base = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
+        return base.groupBy("user_id").agg(F.min("ts").alias(alias))
+
+    v = first_at_or_after("view", None, None, "t1")
+    c = first_at_or_after("click", v, "t1", "t2")
+    p = first_at_or_after("purchase", c, "t2", "t3")
+
+    def row(step, df):
+        return df.agg(
+            F.lit(step).alias("step"), F.count("*").cast("long").alias("n_users")
+        )
+
+    return (
+        row("1_view", v)
+        .unionAll(row("2_click_after_view", c))
+        .unionAll(row("3_purchase_after_click", p))
+    )
+
+
+@query(
+    "rel_retention_cohort",
+    sql="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort_date,
+           CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS INTEGER)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen f USING (user_id)
+    WHERE datediff('day', f.cohort_date, CAST(e.ts AS DATE)) <= 6
+    GROUP BY 1, 2
+    """,
+)
+def rel_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen date,
+    counted distinct on each of their first 7 activity days — the
+    standard D0..D6 retention report. Two shuffles total (first-seen
+    aggregate, then the distinct count on (cohort, offset)); the
+    first-seen table joins back on user_id, the same key as the
+    aggregate that produced it, so the exchange is reused."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    offs = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 6)
+    )
+    return offs.groupBy("cohort_date", "day_offset").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
