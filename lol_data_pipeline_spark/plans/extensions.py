@@ -562,6 +562,35 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
+@query(
+    "mm_resize",
+    sql="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           source || '|resized<512' AS origin
+    FROM documents
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Multimodal resize stage: payload rides through untouched, the
+    meta struct records the resize target (a real kernel re-encodes
+    bytes per Arrow batch behind the same signature —
+    operators/multimodal.py:resize_stub raises without a codec). The
+    checked output is the metadata contract: id, mime, byte length,
+    provenance trail."""
+    from lol_data_pipeline_spark.operators import multimodal as mm
+
+    media = mm.attach_binary_payload(T(spark, sf_dir, "documents"))
+    resized = mm.resize_stub(media, max_dim=512)
+    return resized.select(
+        F.col("media_id"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
 # The synthesize→decode chain round-trips REAL container bytes
 # (PNG/BMP/WAV headers, operators/multimodal.py); the oracle predicts
 # the same features arithmetically from the id derivations documented

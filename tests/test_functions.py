@@ -162,3 +162,30 @@ def test_word_shingle_arrays_matches_expression_form(spark):
         ).collect()
     }
     assert fast == expr
+
+
+def test_ts_from_epoch_detects_all_units(spark):
+    """The round-3 streaming bug was a hard-coded epoch unit; the
+    shared normalizer must map the SAME instant expressed in s / ms /
+    us / ns to the SAME timestamp."""
+    import datetime as dt
+
+    from lol_data_pipeline_spark.io import ts_from_epoch
+
+    base_us = 1_704_067_798_778_549  # 2024-01-01T00:09:58.778549
+    rows = [
+        ("s", base_us // 1_000_000),
+        ("ms", base_us // 1_000),
+        ("us", base_us),
+        ("ns", base_us * 1_000),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "unit string, ts long").select(
+        "unit", ts_from_epoch("ts").alias("t")
+    )
+    got = {r.unit: r.t for r in df.collect()}
+    full = dt.datetime(2024, 1, 1, 0, 9, 58, 778549)
+    assert got["us"] == full and got["ns"] == full
+    assert got["ms"] == full.replace(microsecond=778000)
+    assert got["s"] == full.replace(microsecond=0)
+    assert got["null"] is None
