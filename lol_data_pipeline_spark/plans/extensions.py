@@ -1185,3 +1185,107 @@ def ann_pq_topk(spark, sf_dir):
         k=_PQ_K,
         refine=_PQ_REFINE,
     )
+
+
+_SQL_TRIANGLES = """
+WITH co AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+deg AS (
+  SELECT x AS node, count(*) AS d
+  FROM (SELECT u AS x FROM co UNION ALL SELECT v FROM co)
+  GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS ddst
+  FROM co JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+wedges AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src
+   AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+),
+tri AS (
+  SELECT x.u, x.v, x.w
+  FROM wedges x JOIN oriented o ON o.src = x.v AND o.dst = x.w
+)
+SELECT corner AS node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT u AS corner FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+GROUP BY 1
+"""
+
+
+@query("graph_triangles", sql=_SQL_TRIANGLES)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the supplier co-occurrence graph
+    (suppliers sharing an order), via degree-ordered edge orientation:
+    every edge points from its (degree, id)-smaller endpoint, so each
+    triangle is generated by exactly one apex and the closing edge is
+    a pure EQUI-join (the OR-of-orientations a naive formulation
+    needs would degrade to a nested-loop join). At scale the
+    orientation bounds wedge fan-out by the oriented out-degree
+    (O(sqrt(m)) after orientation — the classic bound), and every
+    stage is a hash join/aggregate keyed on vertex ids. This is the
+    standard clustering-coefficient / spam-detection primitive."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionAll(co.select("v"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = (
+        co.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("u"), F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w")
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select("v"))
+        .unionAll(tri.select("w"))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
