@@ -1289,3 +1289,50 @@ def graph_triangles(spark, sf_dir):
         .unionAll(tri.select("w"))
     )
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+@query(
+    "dedup_fuzzy_names",
+    sql="""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             list_extract(string_split(p_name, ' '), -1) AS blk
+      FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def dedup_fuzzy_names(spark, sf_dir):
+    """Fuzzy string-similarity join (edit distance ≤ 3) over distinct
+    part names, BLOCKED on the head noun (last token): candidate
+    pairs are generated within blocks only — cost Σ(block²) over
+    blocks, never all-pairs — then verified with exact Levenshtein.
+    The blocking-then-verify shape is the string twin of the
+    MinHash/SimHash candidate pattern; at larger scale the block key
+    widens to (noun, length band) or a q-gram LSH. Both engines
+    compute classic unit-cost Levenshtein, so the oracle is exact."""
+    names = (
+        T(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
