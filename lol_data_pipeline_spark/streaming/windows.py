@@ -161,8 +161,12 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler = _marker("INTERVAL 1 HOUR", "filler")
     sentinel = _marker("INTERVAL 1 DAY", "sentinel")
 
+    # pid-suffixed: the driver's gate and a concurrent pytest run must
+    # not race on each other's staging dir (rmtree vs readStream)
     key = hashlib.md5(f"late_drop:{sf_dir}".encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"stream_late_{key}")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"stream_late_{key}_{os.getpid()}"
+    )
     if os.path.isdir(stage):
         import shutil
 
