@@ -134,3 +134,77 @@ def test_simhash_pairs_are_canonical(spark, texts):
     # docs must appear
     n_docs = len([t for t in texts if t.split()])
     assert len(seen) == n_docs * (n_docs - 1) // 2
+
+
+@SLOW
+@given(
+    instants=st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1975, 1, 1),
+            max_value=dt.datetime(2200, 1, 1),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    unit=st.sampled_from(["s", "ms", "us", "ns"]),
+)
+def test_ts_from_epoch_unit_invariant(spark, instants, unit):
+    """For ANY instant in the detection range, expressing it in any
+    epoch unit and normalizing yields that instant at the unit's own
+    precision — the invariant whose violation was the round-3
+    streaming bug."""
+    from lol_data_pipeline_spark.io import ts_from_epoch
+
+    mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [
+        (int((x - epoch).total_seconds() * 1_000_000) * mult // 10**6,)
+        for x in instants
+    ]
+    df = spark.createDataFrame(rows, "ts long").select(
+        ts_from_epoch("ts").alias("t")
+    )
+    got = [r.t for r in df.collect()]
+    trunc = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+    for want, g in zip(instants, got):
+        us = (want - epoch) // dt.timedelta(microseconds=1)
+        expect = epoch + dt.timedelta(microseconds=us - us % trunc)
+        assert g == expect, (unit, want, g)
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.integers(0, 10**6),
+        ),
+        max_size=60,
+    ),
+    k=st.integers(1, 5),
+    split=st.integers(0, 60),
+)
+def test_topk_merge_equals_global_topk(values, k, split):
+    """Merging batches incrementally through _topk_merge equals the
+    global top-k by (value desc, event_id asc) — order of batch
+    arrival must not matter (the streaming-state invariant)."""
+    import pandas as pd
+
+    from lol_data_pipeline_spark.streaming.stateful import _topk_merge
+
+    # unique event_ids (ties on id would make the expected order
+    # ambiguous; real event ids are unique)
+    uniq: dict[int, float] = {}
+    for v, e in values:
+        uniq.setdefault(e, float(v))
+    values = [(v, e) for e, v in uniq.items()]
+    a, b = values[:split], values[split:]
+    state = []
+    for batch in (a, b):
+        if batch:
+            pdf = pd.DataFrame(
+                {"value": [v for v, _ in batch], "event_id": [e for _, e in batch]}
+            )
+            state = _topk_merge(state, iter([pdf]), k)
+    want = sorted(values, key=lambda t: (-t[0], t[1]))[:k]
+    assert state == want
