@@ -46,7 +46,9 @@ def salted_join(
 
 _SALTED_PHASE1 = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # count(col) — NULL-skipping, like the plain agg it replaces;
+    # partial counts compose by summation either way
+    "count": F.count,
     "min": F.min,
     "max": F.max,
 }

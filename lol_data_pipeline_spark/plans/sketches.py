@@ -563,7 +563,9 @@ def sketch_kmv_setops(spark, sf_dir):
     sql="""
     WITH p AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS tot FROM events),
     b AS (
-      SELECT least(CAST(floor((value - lo) / ((hi - lo) / 64.0)) AS INTEGER), 63) AS bin,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo) / ((hi - lo) / 64.0)) AS INTEGER), 63)
+             END AS bin,
              count(*) AS n
       FROM events, p GROUP BY 1
     ),
@@ -597,10 +599,19 @@ def sketch_quantile_hist(spark, sf_dir):
         F.count("*").alias("tot"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(64.0)
+    # hi == lo (all values equal) would make width 0 and the bin
+    # expression NaN; the degenerate answer is bin 0 / estimate lo
+    # (width 0 collapses every bin edge onto lo), mirrored in the
+    # oracle's CASE
     binned = ev.crossJoin(F.broadcast(p)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(63)
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+                F.lit(63),
+            )
+        )
+        .alias("bin"),
         "lo",
         "hi",
         "tot",

@@ -151,7 +151,10 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") <= F.lit(mx) - F.expr("INTERVAL 2 HOURS"))
     )
     def _marker(offset_expr: str, tag: str):
-        return on_time.limit(1).select(
+        # one fabricated row — spark.range, not a scan+limit over the
+        # events table (no I/O, and still present when on_time is
+        # empty, so the watermark always advances)
+        return spark.range(1).select(
             F.lit(-1).cast("long").alias("event_id"),
             (F.lit(mx) + F.expr(offset_expr)).alias("ts"),
             F.lit(tag).alias("event_type"),
@@ -161,6 +164,8 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler = _marker("INTERVAL 1 HOUR", "filler")
     sentinel = _marker("INTERVAL 1 DAY", "sentinel")
 
+    import shutil
+
     # pid-suffixed: the driver's gate and a concurrent pytest run must
     # not race on each other's staging dir (rmtree vs readStream)
     key = hashlib.md5(f"late_drop:{sf_dir}".encode()).hexdigest()[:12]
@@ -168,33 +173,39 @@ def late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"stream_late_{key}_{os.getpid()}"
     )
     if os.path.isdir(stage):
-        import shutil
-
         shutil.rmtree(stage)
     os.makedirs(stage)
-    for i, part in enumerate((on_time, filler, late, sentinel)):
-        d = os.path.join(stage, f"w{i}")
-        part.coalesce(1).write.parquet(d)
-        src = next(
-            f for f in os.listdir(d) if f.endswith(".parquet") and f.startswith("part-")
+    try:
+        for i, part in enumerate((on_time, filler, late, sentinel)):
+            d = os.path.join(stage, f"w{i}")
+            part.coalesce(1).write.parquet(d)
+            src = next(
+                f
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(stage, f"{i}_batch.parquet")
+            os.rename(os.path.join(d, src), dst)
+            shutil.rmtree(d)  # writer work dir (_SUCCESS etc.)
+            # file source replays oldest-mtime first; make order explicit
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "*.parquet"))
         )
-        dst = os.path.join(stage, f"{i}_batch.parquet")
-        os.rename(os.path.join(d, src), dst)
-        # file source replays oldest-mtime first; make order explicit
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(stage, "*.parquet"))
-    )
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
-    )
-    res = run_to_completion(agg, mode="append")
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        )
+        # run_to_completion fully drains the stream into the memory
+        # sink, so the staged files are not needed afterwards
+        res = run_to_completion(agg, mode="append")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return res.filter(F.col("window_start") <= F.lit(mx))
 
 

@@ -157,8 +157,10 @@ def test_ts_from_epoch_unit_invariant(spark, instants, unit):
 
     mult = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     epoch = dt.datetime(1970, 1, 1)
+    # integer microseconds via timedelta floor-div — float
+    # total_seconds() is off by ±1-2 us at these magnitudes
     rows = [
-        (int((x - epoch).total_seconds() * 1_000_000) * mult // 10**6,)
+        ((x - epoch) // dt.timedelta(microseconds=1) * mult // 10**6,)
         for x in instants
     ]
     df = spark.createDataFrame(rows, "ts long").select(
