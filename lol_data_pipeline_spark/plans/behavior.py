@@ -96,9 +96,10 @@ _HIST_BINS = 20
              CAST(max(l_extendedprice) AS DOUBLE) AS hi
       FROM lineitem
     ), binned AS (
-      SELECT least({_HIST_BINS - 1}, CAST(floor(
-               (CAST(l_extendedprice AS DOUBLE) - s.lo) / ((s.hi - s.lo) / {_HIST_BINS}.0)
-             ) AS BIGINT)) AS bin,
+      SELECT CASE WHEN s.hi = s.lo THEN 0
+                  ELSE least({_HIST_BINS - 1}, CAST(floor(
+                    (CAST(l_extendedprice AS DOUBLE) - s.lo) / ((s.hi - s.lo) / {_HIST_BINS}.0)
+                  ) AS BIGINT)) END AS bin,
              s.lo, s.hi
       FROM lineitem CROSS JOIN scal s
     )
@@ -120,11 +121,17 @@ def stat_histogram_prices(spark, sf_dir):
     )
     scal = li.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / float(_HIST_BINS)
+    # hi == lo (all values equal) would make the bin NaN on the Spark
+    # side and NULL in DuckDB; degenerate answer = single bin 0
     binned = li.crossJoin(F.broadcast(scal)).select(
-        F.least(
-            F.lit(_HIST_BINS - 1),
-            F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor((F.col("x") - F.col("lo")) / width).cast("long"),
+            )
+        )
+        .alias("bin"),
         "lo",
         "hi",
     )
