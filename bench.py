@@ -73,8 +73,24 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed CPU-bound loop timed as a machine-speed probe. The
+    container's host is visibly oversubscribed at times (identical
+    bench code has measured 18 s and 44 s in the same hour; this loop
+    0.6 s vs 1.2+ s at those moments, with load avg > 4 while no
+    process inside the VM runs) — reporting the probe alongside the
+    totals lets a recorded number be read against the machine's
+    condition when it was taken. See PERF_NOTES.md."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calib = _calibrate()
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -96,6 +112,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calib_loop_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
