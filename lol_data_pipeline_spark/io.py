@@ -46,13 +46,18 @@ def ts_from_epoch(colname: str):
     magnitude instead; valid for dates 1973–5138 in every unit, and
     all four branches stay integer arithmetic (a double division at
     1e18 ns would lose sub-microsecond precision).
+
+    Values OUTSIDE the detectable window map to NULL rather than a
+    plausible-but-wrong timestamp: anything ≤ 1e8 (pre-1973 seconds,
+    zero, negatives/pre-1970) is ambiguous between units, so the
+    window is enforced, not just documented.
     """
     from pyspark.sql import functions as F
 
     c = colname
     return F.expr(
         f"""CASE
-          WHEN {c} IS NULL THEN CAST(NULL AS TIMESTAMP)
+          WHEN {c} IS NULL OR {c} <= 100000000 THEN CAST(NULL AS TIMESTAMP)
           WHEN {c} > 100000000000000000 THEN timestamp_micros({c} div 1000)
           WHEN {c} > 100000000000000 THEN timestamp_micros({c})
           WHEN {c} > 100000000000 THEN timestamp_millis({c})

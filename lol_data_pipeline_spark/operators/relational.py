@@ -26,6 +26,59 @@ def topk_per_group(
     )
 
 
+def global_topk_ranked(
+    df: DataFrame, order: list[tuple[str, bool]], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Global top-k with a row_number-style rank column, WITHOUT an
+    unpartitioned window.
+
+    ``order`` is [(column, descending)]; the LAST column must be a
+    unique non-null tiebreaker so the order is total (rank then
+    equals row_number deterministically).
+
+    Why not ``row_number() OVER (ORDER BY ...)``: an unpartitioned
+    window moves the ENTIRE input to one partition before ranking —
+    a single-task sort that is the classic 100 TB scale-killer when
+    the input is data-sized (BM25 candidates for a common term, the
+    full n-gram vocabulary). Instead:
+
+    - ``orderBy().limit(k)`` compiles to TakeOrderedAndProject:
+      every partition keeps a k-row heap, the driver merges P heaps
+      of k rows — no global sort, no single-partition shuffle.
+    - the rank of each survivor = 1 + how many of the OTHER k-1
+      survivors sort strictly ahead of it — a k×k broadcast
+      comparison (k is small by contract), still no window.
+
+    The k-row result is persisted so the top-k subtree runs once,
+    not once per self-join side.
+    """
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    sort_cols = [F.col(n).desc() if d else F.col(n).asc() for n, d in order]
+    topk = tracked_persist(df.orderBy(*sort_cols).limit(k))
+
+    # "peer sorts strictly ahead" as a lexicographic predicate over
+    # the order columns (peer side renamed __p_*)
+    def ahead(idx: int) -> Column:
+        name, desc = order[idx]
+        p, r = F.col(f"__p_{name}"), F.col(name)
+        strict = (p > r) if desc else (p < r)
+        if idx + 1 == len(order):
+            return strict
+        return strict | ((p == r) & ahead(idx + 1))
+
+    peers = topk.select(
+        F.lit(1).alias("__p_one"),
+        *[F.col(n).alias(f"__p_{n}") for n, _ in order],
+    )
+    out_cols = topk.columns
+    return (
+        topk.join(F.broadcast(peers), ahead(0), "left")
+        .groupBy(*out_cols)
+        .agg((F.count("__p_one") + 1).cast("long").alias(rank_col))
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -46,13 +99,16 @@ def salted_join(
 
 _SALTED_PHASE1 = {
     "sum": F.sum,
-    # count(col) — NULL-skipping, like the plain agg it replaces;
-    # partial counts compose by summation either way
+    # count(col) — NULL-skipping, like SQL count(col); use
+    # "count_star" for SQL count(*) row-count semantics (the column
+    # argument is ignored there). Partial counts compose by summation
+    # either way.
     "count": F.count,
+    "count_star": lambda _col: F.count(F.lit(1)),
     "min": F.min,
     "max": F.max,
 }
-_SALTED_PHASE2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_SALTED_PHASE2 = {"sum": F.sum, "count": F.sum, "count_star": F.sum, "min": F.min, "max": F.max}
 
 
 def salted_agg(
@@ -66,8 +122,9 @@ def salted_agg(
     reducers; phase 2 merges the algebraic partials on ``keys``
     alone (a tiny shuffle: salt rows per group).
 
-    ``exprs`` = [(column, fn, alias)] with fn in sum/count/min/max
-    (the algebraic set — avg is sum/count at the call site).
+    ``exprs`` = [(column, fn, alias)] with fn in
+    sum/count/count_star/min/max (the algebraic set — avg is
+    sum/count at the call site).
 
     When this matters at 100 TB: hash aggregation already does
     map-side partial combine, which absorbs most skew for these

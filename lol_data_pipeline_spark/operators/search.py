@@ -32,12 +32,13 @@ a north-star extension (SURVEY §7 M3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.caching import tracked_persist
 from lol_data_pipeline_spark.functions.text import tokens
 from lol_data_pipeline_spark.io import widen
+from lol_data_pipeline_spark.operators.relational import global_topk_ranked
 
 
 def bm25_weight_sql(i: int, k1: float, b: float) -> str:
@@ -113,11 +114,10 @@ def bm25_topk(
         F.expr(f"round({score_expr}, 6)").alias("score"),
         F.expr(f"CAST({hits_expr} AS BIGINT)").alias("n_terms_hit"),
     )
-    # Global window over the candidate set only (bounded by the
-    # docs containing a query term — small by contract).
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(F.col("id").alias(id_col), "score", "n_terms_hit", "rank")
-    )
+    # Top-k via TakeOrderedAndProject + k×k rank derivation — NOT an
+    # unpartitioned window: a common query term makes the candidate
+    # set data-sized at 100 TB, and a global row_number would move
+    # all of it to one partition. TakeOrdered keeps a k-row heap per
+    # partition and merges P·k rows on the driver instead.
+    topk = global_topk_ranked(scored, [("score", True), ("id", False)], k)
+    return topk.select(F.col("id").alias(id_col), "score", "n_terms_hit", "rank")

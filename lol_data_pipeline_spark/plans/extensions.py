@@ -9,6 +9,7 @@ arithmetic (functions.scalar.md5_long).
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -934,11 +935,11 @@ def text_ngram_topk(spark, sf_dir):
         widen_(docs), 3, "text", keep=["doc_id"], distinct=False
     ).select(F.explode_outer("sh_arr").alias("gram")).filter(F.col("gram").isNotNull())
     counted = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n_occurrences"))
-    w = W.orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
-    return (
-        counted.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    # the trigram vocabulary is data-sized at 100 TB — rank via
+    # TakeOrderedAndProject + k×k derivation, never a global window
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    return global_topk_ranked(counted, [("n_occurrences", True), ("gram", False)], 20)
 
 
 # =========================================================================
@@ -1291,6 +1292,53 @@ def graph_triangles(spark, sf_dir):
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def fuzzy_name_pairs(names: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Fuzzy string-similarity self-join (edit distance ≤ max_dist)
+    over a 1-column ``name`` frame, BLOCKED on (head noun, length
+    band): candidate pairs are generated within blocks only — cost
+    Σ(block²) over blocks, never all-pairs — then verified with exact
+    Levenshtein. The blocking-then-verify shape is the string twin of
+    the MinHash/SimHash candidate pattern.
+
+    The length band de-skews the block key WITHOUT losing pairs:
+    edit distance ≤ d implies |len(a) − len(b)| ≤ d, so with band
+    width d+1 a surviving pair sits in the same or an adjacent band.
+    One side keeps its own band; the other explodes to {band−1, band,
+    band+1}, so every qualifying pair matches on exactly ONE
+    (noun, band) key — result identical to noun-only blocking, but a
+    hot head noun now spreads over its length spectrum instead of
+    hitting one quadratic reducer."""
+    bw = max_dist + 1
+    keyed = names.select(
+        "name",
+        F.element_at(F.split("name", " "), -1).alias("noun"),
+        F.floor(F.length("name") / bw).alias("lband"),
+    )
+    a = keyed.select("name", "noun", F.col("lband").alias("band")).alias("a")
+    b = keyed.select(
+        "name",
+        "noun",
+        F.explode(
+            F.array(F.col("lband") - 1, F.col("lband"), F.col("lband") + 1)
+        ).alias("band"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 @query(
     "dedup_fuzzy_names",
     sql="""
@@ -1307,32 +1355,11 @@ def graph_triangles(spark, sf_dir):
     """,
 )
 def dedup_fuzzy_names(spark, sf_dir):
-    """Fuzzy string-similarity join (edit distance ≤ 3) over distinct
-    part names, BLOCKED on the head noun (last token): candidate
-    pairs are generated within blocks only — cost Σ(block²) over
-    blocks, never all-pairs — then verified with exact Levenshtein.
-    The blocking-then-verify shape is the string twin of the
-    MinHash/SimHash candidate pattern; at larger scale the block key
-    widens to (noun, length band) or a q-gram LSH. Both engines
-    compute classic unit-cost Levenshtein, so the oracle is exact."""
-    names = (
-        T(spark, sf_dir, "part")
-        .select(F.col("p_name").alias("name"))
-        .distinct()
-        .withColumn("blk", F.element_at(F.split("name", " "), -1))
-    )
-    a = names.alias("a")
-    b = names.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
-        )
-        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
-        .filter(F.col("dist") <= 3)
-        .select(
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.col("dist").cast("int").alias("dist"),
-        )
-    )
+    """Fuzzy edit-distance join over distinct part names via
+    ``fuzzy_name_pairs`` — (head noun, length band) blocking then
+    exact-Levenshtein verify. The oracle blocks on the noun alone:
+    both forms return the SAME pairs (band blocking only prunes pairs
+    the distance filter would drop), so the oracle stays exact while
+    the Spark plan carries the de-skewed key."""
+    names = T(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    return fuzzy_name_pairs(names, max_dist=3)

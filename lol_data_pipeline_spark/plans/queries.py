@@ -937,7 +937,9 @@ def rel_agg_salted(spark, sf_dir):
         ev,
         ["event_type"],
         [
-            ("value", "count", "n"),
+            # count_star = count(*) row-count semantics, exactly the
+            # oracle's count(*) even if value ever carries NULLs
+            ("value", "count_star", "n"),
             ("value", "sum", "sum_value"),
             ("value", "min", "min_value"),
             ("value", "max", "max_value"),

@@ -235,12 +235,17 @@ def rel_q14_promo_effect(spark, sf_dir):
 def rel_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) achieving the max quarterly
     revenue — an aggregate reused both as join input and as a scalar
-    subquery (expressed as a rank-1 window over the rounded sum, so
-    float ties resolve identically in both engines)."""
-    from pyspark.sql import Window
+    subquery, exactly the spec's form: ``max(total_revenue)`` is a
+    1-row aggregate broadcast back onto the revenue view (comparison
+    on the ROUNDED sum so float ties resolve identically in both
+    engines). No global rank window: the scalar-max form never
+    single-partitions the per-supplier aggregate, however many
+    suppliers exist. The revenue view is persisted because it feeds
+    both the scalar and the join (spec's CREATE VIEW)."""
+    from lol_data_pipeline_spark.caching import tracked_persist
 
     li, s = (T(spark, sf_dir, t) for t in ("lineitem", "supplier"))
-    revenue = (
+    revenue = tracked_persist(
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -248,10 +253,9 @@ def rel_q15_top_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        revenue.withColumn("rk", F.rank().over(w))
-        .filter(F.col("rk") == 1)
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -189,3 +189,20 @@ def test_ts_from_epoch_detects_all_units(spark):
     assert got["ms"] == full.replace(microsecond=778000)
     assert got["s"] == full.replace(microsecond=0)
     assert got["null"] is None
+
+
+def test_ts_from_epoch_rejects_out_of_window_values(spark):
+    """Epochs outside the detectable 1973–5138 window must be NULL,
+    not a plausible-but-wrong instant: negatives (pre-1970), zero,
+    and small positives (pre-1973 seconds, ambiguous with ms/us/ns
+    of other eras)."""
+    from lol_data_pipeline_spark.io import ts_from_epoch
+
+    rows = [("neg", -1_704_067_798), ("zero", 0), ("small", 99_999_999),
+            ("edge_ok", 100_000_001)]
+    df = spark.createDataFrame(rows, "unit string, ts long").select(
+        "unit", ts_from_epoch("ts").alias("t")
+    )
+    got = {r.unit: r.t for r in df.collect()}
+    assert got["neg"] is None and got["zero"] is None and got["small"] is None
+    assert got["edge_ok"] is not None  # 1973-03-03, seconds branch

@@ -136,6 +136,44 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert rd.count() == li.filter(F.year("l_shipdate") == 1996).count()
 
 
+def test_global_window_detector_fires(spark):
+    """The audit's GLOBAL_WINDOW detector must fire on a real
+    unpartitioned window plan and stay quiet on partitioned and
+    partition-only windows (the three plan-text shapes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import tools.plan_audit as pa
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    glob = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    part = df.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    part_only = df.withColumn("n", F.count("*").over(Window.partitionBy("g")))
+    assert pa.has_global_window(plan(glob))
+    assert not pa.has_global_window(plan(part))
+    assert not pa.has_global_window(plan(part_only))
+    # WindowGroupLimit (rank-filter pushdown) keeps its partition spec
+    ranked = part.filter(F.col("rn") <= 2)
+    assert "WindowGroupLimit" in plan(ranked)
+    assert not pa.has_global_window(plan(ranked))
+
+
+def test_topk_plans_have_no_global_window(spark, sf_dir):
+    """The r4-verdict scale-killers stay fixed: BM25, n-gram top-k,
+    and Q15 rank WITHOUT an unpartitioned window (TakeOrderedAndProject
+    / scalar-max instead)."""
+    import tools.plan_audit as pa
+
+    for name in ("text_search_bm25", "text_ngram_topk", "rel_q15_top_supplier"):
+        plan = physical_plan(spark, sf_dir, name)
+        assert not pa.has_global_window(plan), name
+        assert "TakeOrderedAndProject" in plan or name == "rel_q15_top_supplier", name
+
+
 def test_plan_audit_clean(spark, sf_dir):
     """The full-registry plan audit (tools/plan_audit.py) must stay
     clean: no unexpected cartesians, wide scans, or row-at-a-time

@@ -12,6 +12,9 @@ Flags raised per query:
 - WIDE_SCAN      a scan reading >12 columns (possible missed pruning)
 - PY_ROW_UDF     row-at-a-time BatchEvalPython in the plan (pandas /
                  Arrow paths show ArrowEvalPython / MapInPandas instead)
+- GLOBAL_WINDOW  an unpartitioned Window node (moves ALL input rows to
+                 one partition — the single-task-sort scale-killer)
+                 outside the bounded-input allowlist
 
 Exit code 1 if any unexpected flag fires — usable as a CI gate.
 """
@@ -38,15 +41,72 @@ CROSS_OK = {
     "dedup_embedding_cosine",
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
-    "text_search_bm25",  # corpus doc-count/avgdl scalar broadcast (1 row)
+    "text_search_bm25",  # scalar broadcast (1 row) + k×k rank derivation
+    "text_ngram_topk",  # global_topk_ranked: k×k broadcast rank (k=20)
     "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
     "graph_pagerank",  # node-count scalar broadcast (1 row)
     "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
     "sketch_quantile_hist",  # 1-row bounds broadcast + 3 quantiles x 64 bins
 }
+# global windows whose input is bounded by construction (state-sized,
+# not data-sized) — the only shapes where a single partition is fine
+GLOBAL_WINDOW_OK = {
+    "sketch_kmv_setops",  # window over k=64 sketch rows
+    "sketch_quantile_hist",  # running sum over 64 fixed bins
+}
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
 SKIP = {name for name in REGISTRY if name.startswith("stream_")}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan line (bracket-depth scan;
+    window exprs contain parens but square brackets never nest in
+    plan text)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def has_global_window(plan: str) -> bool:
+    """True if any Window/WindowGroupLimit node lacks a partition
+    spec (= Spark's 'Moving all data to a single partition' warning).
+
+    Plan-text shapes:
+    - ``Window [exprs], [part], [order]``  → partitioned, ok
+    - ``Window [exprs], [part]``           → partition-only, ok
+    - ``Window [exprs], [order]``          → GLOBAL (order specs are
+      recognizable by ASC/DESC NULLS markers; partition specs are
+      bare attributes)
+    - ``WindowGroupLimit [part], [order], fn, k, mode`` → ok unless
+      the partition group is empty
+    """
+    for line in plan.splitlines():
+        m = re.search(r"\b(Window|WindowGroupLimit) \[", line)
+        if not m:
+            continue
+        groups = _bracket_groups(line[m.start() :])
+        if m.group(1) == "WindowGroupLimit":
+            if not groups or groups[0].strip() == "":
+                return True
+            continue
+        # Window: first group is exprs; inspect the spec groups after
+        specs = groups[1:]
+        if not specs:
+            return True  # no partition, no order — global frame
+        is_order = [bool(re.search(r"(ASC|DESC) NULLS", g)) for g in specs]
+        # partitioned iff some spec group is NOT an order spec
+        if all(is_order):
+            return True
+    return False
 
 
 def audit(spark, sf_dir: str) -> int:
@@ -75,6 +135,8 @@ def audit(spark, sf_dir: str) -> int:
                 break
         if "BatchEvalPython" in plan:
             flags.append("PY_ROW_UDF")
+        if has_global_window(plan) and name not in GLOBAL_WINDOW_OK:
+            flags.append("GLOBAL_WINDOW")
         status = " ".join(flags) if flags else "ok"
         print(f"{name:36s} {status}")
         if flags and flags != ["NO_PUSHDOWN?"]:
