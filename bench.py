@@ -66,10 +66,19 @@ HEADLINE = [
     "corpus_chunk_overlap",
     "text_search_bm25",
     "rel_sessionize_events",
+    # r4 additions — tracked so their cost can't regress silently
+    "graph_triangles",
+    "dedup_fuzzy_names",
+    "rel_funnel_steps",
+    "rel_retention_cohort",
+    "sketch_quantile_hist",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
     "stream_dedup",
+    "stream_user_topk",
+    # r5: cross-batch state under multi-trigger replay
+    "stream_topk_multibatch",
 ]
 
 

@@ -185,6 +185,72 @@ def stream_user_topk(spark, sf_dir):
 
 
 @query(
+    "stream_tumbling_multibatch",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_multibatch(spark, sf_dir):
+    """Tumbling windows over a four-micro-batch time-ordered replay
+    (append mode, sentinel-flushed): windows spanning batch
+    boundaries force window state to persist/restore across
+    triggers, and each window must emit exactly once when the
+    watermark passes it — the oracle is the plain batch aggregate,
+    so lost state, double emission, or early eviction fail here."""
+    return sw.tumbling_counts_multibatch(spark, sf_dir)
+
+
+@query(
+    "stream_topk_multibatch",
+    sql="""
+    SELECT user_id, CAST(rnk AS INTEGER) AS rnk, value, event_id
+    FROM (
+      SELECT user_id, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_multibatch(spark, sf_dir):
+    """Per-user top-3 via applyInPandasWithState over a four-batch
+    replay: GroupState (the running top-k arrays) round-trips the
+    state store between micro-batches; the final per-user snapshot
+    must equal the batch row_number() top-k."""
+    from lol_data_pipeline_spark.streaming.stateful import (
+        running_user_topk_multibatch,
+    )
+
+    return running_user_topk_multibatch(spark, sf_dir, k=3)
+
+
+@query(
+    "stream_join_multibatch",
+    sql="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_join_multibatch(spark, sf_dir):
+    """Stream-stream inner join over a four-batch time-ordered
+    replay: clicks buffer in join state across micro-batches until
+    their purchase arrives; the 1 h watermark dominates the 30 min
+    match window so no legitimate match can be evicted — the batch
+    join oracle fails if cross-batch buffering breaks."""
+    return sw.click_purchase_join_multibatch(spark, sf_dir)
+
+
+@query(
     "stream_late_data_drop",
     sql="""
     SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,

@@ -107,6 +107,68 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     return run_to_completion(out, mode="update")
 
 
+def running_user_topk_multibatch(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Per-user running top-k over a FOUR-micro-batch time-ordered
+    replay — the multi-batch twin of :func:`running_user_topk`.
+
+    This is the entry that actually exercises GroupState round-trips:
+    a user's rows arrive in several micro-batches, so the top-k list
+    must be serialized into the state store at the end of one batch
+    and merged with new rows in the next; a state codec bug, lost
+    update, or wrong merge order changes the final list and fails the
+    batch oracle.
+
+    The memory sink in update mode APPENDS each batch's emitted rows,
+    so per user there is one top-k snapshot per batch the user
+    appeared in; the state carries an update counter and the final
+    filter keeps each user's LAST snapshot (a per-user max — a keyed
+    aggregate, no global window)."""
+    from lol_data_pipeline_spark.streaming.windows import (
+        replay_multibatch,
+        time_slices,
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        vals, ids, upd = state.get if state.exists else ((), (), 0)
+        cur = _topk_merge(list(zip(vals, ids)), pdfs, k)
+        upd += 1
+        state.update(([v for v, _ in cur], [e for _, e in cur], upd))
+        frame = _topk_frame(key[0], cur)
+        frame["upd"] = pd.Series([upd] * len(cur), dtype="int64")
+        yield frame
+
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=TOPK_OUTPUT_DDL + ", upd bigint",
+            stateStructType="vals array<double>, ids array<bigint>, upd bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    res = replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "update", f"topk_mb:{sf_dir}"
+    )
+    import pyspark.sql.functions as F
+
+    last = res.groupBy(F.col("user_id").alias("u")).agg(F.max("upd").alias("last_upd"))
+    return (
+        res.join(
+            last,
+            (res["user_id"] == last["u"]) & (res["upd"] == last["last_upd"]),
+        )
+        .select("user_id", "rnk", "value", "event_id")
+    )
+
+
 def user_topk_values(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-user top-k via ``transformWithStateInPandas`` (Spark 4's
     arbitrary-state API, the successor to applyInPandasWithState): a

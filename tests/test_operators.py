@@ -283,3 +283,40 @@ def test_fuzzy_band_key_bounds_hot_block(spark):
     band_max = keyed.groupBy("noun", "band").count().agg(F.max("count")).first()[0]
     assert noun_max == total  # the skewed baseline
     assert band_max / total < 0.20, band_max
+
+
+def test_salted_exchange_spreads_hot_key(spark):
+    """The skew datapoint behind salted_join/salted_agg, measured:
+    with 95% of rows on ONE key, the plain keyed exchange sends ~95%
+    of the data to a single reducer partition (the straggler that
+    dominates wall-clock at 100 TB); salting the same exchange caps
+    the largest partition at a small multiple of the mean. Numbers
+    recorded in PERF_NOTES.md."""
+    from pyspark.sql import functions as F
+
+    # salt ≫ partitions: with salt == p, several of the hot key's 16
+    # sub-keys hash into one partition (balls-into-bins) and the max
+    # stays ~4× the mean; 64 sub-keys over 16 partitions smooth it
+    n, p, salt = 60_000, 16, 64
+    hot = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+
+    def max_partition_rows(df):
+        sizes = (
+            df.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    plain = max_partition_rows(hot.repartition(p, F.col("k")))
+    salted = max_partition_rows(
+        hot.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        ).repartition(p, F.col("k"), F.col("__salt"))
+    )
+    assert plain >= 0.95 * n  # the straggler is real
+    assert salted < plain / 4  # salting breaks it
+    assert salted < 3 * (n / p)  # and lands near the balanced mean

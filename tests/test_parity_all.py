@@ -3,8 +3,10 @@
 The driver's CORRECTNESS gate samples ~50 of the registry's entries;
 round 3 proved the unsampled remainder can rot silently (5 streaming
 queries returned wrong answers for a full round). This sweep runs
-EVERY oracled entry against DuckDB at sf0.001 so any regression fails
-CI, not just the sampled subset.
+EVERY oracled entry against DuckDB at sf0.01 — the SAME scale factor
+as the driver's gate (the round-3 bug only manifested clearly at
+sf0.01 row counts; sweeping smaller than the gate leaves that gap) —
+so any regression fails CI, not just the sampled subset.
 
 Marked slow; deselect with ``-m 'not slow'`` for a quick iteration
 loop. One parametrized test per entry so a failure names the exact
@@ -12,6 +14,8 @@ query and -x stops at the first.
 """
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import pytest
@@ -22,13 +26,21 @@ from tools.check_parity import compare
 
 ORACLED = sorted(name for name, spec in REGISTRY.items() if spec.sql)
 
+# the driver's gate runs at sf0.01; fall back for environments that
+# only ship the small fixture
+SF_GATE = (
+    "/root/testdata/sf0.01"
+    if os.path.isdir("/root/testdata/sf0.01")
+    else "/root/testdata/sf0.001"
+)
+
 
 @pytest.fixture(scope="module")
-def duck(sf_dir):
+def duck():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF_GATE, t)}'"
         )
     yield con
     con.close()
@@ -36,9 +48,9 @@ def duck(sf_dir):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLED)
-def test_oracle_parity(name, spark, sf_dir, duck):
+def test_oracle_parity(name, spark, duck):
     spec = REGISTRY[name]
-    sdf = spec.fn(spark, sf_dir)
+    sdf = spec.fn(spark, SF_GATE)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     res = duck.execute(spec.sql)

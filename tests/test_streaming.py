@@ -198,3 +198,52 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     written = spark.read.parquet(f"{out}/epoch=*")
     assert written.count() == 400  # no duplicates...
     assert written.select("event_id").distinct().count() == 400  # ...no losses
+
+
+def test_time_slices_are_ordered_and_cover(spark, sf_dir):
+    """The multi-batch stager's slices must be non-empty, disjoint,
+    time-ordered, and cover every row — otherwise the 'multi-batch'
+    replay silently degenerates to fewer real batches."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    parts = sw.time_slices(ev, "ts", 4)
+    total = ev.count()
+    stats = [
+        p.agg(
+            F.count("*").alias("n"), F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        for p in parts
+    ]
+    assert sum(s["n"] for s in stats) == total
+    assert all(s["n"] > 0 for s in stats)
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_multibatch_replay_exercises_cross_batch_state(spark, sf_dir):
+    """The state-store claim, verified on the data: many users (and
+    hour windows) span multiple time slices, so the stateful top-k /
+    tumbling entries really do restore state across micro-batches —
+    if every key sat inside one slice, the multi-batch replay would
+    regress nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = sw.time_slices(ev, "ts", 4)
+    tagged = None
+    for i, p in enumerate(parts):
+        t = p.select("user_id", F.date_trunc("hour", "ts").alias("hw")).withColumn(
+            "slice", F.lit(i)
+        )
+        tagged = t if tagged is None else tagged.unionAll(t)
+    multi_users = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("slice").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .count()
+    )
+    multi_windows = (
+        tagged.groupBy("hw")
+        .agg(F.countDistinct("slice").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .count()
+    )
+    assert multi_users > 0, "no user spans two micro-batches"
+    assert multi_windows > 0, "no hour window spans two micro-batches"
