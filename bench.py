@@ -82,6 +82,23 @@ HEADLINE = [
 ]
 
 
+# the exact query set BENCH_r01 (the baseline of record) measured;
+# "value_baseline_set" totals ONLY these so the baseline comparison
+# stays apples-to-apples while the headline set keeps growing
+BASELINE_SET = {
+    "ref_dedup_distinct", "ref_epoch_ms_to_date", "ref_flatten_struct",
+    "ref_ingest_pipeline", "rel_q1_pricing", "rel_q3_shipping",
+    "rel_q5_local_supplier", "rel_window_topk", "rel_agg_cube",
+    "rel_asof_join", "rel_range_join", "rel_q6_forecast_revenue",
+    "rel_q7_volume_shipping", "rel_q9_product_profit", "rel_q18_large_orders",
+    "text_token_stats", "text_token_bpe", "text_lang_id", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk",
+    "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
+    "mm_extract_features", "stream_tumbling_window", "stream_session_window",
+    "stream_dedup",
+}
+
+
 def _calibrate() -> float:
     """Fixed CPU-bound loop timed as a machine-speed probe. The
     container's host is visibly oversubscribed at times (identical
@@ -121,6 +138,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "value_baseline_set": round(
+                    sum(t for n, t in timings.items() if n in BASELINE_SET), 3
+                ),
+                "n_queries": len(timings),
                 "calib_loop_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1188,11 +1188,16 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
-_SQL_TRIANGLES = """
+_TRI_MIN_CO = 5  # strong-tie threshold: >= this many shared orders
+
+_SQL_TRIANGLES = f"""
 WITH co AS (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  SELECT u, v FROM (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS m
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+  ) WHERE m >= {_TRI_MIN_CO}
 ),
 deg AS (
   SELECT x AS node, count(*) AS d
@@ -1227,16 +1232,28 @@ GROUP BY 1
 
 @query("graph_triangles", sql=_SQL_TRIANGLES)
 def graph_triangles(spark, sf_dir):
-    """Per-node triangle counts over the supplier co-occurrence graph
-    (suppliers sharing an order), via degree-ordered edge orientation:
-    every edge points from its (degree, id)-smaller endpoint, so each
-    triangle is generated by exactly one apex and the closing edge is
-    a pure EQUI-join (the OR-of-orientations a naive formulation
-    needs would degrade to a nested-loop join). At scale the
-    orientation bounds wedge fan-out by the oriented out-degree
-    (O(sqrt(m)) after orientation — the classic bound), and every
-    stage is a hash join/aggregate keyed on vertex ids. This is the
-    standard clustering-coefficient / spam-detection primitive."""
+    """Per-node triangle counts over the STRONG supplier
+    co-occurrence graph (pairs sharing >= _TRI_MIN_CO orders — the
+    standard noise-edge threshold; untresholded, every supplier pair
+    eventually shares SOME order and the graph converges to a clique,
+    where exact triangle counting is Θ(n³) no matter the plan), via
+    degree-ordered edge orientation: every edge points from its
+    (degree, id)-smaller endpoint, so each triangle is generated by
+    exactly one apex and the closing edge is a pure EQUI-join (the
+    OR-of-orientations a naive formulation needs would degrade to a
+    nested-loop join). At scale the orientation bounds wedge fan-out
+    by the oriented out-degree (O(sqrt(m)) after orientation — the
+    classic bound), and every stage is a hash join/aggregate keyed on
+    vertex ids.
+
+    Plan notes: ``oriented`` is persisted — it feeds BOTH wedge sides
+    and the closing-edge probe, and without the persist the whole
+    co-occurrence + degree pipeline runs three times; corners come
+    from ONE explode pass over the triangle set, not a 3-way
+    unionAll of (recomputed) projections. Both fixes were measured
+    off the r5 bench (41.6 s -> see PERF_NOTES.md)."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -1246,8 +1263,10 @@ def graph_triangles(spark, sf_dir):
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= _TRI_MIN_CO)
+        .drop("m")
     )
     deg = (
         co.select(F.col("u").alias("node"))
@@ -1262,10 +1281,12 @@ def graph_triangles(spark, sf_dir):
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    oriented = tracked_persist(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -1284,10 +1305,8 @@ def graph_triangles(spark, sf_dir):
     )
     closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     tri = wedges.join(closing, ["v", "w"])
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select("v"))
-        .unionAll(tri.select("w"))
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 

@@ -1,0 +1,96 @@
+"""Data-skipping layout tests: write_clustered / write_zordered must
+produce parquet row-group statistics a pushed predicate can actually
+skip on. Measured on the real file metadata (pyarrow), not asserted
+from the plan — the stats ARE the mechanism readers skip with."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.functions.zorder import with_zorder_key, write_zordered
+from lol_data_pipeline_spark.io import load_table, write_clustered, write_overwrite
+
+
+def _hit_fraction(path: str, col: str, value) -> float:
+    """Fraction of row groups whose [min, max] for ``col`` contains
+    ``value`` — the row groups a stats-pruning reader must read."""
+    import pyarrow.parquet as pq
+
+    tot = hit = 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        names = [pf.schema_arrow.field(i).name for i in range(len(pf.schema_arrow))]
+        idx = names.index(col)
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            tot += 1
+            if st.min <= value <= st.max:
+                hit += 1
+    assert tot >= 4, f"need several row groups to measure skipping, got {tot}"
+    return hit / tot
+
+
+def test_write_clustered_narrows_row_group_stats(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    probe = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+
+    plain_dir, clus_dir = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    write_overwrite(li.repartition(8), plain_dir)
+    write_clustered(li, clus_dir, ["l_orderkey"], num_files=8)
+
+    plain_hit = _hit_fraction(plain_dir, "l_orderkey", probe)
+    clus_hit = _hit_fraction(clus_dir, "l_orderkey", probe)
+    assert plain_hit == 1.0  # round-robin files: every group spans the range
+    assert clus_hit <= 0.25, (plain_hit, clus_hit)  # near-disjoint ranges
+
+    # layout must not change content
+    want = li.filter(F.col("l_orderkey") == probe).count()
+    got = (
+        spark.read.parquet(clus_dir).filter(F.col("l_orderkey") == probe).count()
+    )
+    assert got == want
+
+
+def test_zorder_skips_on_every_participating_column(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    u_probe = ev.approxQuantile("user_id", [0.5], 0.01)[0]
+    v_probe = round(ev.approxQuantile("value", [0.5], 0.01)[0], 3)
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    write_overwrite(ev.repartition(8), plain_dir)
+    write_zordered(ev, z_dir, ["user_id", "value"], num_files=8)
+
+    for col, probe in (("user_id", u_probe), ("value", v_probe)):
+        plain_hit = _hit_fraction(plain_dir, col, probe)
+        z_hit = _hit_fraction(z_dir, col, probe)
+        assert plain_hit == 1.0, (col, plain_hit)
+        # z-order trades per-column perfection for BOTH columns
+        # getting locality: each point predicate must still skip a
+        # substantial share of row groups
+        assert z_hit <= 0.75, (col, z_hit)
+
+    # content parity after the layout rewrite
+    assert spark.read.parquet(z_dir).count() == ev.count()
+    want = ev.filter(F.col("user_id") == u_probe).count()
+    assert (
+        spark.read.parquet(z_dir).filter(F.col("user_id") == u_probe).count()
+        == want
+    )
+
+
+def test_zorder_key_is_deterministic_and_bounded(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") * 7 % 89).alias("b")
+    )
+    k1 = with_zorder_key(df, ["a", "b"], bits=8)
+    k2 = with_zorder_key(df, ["a", "b"], bits=8)
+    assert k1.select("__zkey").collect() == k2.select("__zkey").collect()
+    mx = k1.agg(F.max("__zkey")).first()[0]
+    assert 0 <= mx < (1 << 16)  # 2 cols x 8 bits
