@@ -66,12 +66,14 @@ HEADLINE = [
     "corpus_chunk_overlap",
     "text_search_bm25",
     "rel_sessionize_events",
-    # r4 additions — tracked so their cost can't regress silently
+    # r4/r5 additions — tracked so their cost can't regress silently
     "graph_triangles",
     "dedup_fuzzy_names",
     "rel_funnel_steps",
     "rel_retention_cohort",
     "sketch_quantile_hist",
+    "text_repetition",
+    "dq_anomaly",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -294,6 +294,66 @@ def dq_expectations(spark, sf_dir):
 
 
 @query(
+    "dq_anomaly",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT dd.event_type, dd.d, dd.n,
+           (dd.n * st.k - st.s) * (dd.n * st.k - st.s) * (st.k - 1)
+             > 4 * st.k * (st.k * st.ss - st.s * st.s) AS is_anomaly
+    FROM daily dd JOIN stats st USING (event_type)
+    """,
+)
+def dq_anomaly(spark, sf_dir):
+    """Volume-anomaly flags: for each (event_type, day), is the
+    event count more than 2 sample standard deviations from that
+    type's daily mean — the monitoring pass that catches a broken
+    producer or a backfill double-write before publishing.
+
+    The |z| > 2 test is evaluated in EXACT integer arithmetic — with
+    k days, S = Σn, SS = Σn²:  (n·k − S)²·(k−1) > 4·k·(k·SS − S²)
+    is z² > 4 with every denominator multiplied out — so both
+    engines compare identical integers and the flag can never flip
+    on float summation order (stddev_samp would drift). Scale shape:
+    one (event_type, day) aggregate (map-side combined), a per-type
+    1-row stats aggregate broadcast back onto it; k-day state per
+    type, never data-sized."""
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = daily.groupBy(F.col("event_type").alias("st_et")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    dev = F.col("n") * F.col("k") - F.col("s")
+    return (
+        daily.join(
+            F.broadcast(stats), F.col("event_type") == F.col("st_et")
+        )
+        .select(
+            "event_type",
+            "d",
+            "n",
+            (
+                dev * dev * (F.col("k") - 1)
+                > 4 * F.col("k") * (F.col("k") * F.col("ss") - F.col("s") * F.col("s"))
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
     "rel_funnel_steps",
     sql="""
     WITH v AS (

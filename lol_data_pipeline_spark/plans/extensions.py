@@ -943,6 +943,92 @@ def text_ngram_topk(spark, sf_dir):
 
 
 # =========================================================================
+# text_repetition — Gopher-style intra-document repetition metrics
+# =========================================================================
+
+
+@query(
+    "text_repetition",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, {_sql_shingles(2)} AS garr FROM tok),
+    base AS (
+      SELECT doc_id,
+             CAST(len(garr) AS BIGINT) AS n_ngrams,
+             CAST(len(list_distinct(garr)) AS BIGINT) AS n_distinct
+      FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(garr) AS gram FROM g),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS maxc FROM cnt GROUP BY 1)
+    SELECT b.doc_id, b.n_ngrams, b.n_distinct,
+           CAST(CASE WHEN b.n_ngrams > 0
+                THEN floor((1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_ngrams) * 10000)
+                ELSE 0 END AS BIGINT) AS dup_frac_x1e4,
+           CAST(CASE WHEN b.n_ngrams > 0
+                THEN floor(CAST(coalesce(t.maxc, 0) AS DOUBLE) / b.n_ngrams * 10000)
+                ELSE 0 END AS BIGINT) AS top_share_x1e4
+    FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition metrics — the Gopher/MassiveText
+    repetition quality filters, per doc over word bigrams: duplicate
+    n-gram fraction (1 − distinct/total) and top-n-gram share
+    (occurrences of the most frequent bigram / total). Fixed-point
+    ×10⁴ floor for cross-engine determinism (same rationale as
+    quality_score).
+
+    Scale shape: ONE shingling projection (tokenize-once barrier);
+    the distinct/total counts are pure array expressions (zero
+    shuffle); the top-bigram share explodes bigrams and aggregates
+    keyed on doc_id twice — both shuffles carry (doc_id, gram)
+    partials shrunk by map-side combine, and the final join is
+    doc_id-keyed. No windows, no UDFs, nothing driver-side."""
+    grams = tx.word_shingle_arrays(
+        widen_(T(spark, sf_dir, "documents")),
+        2,
+        "text",
+        keep=["doc_id"],
+        distinct=False,
+    )
+    base = grams.select(
+        "doc_id",
+        F.size("sh_arr").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("sh_arr")).cast("long").alias("n_distinct"),
+    )
+    top = (
+        grams.select("doc_id", F.explode("sh_arr").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("maxc"))
+    )
+    b = base.alias("b")
+    t = top.alias("t")
+    n = F.col("n_ngrams").cast("double")
+    return b.join(t, F.col("b.doc_id") == F.col("t.doc_id"), "left").select(
+        F.col("b.doc_id").alias("doc_id"),
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor((1.0 - F.col("n_distinct").cast("double") / n) * 10000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_frac_x1e4"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor(F.coalesce(F.col("maxc"), F.lit(0)).cast("double") / n * 10000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_share_x1e4"),
+    )
+
+
+# =========================================================================
 # emb_random_projection — Johnson–Lindenstrauss ±1 dim reduction
 # =========================================================================
 

@@ -247,3 +247,83 @@ def test_multibatch_replay_exercises_cross_batch_state(spark, sf_dir):
     )
     assert multi_users > 0, "no user spans two micro-batches"
     assert multi_windows > 0, "no hour window spans two micro-batches"
+
+
+def test_stateful_checkpoint_recovery_restores_group_state(spark, tmp_path):
+    """Restarting an applyInPandasWithState query from its checkpoint
+    must RESTORE per-key state, not rebuild it from zero: user totals
+    accumulated in the first incarnation keep accumulating in the
+    second, and the final per-user numbers equal the batch aggregate
+    over everything both incarnations saw."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lol_data_pipeline_spark.streaming.stateful import (
+        OUTPUT_DDL,
+        STATE_DDL,
+        _update_totals,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(i):
+        # every file touches EVERY user, so second-incarnation batches
+        # only give the right totals if first-incarnation state survived
+        spark.range(10).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") + 100.0 * i).alias("value"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("user_id").applyInPandasWithState(
+            _update_totals,
+            outputStructType=OUTPUT_DDL,
+            stateStructType=STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(0)
+    add_file(1)
+    run_once()  # incarnation 1: state = totals over files 0-1
+    add_file(2)
+    add_file(3)
+    run_once()  # restart from SAME checkpoint: must resume, not reset
+
+    upd = spark.read.option("basePath", out).parquet(f"{out}/epoch=*")
+    last = upd.groupBy(F.col("user_id").alias("u")).agg(F.max("epoch").alias("e"))
+    final = upd.join(
+        last, (upd["user_id"] == last["u"]) & (upd["epoch"] == last["e"])
+    ).select("user_id", "n_events", "sum_value")
+
+    truth = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in truth.collect()}
+    assert got == want  # state survived the restart
