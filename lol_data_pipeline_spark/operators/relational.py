@@ -34,7 +34,11 @@ def global_topk_ranked(
 
     ``order`` is [(column, descending)]; the LAST column must be a
     unique non-null tiebreaker so the order is total (rank then
-    equals row_number deterministically).
+    equals row_number deterministically). Other order columns MAY be
+    null: comparisons follow Spark's default null ordering (asc =
+    NULLS FIRST, desc = NULLS LAST) via explicit null-aware
+    predicates — an oracle ranking nullable columns must spell the
+    same NULLS FIRST/LAST (engines disagree on the default).
 
     Why not ``row_number() OVER (ORDER BY ...)``: an unpartitioned
     window moves the ENTIRE input to one partition before ranking —
@@ -58,14 +62,20 @@ def global_topk_ranked(
     topk = tracked_persist(df.orderBy(*sort_cols).limit(k))
 
     # "peer sorts strictly ahead" as a lexicographic predicate over
-    # the order columns (peer side renamed __p_*)
+    # the order columns (peer side renamed __p_*). Null-aware so a
+    # NULL in a non-last order column ranks exactly where the sort
+    # put it (desc → NULLS LAST, asc → NULLS FIRST), instead of
+    # vacuously matching no peers and stealing rank 1.
     def ahead(idx: int) -> Column:
         name, desc = order[idx]
         p, r = F.col(f"__p_{name}"), F.col(name)
-        strict = (p > r) if desc else (p < r)
+        if desc:  # NULLS LAST: non-null beats null
+            strict = (p.isNotNull() & r.isNull()) | (p > r)
+        else:  # NULLS FIRST: null beats non-null
+            strict = (p.isNull() & r.isNotNull()) | (p < r)
         if idx + 1 == len(order):
             return strict
-        return strict | ((p == r) & ahead(idx + 1))
+        return strict | (p.eqNullSafe(r) & ahead(idx + 1))
 
     peers = topk.select(
         F.lit(1).alias("__p_one"),

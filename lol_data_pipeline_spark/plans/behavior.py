@@ -321,10 +321,17 @@ def dq_anomaly(spark, sf_dir):
     k days, S = Σn, SS = Σn²:  (n·k − S)²·(k−1) > 4·k·(k·SS − S²)
     is z² > 4 with every denominator multiplied out — so both
     engines compare identical integers and the flag can never flip
-    on float summation order (stddev_samp would drift). Scale shape:
-    one (event_type, day) aggregate (map-side combined), a per-type
-    1-row stats aggregate broadcast back onto it; k-day state per
-    type, never data-sized."""
+    on float summation order (stddev_samp would drift).
+
+    Exactness domain: the multiplied-out terms stay inside int64 for
+    daily counts up to ~2³⁰ per (type, day) at k=366 (k²·Σn² < 2⁶³)
+    — ample for per-type DAILY partitions even at 100 TB overall,
+    since the hot dimension is types × days, not rows. Beyond that,
+    ANSI mode fails loudly (no silent wrap); the remedy at such
+    volumes is coarser counting units (e.g. thousands), not floats.
+    Scale shape: one (event_type, day) aggregate (map-side
+    combined), a per-type 1-row stats aggregate broadcast back onto
+    it; k-day state per type, never data-sized."""
     ev = T(spark, sf_dir, "events")
     daily = (
         ev.select("event_type", F.col("ts").cast("date").alias("d"))

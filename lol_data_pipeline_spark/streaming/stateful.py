@@ -80,6 +80,33 @@ def _topk_frame(user_id, cur: list) -> pd.DataFrame:
     )
 
 
+def _topk_update_fn(k: int, with_counter: bool):
+    """The shared GroupState top-k update closure. State = two
+    parallel arrays of the current top-k, plus (``with_counter``) an
+    update counter so a multi-batch caller can identify each key's
+    LAST emitted snapshot among the memory sink's appended updates.
+    One implementation for both the single-batch and multi-batch
+    entries — merge/tie-break semantics cannot drift apart."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if with_counter:
+            vals, ids, upd = state.get if state.exists else ((), (), 0)
+        else:
+            vals, ids = state.get if state.exists else ((), ())
+        cur = _topk_merge(list(zip(vals, ids)), pdfs, k)
+        new_arrays = ([v for v, _ in cur], [e for _, e in cur])
+        frame = _topk_frame(key[0], cur)
+        if with_counter:
+            upd += 1
+            state.update((*new_arrays, upd))
+            frame["upd"] = pd.Series([upd] * len(cur), dtype="int64")
+        else:
+            state.update(new_arrays)
+        yield frame
+
+    return update
+
+
 def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-user running top-k events by value (applyInPandasWithState,
     GroupState = two parallel arrays of the current top-k).
@@ -89,16 +116,9 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     is unbounded — a groupBy+window can't express "k best so far"
     without retaining everything.
     """
-
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        vals, ids = state.get if state.exists else ((), ())
-        cur = _topk_merge(list(zip(vals, ids)), pdfs, k)
-        state.update(([v for v, _ in cur], [e for _, e in cur]))
-        yield _topk_frame(key[0], cur)
-
     ev = _events_stream(spark, sf_dir)
     out = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+        _topk_update_fn(k, with_counter=False),
         outputStructType=TOPK_OUTPUT_DDL,
         stateStructType="vals array<double>, ids array<bigint>",
         outputMode="update",
@@ -130,15 +150,6 @@ def running_user_topk_multibatch(
         time_slices,
     )
 
-    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        vals, ids, upd = state.get if state.exists else ((), (), 0)
-        cur = _topk_merge(list(zip(vals, ids)), pdfs, k)
-        upd += 1
-        state.update(([v for v, _ in cur], [e for _, e in cur], upd))
-        frame = _topk_frame(key[0], cur)
-        frame["upd"] = pd.Series([upd] * len(cur), dtype="int64")
-        yield frame
-
     from lol_data_pipeline_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -147,7 +158,7 @@ def running_user_topk_multibatch(
 
     def build(stream):
         return stream.groupBy("user_id").applyInPandasWithState(
-            update,
+            _topk_update_fn(k, with_counter=True),
             outputStructType=TOPK_OUTPUT_DDL + ", upd bigint",
             stateStructType="vals array<double>, ids array<bigint>, upd bigint",
             outputMode="update",

@@ -108,7 +108,7 @@ def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(qname)
 
 
-def stage_ordered_batches(spark: SparkSession, parts, key: str) -> str:
+def stage_ordered_batches(parts, key: str) -> str:
     """Write each DataFrame in ``parts`` as ONE parquet file in a
     fresh staging dir, mtime-ordered so the file streaming source
     (``maxFilesPerTrigger=1``) replays them as consecutive
@@ -154,7 +154,7 @@ def replay_multibatch(
     /ordering bugs')."""
     import shutil
 
-    stage = stage_ordered_batches(spark, parts, key)
+    stage = stage_ordered_batches(parts, key)
     try:
         schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
         stream = (
@@ -174,17 +174,28 @@ def time_slices(ev: DataFrame, order_col: str = "ts", n: int = 4) -> list:
     not data-sized state; no global window), and each slice is a
     plain pushable range filter: slice i = [bound_{i−1}, bound_i).
     Rows are therefore globally time-ordered ACROSS slices, so a
-    later-slice micro-batch never carries late data."""
+    later-slice micro-batch never carries late data.
+
+    Coverage guarantees: NULL ``order_col`` rows ride in the FIRST
+    slice (a bare range filter would drop them from every slice and
+    the replay would silently lose rows vs the batch oracle), and
+    duplicate quantile bounds (heavy timestamp skew — >1/n of rows
+    on one second) are collapsed, degrading to FEWER, non-empty
+    slices rather than staging empty micro-batches that fake the
+    batch count."""
     secs = ev.select(F.unix_timestamp(order_col).alias("s"))
     bounds = secs.approxQuantile("s", [i / n for i in range(1, n)], 0.001)
+    bounds = sorted(set(bounds))
     s = F.unix_timestamp(order_col)
     parts = []
-    for i in range(n):
+    for i in range(len(bounds) + 1):
         cond = F.lit(True)
         if i > 0:
             cond = cond & (s >= F.lit(bounds[i - 1]))
-        if i < n - 1:
+        if i < len(bounds):
             cond = cond & (s < F.lit(bounds[i]))
+        if i == 0:
+            cond = cond | s.isNull()  # NULL ts rows land in slice 0
         parts.append(ev.filter(cond))
     return parts
 

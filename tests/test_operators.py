@@ -320,3 +320,20 @@ def test_salted_exchange_spreads_hot_key(spark):
     assert plain >= 0.95 * n  # the straggler is real
     assert salted < plain / 4  # salting breaks it
     assert salted < 3 * (n / p)  # and lands near the balanced mean
+
+
+def test_global_topk_ranked_null_order_column(spark):
+    """Review-pinned: a NULL in a non-last order column must rank
+    where the sort puts it (desc -> NULLS LAST), not vacuously match
+    no peers and steal rank 1."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    rows = [(1, 10.0), (2, None), (3, 30.0), (4, 20.0)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    got = {
+        r["id"]: r["rank"]
+        for r in global_topk_ranked(df, [("score", True), ("id", False)], 4).collect()
+    }
+    assert got == {3: 1, 4: 2, 1: 3, 2: 4}  # NULL score ranks last

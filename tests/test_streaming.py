@@ -327,3 +327,23 @@ def test_stateful_checkpoint_recovery_restores_group_state(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in truth.collect()}
     assert got == want  # state survived the restart
+
+
+def test_time_slices_route_null_ts_and_collapse_dup_bounds(spark):
+    """Review-pinned edge cases: NULL order_col rows must land in the
+    FIRST slice (not vanish from all), and heavy skew (duplicate
+    quantile bounds) must degrade to fewer NON-EMPTY slices."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    # 90% of rows on one second -> quantile bounds collapse
+    rows = [(i, base) for i in range(90)]
+    rows += [(100 + i, base + dt.timedelta(hours=i + 1)) for i in range(10)]
+    rows += [(990, None), (991, None)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    parts = sw.time_slices(ev, "ts", 4)
+    assert sum(p.count() for p in parts) == ev.count()  # full coverage
+    assert all(p.count() > 0 for p in parts)  # no empty staged batch
+    assert parts[0].filter(F.col("ts").isNull()).count() == 2  # NULLs in slice 0

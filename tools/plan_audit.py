@@ -86,19 +86,19 @@ def has_global_window(plan: str) -> bool:
     - ``Window [exprs], [order]``          → GLOBAL (order specs are
       recognizable by ASC/DESC NULLS markers; partition specs are
       bare attributes)
-    - ``WindowGroupLimit [part], [order], fn, k, mode`` → ok unless
-      the partition group is empty
+
+    ``WindowGroupLimit`` nodes are ignored: Spark only inserts the
+    rank-filter pushdown when a partition spec exists (verified on
+    4.1 — an unpartitioned row_number+filter plan carries no
+    WindowGroupLimit at all), and the parent Window node is always
+    present for detection anyway.
     """
     for line in plan.splitlines():
-        m = re.search(r"\b(Window|WindowGroupLimit) \[", line)
+        m = re.search(r"\bWindow \[", line)
         if not m:
             continue
         groups = _bracket_groups(line[m.start() :])
-        if m.group(1) == "WindowGroupLimit":
-            if not groups or groups[0].strip() == "":
-                return True
-            continue
-        # Window: first group is exprs; inspect the spec groups after
+        # first group is exprs; inspect the spec groups after
         specs = groups[1:]
         if not specs:
             return True  # no partition, no order — global frame
