@@ -174,6 +174,63 @@ def write_clustered(
     write_overwrite(clustered, path, partition_by=partition_by)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    preserve_clustering: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet table in place; returns the new
+    file count.
+
+    The small-files problem is the dominant operational failure mode
+    of long-lived streaming/incremental sinks: every micro-batch or
+    upsert appends a few files, and a year later the table has
+    millions of kilobyte files — scan planning (file listing + one
+    task per file) costs more than the I/O. Compaction sizes output
+    files from the table's OWN current bytes (metadata listing, no
+    data pass): ceil(total_bytes / target).
+
+    ``preserve_clustering`` re-sorts by the given columns during the
+    rewrite (repartitionByRange + sortWithinPartitions), so a table
+    laid out by write_clustered keeps its data-skipping stats;
+    without it the rewrite is a plain coalesce-shaped shuffle-free
+    rebalance when shrinking, which preserves existing within-file
+    order.
+
+    The rewrite stages into a sibling directory and swaps via two
+    renames — readers racing the swap see either the old or the new
+    complete table, never a mix. (A lakehouse table format does this
+    transactionally; this is the format-free equivalent for plain
+    parquet directories.)
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    if preserve_clustering:
+        out = df.repartitionByRange(
+            n_files, *preserve_clustering
+        ).sortWithinPartitions(*preserve_clustering)
+    else:
+        out = df.coalesce(n_files)
+    staged = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.parquet(staged)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def load_file(
     spark: SparkSession,
     path: str,

@@ -94,3 +94,40 @@ def test_zorder_key_is_deterministic_and_bounded(spark):
     assert k1.select("__zkey").collect() == k2.select("__zkey").collect()
     mx = k1.agg(F.max("__zkey")).first()[0]
     assert 0 <= mx < (1 << 16)  # 2 cols x 8 bits
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-tiny-files table to the
+    byte-targeted count, preserve content exactly, and keep
+    clustering stats when asked."""
+    import glob as g
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "frag")
+    # simulate an incremental sink: 24 tiny appends
+    for i in range(24):
+        li.filter(F.col("l_orderkey") % 24 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before_files = len(g.glob(f"{path}/*.parquet"))
+    assert before_files >= 24
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    from lol_data_pipeline_spark.io import compact_parquet
+
+    # target sized to force a multi-file result so the clustering
+    # claim below is actually exercised
+    total = sum(
+        os.path.getsize(f) for f in g.glob(f"{path}/*.parquet")
+    )
+    n = compact_parquet(
+        spark, path, target_file_bytes=max(1, total // 6),
+        preserve_clustering=["l_orderkey"],
+    )
+    after_files = len(g.glob(f"{path}/*.parquet"))
+    assert 4 <= after_files <= n < before_files
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    # clustering preserved: point probe touches few row groups
+    probe = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+    assert _hit_fraction(path, "l_orderkey", probe) <= 0.5
