@@ -79,7 +79,10 @@ HEADLINE = [
     "stream_session_window",
     "stream_dedup",
     "stream_user_topk",
-    # r5: cross-batch state under multi-trigger replay
+    # r5: cross-batch state under multi-trigger replay. ONE
+    # representative: all *_multibatch entries share the same
+    # replay_multibatch staging + 5-trigger cost profile (~8-10 s),
+    # and benching each would triple bench wall for no new signal.
     "stream_topk_multibatch",
 ]
 

@@ -206,6 +206,39 @@ def stream_tumbling_multibatch(spark, sf_dir):
 
 
 @query(
+    "stream_session_multibatch",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_multibatch(spark, sf_dir):
+    """Session windows over a four-batch time-ordered replay — the
+    hardest cross-batch state: a session still open at a slice
+    boundary must be EXTENDED by next-batch events (session-window
+    state merge), not emitted early or restarted; append mode emits
+    each session exactly once after the watermark passes its
+    end + gap. Early emission, lost open-session state, or a failed
+    merge all change (session_start, n_events) pairs and fail the
+    batch gaps-and-islands oracle."""
+    return sw.session_windows_multibatch(spark, sf_dir)
+
+
+@query(
     "stream_topk_multibatch",
     sql="""
     SELECT user_id, CAST(rnk AS INTEGER) AS rnk, value, event_id

@@ -375,6 +375,51 @@ def click_purchase_join_multibatch(spark: SparkSession, sf_dir: str) -> DataFram
     return replay_multibatch(spark, parts, build, "append", f"join_mb:{sf_dir}")
 
 
+def session_windows_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows over a four-micro-batch
+    time-ordered replay — the hardest cross-batch state shape:
+    a session OPEN at a slice boundary must be extended (or merged)
+    by next-batch events instead of being emitted early or restarted,
+    and append mode may emit a session only once its end + gap is
+    behind the watermark. The far-future sentinel (tagged user_id −1,
+    filtered from the result) closes every real session; the oracle
+    is the batch gaps-and-islands computation."""
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row scalar
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(mx) + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    parts = time_slices(ev, "ts", 4) + [sentinel]
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    res = replay_multibatch(
+        spark, parts, build, "append", f"session_mb:{sf_dir}"
+    )
+    return res.filter(F.col("user_id") >= 0)
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event_type (epoch-aligned)."""
     ev = _events_stream(spark, sf_dir)
