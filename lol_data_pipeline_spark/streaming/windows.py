@@ -184,8 +184,12 @@ def time_slices(ev: DataFrame, order_col: str = "ts", n: int = 4) -> list:
     slices rather than staging empty micro-batches that fake the
     batch count."""
     secs = ev.select(F.unix_timestamp(order_col).alias("s"))
-    bounds = secs.approxQuantile("s", [i / n for i in range(1, n)], 0.001)
-    bounds = sorted(set(bounds))
+    qs = secs.approxQuantile("s", [0.0] + [i / n for i in range(1, n)], 0.001)
+    # drop duplicate bounds AND bounds at the global minimum — a
+    # bound equal to min(s) leaves nothing strictly below it, which
+    # would stage an empty first batch (all-NULL input → no
+    # quantiles → one slice carrying everything)
+    bounds = sorted({b for b in qs[1:] if b > qs[0]}) if qs else []
     s = F.unix_timestamp(order_col)
     parts = []
     for i in range(len(bounds) + 1):

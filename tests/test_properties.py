@@ -210,3 +210,90 @@ def test_topk_merge_equals_global_topk(values, k, split):
             state = _topk_merge(state, iter([pdf]), k)
     want = sorted(values, key=lambda t: (-t[0], t[1]))[:k]
     assert state == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.integers(0, 10**6),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 6),
+    desc=st.booleans(),
+)
+def test_global_topk_ranked_matches_row_number(spark, rows, k, desc):
+    """global_topk_ranked (TakeOrderedAndProject + k×k rank join)
+    must equal the window row_number() formulation for ANY input —
+    including NULL order values — under Spark's default null
+    ordering. This is the equivalence the BM25/ngram refactor rests
+    on."""
+    from pyspark.sql import Window
+
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    uniq = {}
+    for v, e in rows:
+        uniq.setdefault(e, v)
+    data = [(v, e) for e, v in uniq.items()]
+    df = spark.createDataFrame(data, "score int, id long")
+    got = sorted(
+        (
+            tuple(r)
+            for r in global_topk_ranked(
+                df, [("score", desc), ("id", False)], k
+            ).collect()
+        ),
+        key=lambda t: t[-1],  # by rank; tuples may contain None
+    )
+    order = [
+        F.col("score").desc() if desc else F.col("score").asc(),
+        F.col("id").asc(),
+    ]
+    w = Window.orderBy(*order)
+    want = sorted(
+        (
+            tuple(r)
+            for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .collect()
+        ),
+        key=lambda t: t[-1],
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    secs=st.lists(
+        st.one_of(st.none(), st.integers(1_500_000_000, 1_700_000_000)),
+        min_size=1,
+        max_size=30,
+    ),
+    n=st.integers(2, 5),
+)
+def test_time_slices_partition_any_input(spark, secs, n):
+    """time_slices must produce a PARTITION of any input (full
+    coverage, no duplication, no empties) with slices time-ordered —
+    including NULL timestamps and arbitrarily skewed distributions."""
+    from lol_data_pipeline_spark.streaming.windows import time_slices
+
+    rows = [
+        (i, dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None) if s is not None else None)
+        for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    parts = time_slices(df, "ts", n)
+    ids = [sorted(r.event_id for r in p.collect()) for p in parts]
+    flat = sorted(x for chunk in ids for x in chunk)
+    assert flat == list(range(len(secs)))  # partition: cover + no dup
+    assert all(chunk for chunk in ids)  # no empty staged batch
+    non_null = [
+        [r.ts for r in p.collect() if r.ts is not None] for p in parts
+    ]
+    for a, b in zip(non_null, non_null[1:]):
+        if a and b:
+            assert max(a) <= min(b)  # time-ordered across slices
