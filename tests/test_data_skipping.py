@@ -131,3 +131,53 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     # clustering preserved: point probe touches few row groups
     probe = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
     assert _hit_fraction(path, "l_orderkey", probe) <= 0.5
+
+
+def test_ann_index_at_rest_prunes_partitions(spark, sf_dir, tmp_path):
+    """The production ANN path: persist IVF cell assignments
+    partitioned BY CELL, so probing a query's cell is a partition-
+    pruned scan (only that cell's files are listed/opened) — the
+    at-rest counterpart of ivf_topk's in-flight cell filter. Verifies
+    (a) the probe plan carries a PartitionFilter, (b) pruned-probe
+    results equal the unpruned filter, (c) top-k over the pruned
+    probe matches ivf_topk's answer for that query."""
+    import re
+
+    from lol_data_pipeline_spark.operators.similarity import (
+        assign_ivf_cells,
+        cosine,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    cells = assign_ivf_cells(emb, centroids)
+    idx = str(tmp_path / "ivf_index")
+    write_overwrite(cells, idx, partition_by=["cell_id"])
+
+    at_rest = spark.read.parquet(idx)
+    q = cells.filter(F.col("vec_id") == 10).first()  # a query + its cell
+    probe = at_rest.filter(F.col("cell_id") == q["cell_id"])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id", plan)
+
+    assert probe.count() == cells.filter(F.col("cell_id") == q["cell_id"]).count()
+
+    topk = (
+        probe.filter(F.col("vec_id") != 10)
+        .select(
+            F.col("vec_id").alias("match_id"),
+            F.round(cosine(F.lit(q["embedding"]).cast("array<double>"), F.col("embedding")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("match_id").asc())
+        .limit(5)
+    )
+    got = [(r["match_id"], r["sim"]) for r in topk.collect()]
+    want = [
+        (r["match_id"], r["sim"])
+        for r in ivf_topk(emb, n_centroids=8, k=5, n_queries=20)
+        .filter(F.col("query_id") == 10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
