@@ -979,12 +979,13 @@ def text_repetition(spark, sf_dir):
     ×10⁴ floor for cross-engine determinism (same rationale as
     quality_score).
 
-    Scale shape: ONE shingling projection (tokenize-once barrier);
-    the distinct/total counts are pure array expressions (zero
-    shuffle); the top-bigram share explodes bigrams and aggregates
-    keyed on doc_id twice — both shuffles carry (doc_id, gram)
-    partials shrunk by map-side combine, and the final join is
-    doc_id-keyed. No windows, no UDFs, nothing driver-side."""
+    Scale shape: ONE shingling pass (tokenize-once barrier) feeding
+    ONE explode_outer (keeps zero-bigram docs), then two stacked
+    doc_id-keyed aggregates — (doc_id, gram) counts, then per-doc
+    total/distinct/max derived from those counts in the same
+    pipeline. Both shuffles carry map-side-combined partials; no
+    second shingling branch, no join, no windows, no UDFs, nothing
+    driver-side."""
     grams = tx.word_shingle_arrays(
         widen_(T(spark, sf_dir, "documents")),
         2,
@@ -992,23 +993,20 @@ def text_repetition(spark, sf_dir):
         keep=["doc_id"],
         distinct=False,
     )
-    base = grams.select(
-        "doc_id",
-        F.size("sh_arr").cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct("sh_arr")).cast("long").alias("n_distinct"),
-    )
-    top = (
-        grams.select("doc_id", F.explode("sh_arr").alias("gram"))
+    cnt = (
+        grams.select("doc_id", F.explode_outer("sh_arr").alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("maxc"))
     )
-    b = base.alias("b")
-    t = top.alias("t")
+    real = F.col("gram").isNotNull()
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(real, F.col("c")).otherwise(0)).cast("long").alias("n_ngrams"),
+        F.sum(F.when(real, 1).otherwise(0)).cast("long").alias("n_distinct"),
+        F.max(F.when(real, F.col("c"))).alias("maxc"),
+    )
     n = F.col("n_ngrams").cast("double")
-    return b.join(t, F.col("b.doc_id") == F.col("t.doc_id"), "left").select(
-        F.col("b.doc_id").alias("doc_id"),
+    return per_doc.select(
+        "doc_id",
         "n_ngrams",
         "n_distinct",
         F.when(
