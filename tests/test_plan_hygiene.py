@@ -251,3 +251,31 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a FILTERED dim on the partition
+    column must inject a runtime DPP filter into the fact scan
+    (dynamicpruning / SubqueryBroadcast) — at 100 TB this is the
+    difference between scanning every date partition and only the
+    ones the dim filter selects. Results must equal the static
+    filter."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table, write_overwrite
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "li_dpp")
+    write_overwrite(li, out, partition_by=["ship_year"])
+    fact = spark.read.parquet(out)
+    years = [r["ship_year"] for r in fact.select("ship_year").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, "target" if y == max(years) else "other") for y in years],
+        "y int, tag string",
+    )
+    j = fact.join(dim, fact.ship_year == dim.y).filter(F.col("tag") == "target")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "SubqueryBroadcast" in plan, plan[:1500]
+    assert j.count() == fact.filter(F.col("ship_year") == max(years)).count()
