@@ -213,6 +213,71 @@ def lsh_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    n_planes: int = 6,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN graph over the whole corpus: every vector's top-k
+    neighbours among vectors sharing its LSH code.
+
+    The graph-construction twin of :func:`lsh_topk` — there the
+    query set is small and broadcasts; here EVERY node is a query,
+    so the candidate generation must be a bucket SELF-JOIN: vectors
+    are shuffled once by their ``n_planes``-bit hyperplane code and
+    pairs form only within a bucket (Σ bucket² work, never N²).
+    Edges rank per-source with a keyed window (partitioned by
+    ``src_id`` — never a global sort).
+
+    Scale: one shuffle by code for the self-join, one by src for the
+    top-k window. Bucket skew is the same lever as the dedup family:
+    more planes → smaller buckets (recall drops; production would
+    OR several band codes). The k-NN graph is the input to
+    graph-based near-dup clustering (`dedup_components`) and to
+    k-NN-graph ANN indexes built offline.
+    """
+    planes = corpus.filter(F.col(id_col) < n_planes).select(
+        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
+    )
+    wc = widen(corpus)
+    codes = (
+        wc.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(dot(F.col(vec_col), F.col("pvec")), 6) >= 0,
+                    F.pow(F.lit(2.0), F.col("plane_id")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("code")
+        )
+    )
+    coded = wc.join(codes, id_col)
+    left = coded.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"), "code"
+    )
+    right = coded.select(
+        F.col(id_col).alias("dst_id"), F.col(vec_col).alias("dvec"), F.col("code").alias("dcode")
+    )
+    scored = left.join(
+        right,
+        (F.col("code") == F.col("dcode")) & (F.col("src_id") != F.col("dst_id")),
+    ).select(
+        "src_id",
+        "dst_id",
+        F.round(cosine(F.col("svec"), F.col("dvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("dst_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "sim", "rank")
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

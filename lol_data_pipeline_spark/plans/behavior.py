@@ -455,3 +455,127 @@ def rel_retention_cohort(spark, sf_dir):
     return offs.groupBy("cohort_date", "day_offset").agg(
         F.count_distinct("user_id").cast("long").alias("n_users")
     )
+
+
+@query(
+    "rel_gap_fill_locf",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+    ), spine AS (
+      SELECT t.event_type, g.h AS hour_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g
+    )
+    SELECT s.event_type, s.hour_ts,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           h.avg_value,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+    FROM spine s LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour_ts = s.hour_ts
+    """,
+)
+def rel_gap_fill_locf(spark, sf_dir):
+    """Time-series gap filling + last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill` / `locf` pattern: a dense
+    hourly spine per event_type (generated, not stored), left-joined
+    to the hourly aggregate, missing hours filled with the latest
+    preceding observation.
+
+    Plan shape: the fact table collapses to hourly grain FIRST (one
+    partial-agg shuffle on (type, hour)); the spine is
+    sequence+explode over a 1-row broadcast min/max scalar — its
+    cardinality is |types| × calendar-hours, bounded by wall-clock
+    time, not by data volume, so at 100 TB the join's build side is
+    still tiny and the LOCF window runs over spine rows only. The
+    window partitions by event_type: fine while each type's hour
+    count (years ≈ 10⁴–10⁵ rows) fits a partition — for a
+    multi-decade spine you'd segment the window by (type, year) and
+    carry the year-boundary value forward with a second tiny join.
+    avg_value is rounded BEFORE the LOCF fill so both engines carry
+    bit-identical values through the window."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts"), "value"
+    )
+    hourly = ev.groupBy("event_type", "hour_ts").agg(
+        F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min(F.col("hour_ts"))).alias("lo"),
+        F.date_trunc("hour", F.max(F.col("hour_ts"))).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
+@query(
+    "stat_corr_matrix",
+    sql="""
+    WITH s AS (
+      SELECT round(corr(l_quantity, l_extendedprice), 4) AS c_qty_price,
+             round(corr(l_quantity, l_discount), 4) AS c_qty_disc,
+             round(corr(l_quantity, l_tax), 4) AS c_qty_tax,
+             round(corr(l_extendedprice, l_discount), 4) AS c_price_disc,
+             round(corr(l_extendedprice, l_tax), 4) AS c_price_tax,
+             round(corr(l_discount, l_tax), 4) AS c_disc_tax
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c_qty_price AS corr FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', c_qty_disc FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', c_qty_tax FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c_price_disc FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c_price_tax FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', c_disc_tax FROM s
+    """,
+)
+def stat_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures — the feature-correlation profiling pass. ALL six
+    coefficients come out of ONE aggregate over ONE scan (each
+    F.corr keeps a 6-double co-moment state; partials merge
+    associatively), then the 1-row result is unpivoted driver-free
+    with a stack() generator into tidy (col_a, col_b, corr) rows.
+    Never N scans, never a driver loop over column pairs; at 100 TB
+    this is one pass regardless of how many pairs are requested
+    (state is O(pairs), not O(data)). Rounded to 4 dp so partial-
+    merge float ordering can't flip the last digit vs the oracle."""
+    li = T(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    one = li.agg(
+        *[F.round(F.corr(a, b), 4).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs))
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

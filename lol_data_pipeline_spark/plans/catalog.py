@@ -289,3 +289,47 @@ def rel_array_agg_catalog(spark, sf_dir):
             2,
         ).alias("bal_sum"),
     )
+
+
+@query(
+    "rel_unpivot",
+    sql="""
+    WITH m AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(val), 2) AS sum_val,
+           round(min(val), 2) AS min_val,
+           round(max(val), 2) AS max_val
+    FROM m GROUP BY 1
+    """,
+)
+def rel_unpivot(spark, sf_dir):
+    """Wide→long reshaping (melt): the four lineitem measures
+    unpivoted into (measure, val) rows, then profiled per measure —
+    the canonical "stats over every column" pass a profiler runs.
+
+    `DataFrame.unpivot` plans an Expand (a generator: each input row
+    emits one output row per measure inside the SAME task) — no
+    shuffle, no per-measure re-scan; the table is read ONCE even
+    though the SQL oracle reads it four times. The follow-up
+    aggregate has only 4 groups — pathological key cardinality — but
+    partial aggregation collapses each partition to ≤4 rows before
+    the exchange, so the 4-row reducer side receives ~4×partitions
+    rows, not the data. (Same argument as `rel_agg_salted`; with a
+    measure-count this low the salt is unnecessary.)"""
+    li = T(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=[], values=measures, variableColumnName="measure", valueColumnName="val"
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.round(F.min("val"), 2).alias("min_val"),
+        F.round(F.max("val"), 2).alias("max_val"),
+    )

@@ -475,3 +475,74 @@ def corpus_chunk_overlap(spark, sf_dir):
         F.size("chunk").cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", "chunk").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: weighted multi-source blending with epoch
+# upsampling — the "data mixture" step that turns per-source weights
+# (web 0.25×, books 2.5×, …) into an actual training stream.
+# ---------------------------------------------------------------------------
+
+# weight in HUNDREDTHS per source (default 100 = 1.0×): ≥100 →
+# floor(w)ₓ full copies plus a hash-sampled fractional epoch; <100 →
+# plain downsample. Integer hundredths keep the keep-threshold exact.
+_MIX_WH = {"src0": 250, "src1": 200, "src2": 60, "src3": 25}
+
+
+def _sql_mix_wh() -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WH.items())
+    return f"CASE source {whens} ELSE 100 END"
+
+
+@query(
+    "corpus_mixture_sample",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             {_sql_mix_wh()} AS wh,
+             {SQL_MD5_LONG.format(expr="concat('mix:', CAST(doc_id AS VARCHAR))")} % 100 AS h
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source,
+             (wh // 100) + CASE WHEN h < wh % 100 THEN 1 ELSE 0 END AS total
+      FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(0, total - 1)) AS BIGINT) AS epoch
+    FROM n WHERE total > 0
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Weighted source mixing with epoch upsampling: each source gets
+    a mixture weight w (hundredths); a document yields floor(w) full
+    copies tagged epoch=0..floor(w)−1 plus one more iff a
+    deterministic hash of its id lands under frac(w) — so a 2.5×
+    source emits every doc twice and half the docs a third time,
+    while a 0.25× source keeps a quarter. The keep decision is a
+    pure id hash (like `corpus_sample_stratified`): the SAME stream
+    comes out on any cluster size or partitioning, which is what
+    makes the mixture reproducible run-to-run.
+
+    Plan: per-row CASE + hash + a bounded `sequence` generator
+    (≤⌈max w⌉ copies) — no shuffle, no sampleBy, runs at scan speed;
+    upsampling materializes at the scan rather than via repeated
+    source reads. At 100 TB the output size is Σ wᵢ·|sourceᵢ| by
+    construction and each copy carries its epoch tag for the
+    downstream pack/shuffle stage."""
+    d = T(spark, sf_dir, "documents")
+    wh = F.lit(100)
+    for s, w in _MIX_WH.items():
+        wh = F.when(F.col("source") == s, F.lit(w)).otherwise(wh)
+    h = F.pmod(
+        md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    total = (wh / 100).cast("int") + F.when(h < wh % 100, 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", total.alias("total"))
+        .filter(F.col("total") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("total") - 1)).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )

@@ -1466,3 +1466,134 @@ def dedup_fuzzy_names(spark, sf_dir):
     the Spark plan carries the de-skewed key."""
     names = T(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
     return fuzzy_name_pairs(names, max_dist=3)
+
+
+# =========================================================================
+# dedup_substring — shared-window substring dedup (Lee et al. 2022 shape)
+# =========================================================================
+
+_SUB_N = 8  # window width in tokens
+
+
+@query(
+    "dedup_substring",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(0, len(t) - {_SUB_N - 1})),
+               i -> array_to_string(list_slice(t, i, i + {_SUB_N - 1}), ' '))) AS s
+      FROM tok
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_id,
+             {SQL_MD5_LONG.format(expr='w')} AS h
+      FROM (SELECT doc_id, unnest(s) AS w FROM sh)
+    ),
+    base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM pairs GROUP BY 1),
+    dup AS (SELECT h FROM pairs GROUP BY h HAVING count(*) >= 2),
+    cnt AS (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM pairs p JOIN dup USING (h) GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_windows,
+           CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(coalesce(c.n_dup, 0) * 1.0 / b.n_windows, 4) AS dup_ratio
+    FROM base b LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Substring-level dedup signal (the "Deduplicating Training Data
+    Makes Language Models Better" granularity): for every document,
+    the fraction of its distinct 8-token windows that also occur in
+    at least one OTHER document. Doc-level near-dup (minhash/simhash)
+    misses a copied paragraph inside an otherwise-unique page; this
+    posting-list plan catches exactly that.
+
+    Plan shape — posting lists, never pair generation:
+    shingle (one pass, array-sliced lambda over a materialized token
+    array) → distinct (doc, window-hash) pairs → [1] per-doc window
+    counts, [2] hashes seen in ≥2 docs (count over the DISTINCT
+    pairs = distinct-doc count, no count_distinct needed), [3] join
+    back on hash and count per doc. Cost is linear in total windows
+    plus the size of the duplicated-posting join — a hot boilerplate
+    window fans out to its |docs| rows, bounded by the pairs table
+    itself, never quadratic. The wide token/shingle arrays are
+    dropped before the first shuffle: only (doc_id, h) longs move.
+
+    At 100 TB the same plan holds: the groupBy(h) is a partial-agg
+    count on 16-byte rows and AQE splits any residual hot-hash
+    partition. Reference has no text surface — north-star (SURVEY §7
+    M3); the cross-doc window-hash index is also how the suffix-array
+    variant's candidate stage is approximated in one shuffle.
+    """
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    docs = T(spark, sf_dir, "documents")
+    sh = tx.word_shingle_arrays(docs, n=_SUB_N, keep=["doc_id"], out_col="s")
+    pairs = (
+        sh.select("doc_id", F.explode("s").alias("w"))
+        .select("doc_id", md5_long("w").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    pairs = tracked_persist(pairs)  # feeds base, dup AND the join-back
+    base = pairs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
+    dup = pairs.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2).select("h")
+    cnt = (
+        pairs.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup"))
+    )
+    return base.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)) * F.lit(1.0) / F.col("n_windows"), 4
+        ).alias("dup_ratio"),
+    )
+
+
+# =========================================================================
+# emb_knn_graph — LSH-bucketed k-NN graph over the whole corpus
+# =========================================================================
+
+
+@query(
+    "emb_knn_graph",
+    sql=f"""
+    WITH planes AS (SELECT vec_id AS plane_id, embedding AS pvec FROM embeddings WHERE vec_id < 6),
+    codes AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pvec AS DOUBLE[])), 6) >= 0
+                      THEN CAST(power(2, p.plane_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS code
+      FROM embeddings e CROSS JOIN planes p GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             {SQL_COS.format(a='ea.embedding', b='eb.embedding')} AS sim
+      FROM codes a JOIN codes b ON a.code = b.code AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ), ranked AS (
+      SELECT src_id, dst_id, sim,
+             CAST(row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_knn_graph(spark, sf_dir):
+    """k-NN graph construction: every vector's top-3 cosine
+    neighbours among vectors sharing its 6-bit LSH code — the
+    all-nodes-are-queries twin of `ann_lsh_topk`, built as a bucket
+    SELF-join (Σ bucket², never N²) because the "query" side is the
+    whole corpus and cannot broadcast. The oracle models the same
+    buckets, so parity is exact. The resulting edge list is the
+    input to graph-based dedup clustering and offline k-NN-graph ANN
+    indexes."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.knn_graph(emb, n_planes=6, k=3)

@@ -47,6 +47,8 @@ CROSS_OK = {
     "graph_pagerank",  # node-count scalar broadcast (1 row)
     "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
     "sketch_quantile_hist",  # 1-row bounds broadcast + 3 quantiles x 64 bins
+    "emb_knn_graph",  # LSH plane assignment: n_planes-row broadcast cross join
+    "rel_gap_fill_locf",  # spine = types x 1-row min/max bounds broadcast
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
