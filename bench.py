@@ -74,6 +74,12 @@ HEADLINE = [
     "sketch_quantile_hist",
     "text_repetition",
     "dq_anomaly",
+    "dedup_substring",
+    "emb_knn_graph",
+    "rel_gap_fill_locf",
+    "corpus_mixture_sample",
+    "stat_corr_matrix",
+    "rel_unpivot",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

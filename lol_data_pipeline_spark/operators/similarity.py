@@ -255,7 +255,11 @@ def knn_graph(
             ).alias("code")
         )
     )
-    coded = wc.join(codes, id_col)
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    # Persist the coded corpus: it feeds BOTH sides of the self-join —
+    # without it the plane-assignment cross join + groupBy runs twice.
+    coded = tracked_persist(wc.join(codes, id_col))
     left = coded.select(
         F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"), "code"
     )

@@ -279,3 +279,57 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "SubqueryBroadcast" in plan, plan[:1500]
     assert j.count() == fact.filter(F.col("ship_year") == max(years)).count()
+
+
+def test_knn_graph_self_join_is_equi_not_cartesian(spark, sf_dir):
+    """emb_knn_graph sits in the audit's CROSS_OK allowlist for its
+    n_planes-row broadcast plane assignment — which would also mask
+    a regression where the BUCKET SELF-JOIN (the data-sized join)
+    degenerated into a nested loop. Pin it separately: the code
+    self-join planned as an EQUI-join keyed on the code columns, the
+    coded corpus persisted (so the plane cross join runs once even
+    though it renders under both InMemoryTableScan references), and
+    the top-k window partitioned (src_id), never global."""
+    plan = physical_plan(spark, sf_dir, "emb_knn_graph")
+    import re
+
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[code#\d+L?\], \[dcode#\d+L?\]",
+        plan,
+    ), "bucket self-join must be an equi-join on the LSH code"
+    assert plan.count("InMemoryTableScan") >= 2, "coded corpus must be persisted"
+    import tools.plan_audit as pa
+
+    assert not pa.has_global_window(plan)
+
+
+def test_gap_fill_spine_join_is_equi_not_cartesian(spark, sf_dir):
+    """Same masking concern for rel_gap_fill_locf: the 1-row bounds
+    broadcast is the only nested loop; the spine↔hourly left join is
+    an equi-join and the LOCF window is keyed by event_type."""
+    plan = physical_plan(spark, sf_dir, "rel_gap_fill_locf")
+    nlj = plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")
+    assert nlj == 1, f"expected only the bounds cross join, got {nlj}"
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), "spine join must be an equi-join"
+    import tools.plan_audit as pa
+
+    assert not pa.has_global_window(plan)
+
+
+def test_substring_dedup_projects_arrays_before_shuffle(spark, sf_dir):
+    """dedup_substring's shuffles must carry only (doc_id, h) longs —
+    the token/shingle arrays are projected away before the first
+    exchange. A regression that shuffles the arrays multiplies
+    shuffle bytes by average document size."""
+    plan = physical_plan(spark, sf_dir, "dedup_substring")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "_ws_toks" not in keys and " s#" not in keys, keys
+    # no exchange's output should include the shingle array column
+    assert "CartesianProduct" not in plan
