@@ -120,12 +120,14 @@ def ngram_jaccard_pairs(
 
 
 def _doc_shingle_arrays(
-    docs: DataFrame, n: int, text_col: str, id_col: str
+    docs: DataFrame, n: int, text_col: str, id_col: str, extra: Column | None = None
 ) -> DataFrame:
-    """(id, sh_arr, n_sh): distinct shingles per doc as a per-row
-    array — the narrow (shuffle-free) form of the inverted index.
-    Docs with zero shingles are dropped, matching the explode-based
-    form where they simply produce no rows."""
+    """(id, sh_arr, n_sh[, extra]): distinct shingles per doc as a
+    per-row array — the narrow (shuffle-free) form of the inverted
+    index. Docs with zero shingles are dropped, matching the
+    explode-based form where they simply produce no rows. ``extra``
+    is an optional aliased Column over ``docs`` carried alongside
+    (e.g. a new-vs-index batch flag)."""
     from lol_data_pipeline_spark.functions.text import tokens
 
     # The ≥n-token prefilter is the CHEAP (O(words), codegen'd)
@@ -133,10 +135,14 @@ def _doc_shingle_arrays(
     # would be substituted through the projection barrier by
     # predicate pushdown, re-running the O(words²) shingle transform
     # at the scan.
+    if extra is not None:
+        docs = docs.select("*", extra)
+        extra_name = docs.columns[-1]
     narrow = widen(docs).filter(F.size(tokens(text_col)) >= n)
+    keep = [id_col] + ([extra_name] if extra is not None else [])
     return (
-        word_shingle_arrays(narrow, n, text_col, keep=[id_col])
-        .select(F.col(id_col).alias("id"), "sh_arr")
+        word_shingle_arrays(narrow, n, text_col, keep=keep)
+        .withColumnRenamed(id_col, "id")
         .withColumn("n_sh", F.size("sh_arr"))
     )
 
@@ -284,6 +290,102 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_probe(
+    docs: DataFrame,
+    is_new: Column,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: probe NEW documents against the EXISTING
+    corpus's LSH index — the daily-ingest shape of
+    :func:`minhash_lsh_pairs`, where the corpus grows batch by batch
+    and re-pairing the whole history every day would be quadratic in
+    days. ``is_new`` is a boolean Column over ``docs`` marking the
+    incoming batch; pairs are (new doc, existing doc) only —
+    new↔new pairs are the ordinary within-batch LSH job and
+    existing↔existing pairs were found when THOSE batches arrived.
+
+    The asymmetry is the scale story: in production the existing
+    side's (band, bkey) buckets and shingle arrays are AT REST
+    (written bucketed by bkey when each batch was ingested — the
+    same layout trick as the at-rest IVF index), so a daily run
+    shingles/signs ONLY the new batch and its bucket join prunes to
+    matching index partitions. Here both sides derive from one scan
+    + shared persisted shingle/signature tables (the testdata is one
+    table), so the candidate-generation and verify logic — what the
+    oracle checks — is identical to the at-rest deployment while
+    costing one pass.
+    """
+    assert k % bands == 0
+    r = k // bands
+    base = tracked_persist(
+        _doc_shingle_arrays(docs, n, text_col, id_col, extra=is_new.alias("is_new"))
+    )
+    sh = base.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
+    sigs = tracked_persist(
+        sh.groupBy("id").agg(*_minhash_agg_cols(k)).join(
+            base.select("id", "is_new"), "id"
+        )
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(f"cast(h{b * r + j} as string)" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    buckets = sigs.select(
+        "id", "is_new", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("id", "is_new", "bk.band", "bk.bkey")
+    new_side = buckets.filter(F.col("is_new")).drop("is_new")
+    idx_side = buckets.filter(~F.col("is_new")).drop("is_new")
+    a = new_side.alias("a")
+    b2 = idx_side.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_index"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            base.select(
+                F.col("id").alias("id_new"),
+                F.col("sh_arr").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_new",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_index"),
+                F.col("sh_arr").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_index",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_new", "id_index", "jaccard")
     )
 
 

@@ -579,3 +579,58 @@ def stat_corr_matrix(spark, sf_dir):
     return one.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+@query(
+    "stat_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def stat_mad_outliers(spark, sf_dir):
+    """Robust outlier profiling: per-type median / median-absolute-
+    deviation and the count of |x − med| > 3·MAD rows — the
+    heavy-tail-safe complement of `stat_outliers_zscore` (one wild
+    value inflates μ/σ and hides itself; the median/MAD pair is
+    50%-breakdown robust).
+
+    Exact medians buffer each group's values in the aggregate — the
+    honest cost of EXACT order statistics, bounded here by per-type
+    event volume. This is the oracle-checkable shape; at 100 TB the
+    same report runs on `sketch_quantile_hist`'s mergeable fixed-bin
+    histogram (O(bins) state, rank-error ≤ bin width) — the sketch
+    IS this query's scale path, the exact form is its ground truth.
+    Both percentile passes reuse the same per-type partitioning; the
+    tiny med/mad tables broadcast back onto the fact scan, which is
+    read twice (med pass, then dev/flag pass) and shuffled never."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("int")).cast("long").alias("n_outliers"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

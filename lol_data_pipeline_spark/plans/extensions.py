@@ -1597,3 +1597,192 @@ def emb_knn_graph(spark, sf_dir):
     indexes."""
     emb = T(spark, sf_dir, "embeddings")
     return sim.knn_graph(emb, n_planes=6, k=3)
+
+
+# =========================================================================
+# dedup_incremental_minhash — daily-batch probe against the at-rest index
+# =========================================================================
+
+
+@query(
+    "dedup_incremental_minhash",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct({_sql_shingles(3)})) AS s FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_index, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id_new AS BIGINT) AS id_new, CAST(id_index AS BIGINT) AS id_index,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_new
+    JOIN sizes sb ON sb.doc_id = id_index
+    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental dedup: the 20% of docs with doc_id % 5 = 0 play
+    the incoming daily batch, probed against the other 80% as the
+    existing corpus index — (new, existing) near-dup pairs only, via
+    `dd.minhash_lsh_probe` (banded LSH candidates, exact-Jaccard
+    verify). The oracle is the exact asymmetric all-pairs answer;
+    LSH recall at s≥0.8 with k=16/8 bands is ≥0.9997 and every pair
+    is verified, so outputs coincide (same argument as
+    `dedup_minhash_lsh`, recall-tested on the fixture). At scale the
+    index side's buckets live AT REST bucketed by band key, so the
+    daily run signs only the batch — see the operator docstring."""
+    return dd.minhash_lsh_probe(
+        T(spark, sf_dir, "documents"),
+        is_new=(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        k=16,
+        bands=8,
+        n=3,
+        threshold=0.8,
+    )
+
+
+# =========================================================================
+# text_tfidf_topterms — per-document characteristic terms
+# =========================================================================
+
+
+@query(
+    "text_tfidf_topterms",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT f.doc_id, f.term, f.tf,
+             round(f.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0)), 6) AS score
+      FROM tf f JOIN dfreq d USING (term) CROSS JOIN nd
+    ), ranked AS (
+      SELECT doc_id, term, tf, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Each document's 3 most characteristic terms by TF-IDF
+    (score = tf · ln((N+1)/(df+1)), ranked on the ROUNDED score with
+    term-name tiebreak so both engines order identically) — the
+    keyword-extraction pass between curation and indexing, and the
+    document-side twin of BM25's query-side weighting.
+
+    Plan: one tokenize+explode → (doc, term) counts (partial-agg
+    shuffle); document frequencies aggregate FROM the tf table (no
+    second corpus scan — df = row count per term since tf rows are
+    unique per (doc, term)); the corpus doc count is a 1-row scalar
+    broadcast; the df join is a plain equi-join on term (hot terms
+    partial-aggregate before the exchange and AQE splits residual
+    skew); top-3 per doc is a keyed window — WindowGroupLimit prunes
+    per partition, never a global sort. At 100 TB a production run
+    persists tf/df bucketed by term; every stage here is that build
+    plus one probe."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    tf = tracked_persist(tf)  # feeds df-aggregate, N-scalar AND the join
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+# =========================================================================
+# emb_label_centroids — per-class mean embedding (fixed-point exact)
+# =========================================================================
+
+_CENT_SCALE = 1 << 20
+_CENT_DIM = 64
+
+
+@query(
+    "emb_label_centroids",
+    sql=f"""
+    WITH comp AS (
+      SELECT label, pos,
+             sum(CAST(floor(v * {_CENT_SCALE}.0) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(max(n) AS BIGINT) AS n,
+           list(round(CAST(s AS DOUBLE) / n / {_CENT_SCALE}.0, 6) ORDER BY pos) AS centroid
+    FROM comp GROUP BY label
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding — the class-prototype computation
+    behind nearest-centroid classification, embedding-drift
+    monitoring, and k-means seeding from labeled data. Components
+    accumulate in FIXED-POINT integers (floor(v·2²⁰) summed as
+    longs, divided back at the end — the same trick as
+    `cluster_kmeans`): integer partial sums merge associatively and
+    bit-identically on ANY partitioning or engine, where a double
+    sum's last ulp depends on reduction order. ONE hash aggregate
+    with 64 sum states per label (state is O(labels × dim), never
+    O(rows)); the oracle unnests positionally and re-lists, proving
+    the packed column-per-dimension layout equals the semantic
+    per-component mean."""
+    emb = T(spark, sf_dir, "embeddings")
+    sums = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at("embedding", d + 1).cast("double")
+                    * F.lit(float(_CENT_SCALE))
+                ).cast("long")
+            ).alias(f"s{d}")
+            for d in range(_CENT_DIM)
+        ],
+    )
+    return sums.select(
+        "label",
+        "n",
+        F.array(
+            *[
+                F.round(
+                    F.col(f"s{d}").cast("double") / F.col("n") / F.lit(float(_CENT_SCALE)),
+                    6,
+                )
+                for d in range(_CENT_DIM)
+            ]
+        ).alias("centroid"),
+    )

@@ -183,3 +183,133 @@ def test_corr_matrix_bounds_and_self_consistency(spark):
     # are independent, so values hover near 0 — parity pins them)
     d = {(r["col_a"], r["col_b"]) for r in out}
     assert len(d) == 6 and ("l_quantity", "l_extendedprice") in d
+
+
+# ---------------------------------------------------------------- dedup_incremental_minhash
+
+
+def test_incremental_probe_is_asymmetric_subset(spark, sf_dir):
+    """Every probe pair is (new, index) — never new↔new or
+    index↔index — and coincides with the symmetric LSH result
+    restricted to cross-batch pairs."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    probe = dd.minhash_lsh_probe(docs, is_new=is_new, k=16, bands=8, n=3, threshold=0.8)
+    rows = probe.collect()
+    for r in rows:
+        assert r["id_new"] % 5 == 0
+        assert r["id_index"] % 5 != 0
+    sym = dd.minhash_lsh_pairs(docs, k=16, bands=8, n=3, threshold=0.8).collect()
+    cross = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in sym
+        if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)
+    }
+    assert {frozenset((r["id_new"], r["id_index"])) for r in rows} == cross
+
+
+# ---------------------------------------------------------------- text_tfidf_topterms
+
+
+def test_tfidf_ranks_rare_term_over_common(spark):
+    """A term unique to one doc must outscore a term present in all
+    docs, whatever their tf — the defining property of IDF."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["text_tfidf_topterms"].fn(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["rank"] <= 3
+    # per-doc ranks dense from 1
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_tfidf_idf_property_synthetic(spark):
+    from pyspark.sql import Row
+
+    from lol_data_pipeline_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common zebra"),
+            Row(doc_id=2, text="common filler words here"),
+            Row(doc_id=3, text="common more filler text"),
+        ]
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6).alias(
+                "score"
+            ),
+        )
+        .collect()
+    }
+    # doc 1: 'zebra' (tf=1, df=1) must beat 'common' (tf=3, df=3)
+    assert scored[(1, "zebra")] > scored[(1, "common")]
+
+
+# ---------------------------------------------------------------- emb_label_centroids
+
+
+def test_label_centroids_match_numpy_mean(spark, sf_dir):
+    import numpy as np
+
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    out = {r["label"]: r for r in REGISTRY["emb_label_centroids"].fn(spark, sf_dir).collect()}
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        got = np.array(out[label]["centroid"])
+        want = np.mean(vecs, axis=0)
+        # fixed-point floor loses < 2^-20 per element before averaging
+        assert np.allclose(got, want, atol=2e-6)
+        assert out[label]["n"] == len(vecs)
+
+
+# ---------------------------------------------------------------- stat_mad_outliers
+
+
+def test_mad_outliers_robust_to_single_wild_value(spark):
+    """The MAD flag catches a planted wild value that z-score-with-
+    inflated-σ logic would mask — the reason this operator exists."""
+    from pyspark.sql import Row
+
+    rows = [Row(event_type="t", value=float(v)) for v in range(100)] + [
+        Row(event_type="t", value=1e9)
+    ]
+    ev = spark.createDataFrame(rows)
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .collect()
+    )
+    assert any(r["value"] == 1e9 for r in flagged)
+    # the bulk of the uniform range is NOT flagged
+    assert len(flagged) < 30
