@@ -213,7 +213,6 @@ def minhash_lsh_pairs(
     (tunable via bands) is approximate.
     """
     assert k % bands == 0
-    r = k // bands
     # ONE shingling pass: the per-doc shingle-array table feeds both
     # signature computation (via explode) and the final exact-Jaccard
     # verify — persisted so the expensive tokenize+shingle work runs
@@ -227,20 +226,7 @@ def minhash_lsh_pairs(
     # re-evaluates the md5→aggregate pipeline on each side (exchange
     # reuse does not cross a broadcast conversion).
     sigs = tracked_persist(sh.groupBy("id").agg(*_minhash_agg_cols(k)))
-    # One row per (doc, band) via a single explode — NOT a union of
-    # per-band selects, which would re-evaluate the signature subtree
-    # once per band. One expr-parse for the whole band array (see
-    # _minhash_agg_cols on plan-build cost).
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bkey', concat_ws('_', {cols}))".format(
-            b=b,
-            cols=", ".join(f"cast(h{b * r + j} as string)" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    buckets = sigs.select(
-        "id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("id", "bk.band", "bk.bkey")
+    buckets = minhash_band_buckets(sigs, k, bands)
     # Bucket self-join streams candidate pairs through the join
     # operator (mega-buckets distribute over tasks; AQE splits skewed
     # keys) — materializing per-bucket pair arrays instead blows up
@@ -293,6 +279,31 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_buckets(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bkey) LSH bucket rows from a signature frame
+    (columns id, h0..h{k-1}). One row per (doc, band) via a single
+    explode — NOT a union of per-band selects, which would
+    re-evaluate the signature subtree once per band; one expr-parse
+    for the whole band array (see _minhash_agg_cols on plan-build
+    cost). This is also the AT-REST index row format: written
+    partitioned by band and clustered by bkey, a probe's per-band
+    point predicates become partition pruning + row-group skipping
+    (tests/test_data_skipping.py)."""
+    assert k % bands == 0
+    r = k // bands
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', concat_ws('_', {cols}))".format(
+            b=b,
+            cols=", ".join(f"cast(h{b * r + j} as string)" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    carry = [c for c in sigs.columns if c == "is_new"]
+    return sigs.select(
+        "id", *carry, F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("id", "bk.band", "bk.bkey", *carry)
+
+
 def minhash_lsh_probe(
     docs: DataFrame,
     is_new: Column,
@@ -324,7 +335,6 @@ def minhash_lsh_probe(
     costing one pass.
     """
     assert k % bands == 0
-    r = k // bands
     base = tracked_persist(
         _doc_shingle_arrays(docs, n, text_col, id_col, extra=is_new.alias("is_new"))
     )
@@ -336,16 +346,7 @@ def minhash_lsh_probe(
             base.select("id", "is_new"), "id"
         )
     )
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bkey', concat_ws('_', {cols}))".format(
-            b=b,
-            cols=", ".join(f"cast(h{b * r + j} as string)" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    buckets = sigs.select(
-        "id", "is_new", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("id", "is_new", "bk.band", "bk.bkey")
+    buckets = minhash_band_buckets(sigs, k, bands)
     new_side = buckets.filter(F.col("is_new")).drop("is_new")
     idx_side = buckets.filter(~F.col("is_new")).drop("is_new")
     a = new_side.alias("a")

@@ -356,3 +356,25 @@ def stream_join_left_outer(spark, sf_dir):
     precedes the latest purchase by hours: modeling wm from
     max(all ts) over-evicts by exactly that gap.)"""
     return sw.click_purchase_left_join(spark, sf_dir)
+
+
+@query(
+    "stream_incremental_view",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_incremental_view(spark, sf_dir):
+    """foreachBatch incremental view maintenance over a four-batch
+    replay: each micro-batch's O(groups) partial aggregate merges
+    into versioned at-rest state (sum-of-sums / count-of-counts,
+    idempotent per epoch); the final state must equal the
+    from-scratch batch aggregate. See
+    streaming/sinks.py:incremental_view_multibatch."""
+    from lol_data_pipeline_spark.streaming.sinks import incremental_view_multibatch
+
+    return incremental_view_multibatch(spark, sf_dir)

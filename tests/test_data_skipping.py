@@ -181,3 +181,76 @@ def test_ann_index_at_rest_prunes_partitions(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_lsh_index_at_rest_prunes_partitions(spark, sf_dir, tmp_path):
+    """The production incremental-dedup path: the existing corpus's
+    LSH band buckets live AT REST partitioned by band, so a new
+    batch's probe — 8 (band, bkey) point predicates per doc — is a
+    partition-pruned, stats-skipped scan instead of re-signing the
+    corpus. Verifies (a) the probe plan carries a PartitionFilter on
+    band + a pushed filter on bkey, (b) the candidate ids the
+    at-rest probe returns for one new doc equal the in-flight
+    bucket-join candidates for that doc."""
+    import re
+
+    from lol_data_pipeline_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _minhash_agg_cols,
+        _MINHASH_P,
+        minhash_band_buckets,
+    )
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _doc_shingle_arrays(docs, 3, "text", "doc_id")
+    sh = base.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
+    sigs = sh.groupBy("id").agg(*_minhash_agg_cols(16))
+    buckets = minhash_band_buckets(sigs, 16, 8)
+
+    # "existing corpus" = doc_id % 5 != 0, written partitioned by band
+    idx = str(tmp_path / "lsh_index")
+    write_overwrite(buckets.filter(F.pmod(F.col("id"), F.lit(5)) != 0), idx, partition_by=["band"])
+    at_rest = spark.read.parquet(idx)
+
+    # a "new" doc that shares ≥1 bucket with the index (the
+    # interesting probe); its bucket keys are bounded: `bands` rows
+    new_ids = (
+        buckets.filter(F.pmod(F.col("id"), F.lit(5)) == 0)
+        .join(
+            buckets.filter(F.pmod(F.col("id"), F.lit(5)) != 0).select("band", "bkey"),
+            ["band", "bkey"],
+        )
+        .select("id")
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    assert new_ids, "fixture should contain at least one cross-batch bucket match"
+    new_id = new_ids[0]["id"]
+    probe_keys = buckets.filter(F.col("id") == new_id).select("band", "bkey").collect()
+    band0, bkey0 = probe_keys[0]["band"], probe_keys[0]["bkey"]
+
+    probe = at_rest.filter((F.col("band") == band0) & (F.col("bkey") == bkey0))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*band", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*bkey", plan)
+
+    # candidates via at-rest probe over all 8 keys == in-flight join
+    import functools
+    cond = functools.reduce(
+        lambda a, b: a | b,
+        [(F.col("band") == r["band"]) & (F.col("bkey") == r["bkey"]) for r in probe_keys],
+    )
+    got = {r["id"] for r in at_rest.filter(cond).select("id").distinct().collect()}
+    inflight = (
+        buckets.filter(F.col("id") == new_id)
+        .select("band", "bkey")
+        .join(buckets.filter(F.pmod(F.col("id"), F.lit(5)) != 0), ["band", "bkey"])
+        .select("id")
+        .distinct()
+    )
+    assert got == {r["id"] for r in inflight.collect()}
+    assert got, "fixture should produce at least one candidate"

@@ -313,3 +313,81 @@ def test_mad_outliers_robust_to_single_wild_value(spark):
     assert any(r["value"] == 1e9 for r in flagged)
     # the bulk of the uniform range is NOT flagged
     assert len(flagged) < 30
+
+
+# ---------------------------------------------------------------- partitioning invariance
+
+
+def _identical_under_repartition(spark, build, parts=(1, 13)):
+    """Collect `build(df)` under two pathological partitionings and
+    assert BIT-identical rows — the distributed-determinism claim
+    the fixed-point / hash-keyed docstrings make. `build` receives a
+    repartitioned embeddings/documents frame and returns a
+    DataFrame."""
+    outs = []
+    for p in parts:
+        outs.append(sorted(map(tuple, build(p).collect())))
+    assert outs[0] == outs[1]
+    return outs[0]
+
+
+def test_label_centroids_partitioning_invariant(spark, sf_dir):
+    """Fixed-point integer accumulation ⇒ same centroid bits on any
+    partitioning (a double sum would drift in the last ulp)."""
+    from lol_data_pipeline_spark.plans.extensions import _CENT_DIM, _CENT_SCALE
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def build(p):
+        e = emb.repartition(p)
+        sums = e.groupBy("label").agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("embedding", d + 1).cast("double")
+                        * F.lit(float(_CENT_SCALE))
+                    ).cast("long")
+                ).alias(f"s{d}")
+                for d in range(_CENT_DIM)
+            ],
+        )
+        return sums.select(
+            "label",
+            "n",
+            *[
+                F.round(
+                    F.col(f"s{d}").cast("double") / F.col("n") / F.lit(float(_CENT_SCALE)), 6
+                ).alias(f"c{d}")
+                for d in range(_CENT_DIM)
+            ],
+        )
+
+    rows = _identical_under_repartition(spark, build)
+    assert rows
+
+
+def test_mixture_sample_partitioning_invariant(spark, sf_dir):
+    """The md5 keep-decision must select the SAME docs/epochs on 1
+    partition as on 13 — the reproducibility property sampleBy()
+    lacks."""
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+    from lol_data_pipeline_spark.plans.corpus import _MIX_WH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build(p):
+        d = docs.repartition(p)
+        wh = F.lit(100)
+        for s, w in _MIX_WH.items():
+            wh = F.when(F.col("source") == s, F.lit(w)).otherwise(wh)
+        h = F.pmod(md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.lit(100))
+        total = (wh / 100).cast("int") + F.when(h < wh % 100, 1).otherwise(0)
+        return (
+            d.select("doc_id", "source", total.alias("total"))
+            .filter(F.col("total") > 0)
+            .select("doc_id", "source", F.explode(F.sequence(F.lit(0), F.col("total") - 1)).alias("epoch"))
+        )
+
+    rows = _identical_under_repartition(spark, build)
+    assert rows
