@@ -634,3 +634,120 @@ def stat_mad_outliers(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    sql="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    join-health check a pipeline runs before trusting any downstream
+    join (an orphaned FK silently drops rows from every inner join
+    built on it). Each constraint is one LEFT ANTI join (the
+    child's FK column only — column pruning cuts the scan to one
+    int64) counted; the three results union into a tiny report.
+
+    At 100 TB: each constraint is one left join on (key) pairs —
+    total and orphan counts come out of the SAME pass (count(*) +
+    count-of-null-parent), so the child is scanned once per
+    constraint, not twice; the dim-sided constraints
+    (customer→nation) broadcast the parent. The whole report is one
+    lazy plan (a union of three 1-row aggregates) — no driver-side
+    count() actions."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+
+    def audit(child, key, parent, pkey, name):
+        pk = parent.select(F.col(pkey).alias("__pk")).distinct()
+        return (
+            child.join(pk, child[key] == F.col("__pk"), "left")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("__pk").isNull().cast("int")).cast("long").alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o.select("o_custkey"), "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(
+            audit(c.select("c_nationkey"), "c_nationkey", F.broadcast(n), "n_nationkey", "customer->nation")
+        )
+    )
+
+
+@query(
+    "rel_cdc_upsert",
+    sql="""
+    WITH changes AS (
+      SELECT o_custkey AS custkey,
+             round(sum(o_totalprice), 2) AS new_spend,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT c.c_custkey,
+           c.c_name,
+           CASE WHEN ch.custkey IS NOT NULL THEN 'updated' ELSE 'unchanged' END AS merge_action,
+           round(coalesce(ch.new_spend, 0.0) + c.c_acctbal, 2) AS acct_total,
+           CAST(coalesce(ch.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN changes ch ON ch.custkey = c.c_custkey
+    """,
+)
+def rel_cdc_upsert(spark, sf_dir):
+    """CDC MERGE/upsert semantics batch-style: a deterministic change
+    set (per-customer finished-order totals) applied onto the
+    customer dimension — matched rows get 'updated' values, the rest
+    pass through 'unchanged', exactly the WHEN MATCHED / WHEN NOT
+    MATCHED split of a lakehouse MERGE INTO. One equi-join on the
+    target's key carries the whole merge; the action tag makes the
+    matched/unmatched partition of the output auditable.
+
+    At 100 TB the physical form is `write_overwrite(...,
+    partition_by=...)` applied to only the partitions the change set
+    touches (dynamic partition overwrite — proven plan-level in
+    tests/test_plan_hygiene.py::test_dynamic_partition_upsert); this
+    entry pins the MERGE's row-level semantics, which stay identical
+    whether the sink rewrites a table or three partitions."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    changes = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("new_spend"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+    return c.join(changes, c.c_custkey == changes.custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("custkey").isNotNull(), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("merge_action"),
+        F.round(F.coalesce(F.col("new_spend"), F.lit(0.0)) + F.col("c_acctbal"), 2).alias(
+            "acct_total"
+        ),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+    )

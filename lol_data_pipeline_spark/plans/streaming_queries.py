@@ -378,3 +378,21 @@ def stream_incremental_view(spark, sf_dir):
     from lol_data_pipeline_spark.streaming.sinks import incremental_view_multibatch
 
     return incremental_view_multibatch(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_multibatch",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events, (VALUES (0), (1)) offs(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_multibatch(spark, sf_dir):
+    """Sliding 1h/30m windows over a four-batch replay — TWO open
+    windows per key span each slice boundary (overlapping-window
+    state restore), append mode emits each window exactly once at
+    watermark passage; oracle is the batch two-offset cross join."""
+    return sw.sliding_counts_multibatch(spark, sf_dir)

@@ -570,3 +570,36 @@ def click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
     )
     return run_to_completion(j, mode="append")
+
+
+def sliding_counts_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows over a FOUR-micro-batch time-ordered
+    replay (plus sentinel), append mode — the overlapping-window
+    state case: every event belongs to TWO open windows, so a slice
+    boundary leaves up to two partially-counted windows per key in
+    the state store, both of which must restore and keep
+    accumulating in later batches. The tumbling twin
+    (:func:`tumbling_counts_multibatch`) holds one open window per
+    key; overlap is what this entry adds. Sentinel flushes the tail;
+    its never-closing windows are filtered by the max-ts guard."""
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # 1-row scalar
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(mx) + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    parts = time_slices(ev, "ts", 4) + [sentinel]
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        )
+
+    res = replay_multibatch(spark, parts, build, "append", f"sliding_mb:{sf_dir}")
+    return res.filter(F.col("window_start") <= F.lit(mx))
