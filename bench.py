@@ -80,6 +80,11 @@ HEADLINE = [
     "corpus_mixture_sample",
     "stat_corr_matrix",
     "rel_unpivot",
+    "dedup_incremental_minhash",
+    "text_tfidf_topterms",
+    "emb_label_centroids",
+    "dq_referential_integrity",
+    "rel_cdc_upsert",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

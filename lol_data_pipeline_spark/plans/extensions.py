@@ -1487,7 +1487,7 @@ _SUB_N = 8  # window width in tokens
       FROM tok
     ),
     pairs AS (
-      SELECT DISTINCT doc_id,
+      SELECT doc_id,
              {SQL_MD5_LONG.format(expr='w')} AS h
       FROM (SELECT doc_id, unnest(s) AS w FROM sh)
     ),
@@ -1513,11 +1513,16 @@ def dedup_substring(spark, sf_dir):
 
     Plan shape — posting lists, never pair generation:
     shingle (one pass, array-sliced lambda over a materialized token
-    array) → distinct (doc, window-hash) pairs → [1] per-doc window
-    counts, [2] hashes seen in ≥2 docs (count over the DISTINCT
-    pairs = distinct-doc count, no count_distinct needed), [3] join
-    back on hash and count per doc. Cost is linear in total windows
-    plus the size of the duplicated-posting join — a hot boilerplate
+    array) → (doc, window-hash) pairs → [1] per-doc window counts,
+    [2] hashes seen in ≥2 rows, [3] join back on hash and count per
+    doc. The pairs are NOT re-deduplicated: the shingle array is
+    already distinct-per-doc, so (doc, h) rows are unique up to
+    60-bit hash collisions — a dropDuplicates here was measured as a
+    full extra shuffle of the pairs table (5.2 s → see PERF_NOTES)
+    buying nothing (a collision is the same md5 arithmetic on both
+    engines, so even that case stays parity-exact; it could only
+    mark ~2⁻⁶⁰-probability windows dup). Cost is linear in total
+    windows plus the duplicated-posting join — a hot boilerplate
     window fans out to its |docs| rows, bounded by the pairs table
     itself, never quadratic. The wide token/shingle arrays are
     dropped before the first shuffle: only (doc_id, h) longs move.
@@ -1532,10 +1537,15 @@ def dedup_substring(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     sh = tx.word_shingle_arrays(docs, n=_SUB_N, keep=["doc_id"], out_col="s")
+    # explode_OUTER + null-drop, not plain explode: InferFilters-
+    # FromGenerate would clone a `size(s) > 0` filter through the
+    # projection barrier and re-run the O(words²) shingling below
+    # the exchange (same pathology dedup.doc_shingles documents;
+    # measured 2.9 s → 0.7 s for this stage at sf0.1).
     pairs = (
-        sh.select("doc_id", F.explode("s").alias("w"))
+        sh.select("doc_id", F.explode_outer("s").alias("w"))
+        .filter(F.col("w").isNotNull())
         .select("doc_id", md5_long("w").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
     )
     from lol_data_pipeline_spark.caching import tracked_persist
 
@@ -1761,28 +1771,22 @@ def emb_label_centroids(spark, sf_dir):
     the packed column-per-dimension layout equals the semantic
     per-component mean."""
     emb = T(spark, sf_dir, "embeddings")
+    # Each aggregate/projection parses from ONE SQL string: building
+    # the 64-per-dimension expressions op-by-op with Column methods
+    # costs several py4j round-trips per operator and the plan BUILD
+    # dominated the measured wall clock (same finding as
+    # dedup._minhash_agg_cols; 1.5 s → see PERF_NOTES).
     sums = emb.groupBy("label").agg(
-        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
         *[
-            F.sum(
-                F.floor(
-                    F.element_at("embedding", d + 1).cast("double")
-                    * F.lit(float(_CENT_SCALE))
-                ).cast("long")
+            F.expr(
+                f"sum(CAST(floor(CAST(element_at(embedding, {d + 1}) AS DOUBLE)"
+                f" * {_CENT_SCALE}.0) AS BIGINT))"
             ).alias(f"s{d}")
             for d in range(_CENT_DIM)
         ],
     )
-    return sums.select(
-        "label",
-        "n",
-        F.array(
-            *[
-                F.round(
-                    F.col(f"s{d}").cast("double") / F.col("n") / F.lit(float(_CENT_SCALE)),
-                    6,
-                )
-                for d in range(_CENT_DIM)
-            ]
-        ).alias("centroid"),
+    cent = ", ".join(
+        f"round(CAST(s{d} AS DOUBLE) / n / {_CENT_SCALE}.0, 6)" for d in range(_CENT_DIM)
     )
+    return sums.select("label", "n", F.expr(f"array({cent})").alias("centroid"))
