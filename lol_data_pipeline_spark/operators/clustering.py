@@ -127,3 +127,39 @@ def kmeans_summary(
         F.count("*").cast("long").alias("n_members"),
         F.min("vec_id").alias("rep_id"),
     )
+
+
+def label_centroids(
+    emb, dim: int = 64, scale: int = 1 << 20, label_col: str = "label", vec_col: str = "embedding"
+):
+    """Per-label mean embedding with FIXED-POINT integer accumulation
+    (floor(v·scale) summed as longs, divided back at the end — the
+    same trick as the k-means update above): integer partial sums
+    merge associatively and bit-identically on ANY partitioning or
+    engine, where a double sum's last ulp depends on reduction
+    order. Null or ragged vectors are excluded up front (element_at
+    would null-skip them inside the sums while count(*) still
+    counted them, silently deflating every component). ONE hash
+    aggregate, O(labels × dim) state. This is the single
+    implementation the registry entry, the oracle comparison, and
+    the repartition-invariance test all run.
+
+    Each aggregate/projection parses from ONE SQL string: building
+    per-dimension expressions op-by-op with Column methods costs
+    several py4j round-trips per operator and plan BUILD dominated
+    the measured wall clock (see PERF_NOTES, round 5)."""
+    emb = emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+    sums = emb.groupBy(label_col).agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        *[
+            F.expr(
+                f"sum(CAST(floor(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE)"
+                f" * {scale}.0) AS BIGINT))"
+            ).alias(f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    cent = ", ".join(
+        f"round(CAST(s{d} AS DOUBLE) / n / {scale}.0, 6)" for d in range(dim)
+    )
+    return sums.select(label_col, "n", F.expr(f"array({cent})").alias("centroid"))

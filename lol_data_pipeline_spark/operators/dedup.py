@@ -248,22 +248,33 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs: join each side's per-row
     # shingle array (the SAME persisted table the signatures came
     # from) and intersect — at scale candidates are a tiny fraction.
+    return _jaccard_verify(cand, base, "id_a", "id_b", threshold)
+
+
+def _jaccard_verify(
+    cand: DataFrame, base: DataFrame, left: str, right: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    per-doc shingle-array table ``base`` (columns id/sh_arr/n_sh).
+    Shared by the symmetric pair join and the incremental probe so
+    the verify semantics (intersection, rounding, threshold) cannot
+    drift between them."""
     return (
         cand.join(
             base.select(
-                F.col("id").alias("id_a"),
+                F.col("id").alias(left),
                 F.col("sh_arr").alias("sh_a"),
                 F.col("n_sh").alias("n_a"),
             ),
-            "id_a",
+            left,
         )
         .join(
             base.select(
-                F.col("id").alias("id_b"),
+                F.col("id").alias(right),
                 F.col("sh_arr").alias("sh_b"),
                 F.col("n_sh").alias("n_b"),
             ),
-            "id_b",
+            right,
         )
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -275,11 +286,13 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .select(left, right, "jaccard")
     )
 
 
-def minhash_band_buckets(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+def minhash_band_buckets(
+    sigs: DataFrame, k: int, bands: int, carry: list[str] | None = None
+) -> DataFrame:
     """(id, band, bkey) LSH bucket rows from a signature frame
     (columns id, h0..h{k-1}). One row per (doc, band) via a single
     explode — NOT a union of per-band selects, which would
@@ -288,7 +301,9 @@ def minhash_band_buckets(sigs: DataFrame, k: int, bands: int) -> DataFrame:
     cost). This is also the AT-REST index row format: written
     partitioned by band and clustered by bkey, a probe's per-band
     point predicates become partition pruning + row-group skipping
-    (tests/test_data_skipping.py)."""
+    (tests/test_data_skipping.py). ``carry`` names extra ``sigs``
+    columns to keep on every bucket row (explicit, never sniffed —
+    a metadata column must not silently change the index schema)."""
     assert k % bands == 0
     r = k // bands
     band_structs = ", ".join(
@@ -298,7 +313,7 @@ def minhash_band_buckets(sigs: DataFrame, k: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     )
-    carry = [c for c in sigs.columns if c == "is_new"]
+    carry = list(carry or [])
     return sigs.select(
         "id", *carry, F.explode(F.expr(f"array({band_structs})")).alias("bk")
     ).select("id", "bk.band", "bk.bkey", *carry)
@@ -335,20 +350,26 @@ def minhash_lsh_probe(
     costing one pass.
     """
     assert k % bands == 0
+    # Internal flag name is collision-proofed against user columns
+    # (docs may itself carry an `is_new` column); NULL flags count as
+    # NOT new — they stay probeable index rows instead of silently
+    # vanishing from both sides of the filter split.
+    flag = "__mlp_is_new"
+    flag_col = F.coalesce(is_new.cast("boolean"), F.lit(False)).alias(flag)
     base = tracked_persist(
-        _doc_shingle_arrays(docs, n, text_col, id_col, extra=is_new.alias("is_new"))
+        _doc_shingle_arrays(docs, n, text_col, id_col, extra=flag_col)
     )
     sh = base.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
         "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
     )
     sigs = tracked_persist(
         sh.groupBy("id").agg(*_minhash_agg_cols(k)).join(
-            base.select("id", "is_new"), "id"
+            base.select("id", flag), "id"
         )
     )
-    buckets = minhash_band_buckets(sigs, k, bands)
-    new_side = buckets.filter(F.col("is_new")).drop("is_new")
-    idx_side = buckets.filter(~F.col("is_new")).drop("is_new")
+    buckets = minhash_band_buckets(sigs, k, bands, carry=[flag])
+    new_side = buckets.filter(F.col(flag)).drop(flag)
+    idx_side = buckets.filter(~F.col(flag)).drop(flag)
     a = new_side.alias("a")
     b2 = idx_side.alias("b")
     cand = (
@@ -359,34 +380,44 @@ def minhash_lsh_probe(
         .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_index"))
         .distinct()
     )
-    return (
-        cand.join(
-            base.select(
-                F.col("id").alias("id_new"),
-                F.col("sh_arr").alias("sh_a"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "id_new",
-        )
-        .join(
-            base.select(
-                F.col("id").alias("id_index"),
-                F.col("sh_arr").alias("sh_b"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "id_index",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_new", "id_index", "jaccard")
+    return _jaccard_verify(cand, base.drop(flag), "id_new", "id_index", threshold)
+
+
+def substring_dup_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document shared-window substring-dedup signal: for every
+    doc, how many of its distinct ``n``-token windows also occur in
+    at least one other row of the pairs table (see the registered
+    entry's docstring for the full plan/scale argument; this is the
+    SINGLE implementation both the registry entry and the behavioral
+    tests run, so they cannot drift)."""
+    from lol_data_pipeline_spark.functions.text import word_shingle_arrays
+
+    sh = word_shingle_arrays(widen(docs), n=n, keep=["doc_id"], out_col="s")
+    # explode_OUTER + null-drop, not plain explode: InferFilters-
+    # FromGenerate would clone a `size(s) > 0` filter through the
+    # projection barrier and re-run the O(words²) shingling below
+    # the exchange (same pathology doc_shingles documents; measured
+    # 2.9 s → 0.7 s for this stage at sf0.1).
+    pairs = (
+        sh.select("doc_id", F.explode_outer("s").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select("doc_id", md5_long("w").alias("h"))
+    )
+    pairs = tracked_persist(pairs)  # feeds base, dup AND the join-back
+    base = pairs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
+    dup = (
+        pairs.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2).select("h")
+    )
+    cnt = pairs.join(dup, "h").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup")
+    )
+    return base.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)) * F.lit(1.0) / F.col("n_windows"), 4
+        ).alias("dup_ratio"),
     )
 
 

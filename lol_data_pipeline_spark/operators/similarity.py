@@ -152,6 +152,38 @@ def ivf_topk(
     )
 
 
+def _lsh_codes(
+    wc: DataFrame, n_planes: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, code) random-hyperplane sign codes: bit j = sign of the
+    dot with plane j (the first ``n_planes`` corpus vectors — 
+    deterministic so the DuckDB oracle reproduces the assignment;
+    production would draw Gaussian planes). Dots are rounded before
+    the sign test so both engines agree at the boundary. Shared by
+    lsh_topk and knn_graph — the code-assignment expression exists
+    ONCE (the oracles model it a second time; a third drifting copy
+    here would silently break parity).
+
+    Scale: a broadcast cross join (n_planes rows) + one groupBy(id)
+    — the corpus is never shuffled by value."""
+    planes = wc.filter(F.col(id_col) < n_planes).select(
+        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
+    )
+    return (
+        wc.select(id_col, vec_col)
+        .crossJoin(F.broadcast(planes))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.round(dot(F.col(vec_col), F.col("pvec")), 6) >= 0,
+                    F.pow(F.lit(2.0), F.col("plane_id")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("code")
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     n_planes: int = 6,
@@ -174,24 +206,8 @@ def lsh_topk(
     + one groupBy(id) — the corpus is never shuffled by value; the
     probe is a broadcast of Q coded queries against the coded corpus.
     """
-    planes = corpus.filter(F.col(id_col) < n_planes).select(
-        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
-    )
     wc = widen(corpus)
-    codes = (
-        wc.select(id_col, vec_col)
-        .crossJoin(F.broadcast(planes))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.round(dot(F.col(vec_col), F.col("pvec")), 6) >= 0,
-                    F.pow(F.lit(2.0), F.col("plane_id")).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("code")
-        )
-    )
-    coded = wc.join(codes, id_col)
+    coded = wc.join(_lsh_codes(wc, n_planes, id_col, vec_col), id_col)
     queries = coded.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -238,33 +254,25 @@ def knn_graph(
     graph-based near-dup clustering (`dedup_components`) and to
     k-NN-graph ANN indexes built offline.
     """
-    planes = corpus.filter(F.col(id_col) < n_planes).select(
-        F.col(id_col).alias("plane_id"), F.col(vec_col).alias("pvec")
-    )
-    wc = widen(corpus)
-    codes = (
-        wc.select(id_col, vec_col)
-        .crossJoin(F.broadcast(planes))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.round(dot(F.col(vec_col), F.col("pvec")), 6) >= 0,
-                    F.pow(F.lit(2.0), F.col("plane_id")).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("code")
-        )
-    )
     from lol_data_pipeline_spark.caching import tracked_persist
 
-    # Persist the coded corpus: it feeds BOTH sides of the self-join —
-    # without it the plane-assignment cross join + groupBy runs twice.
-    coded = tracked_persist(wc.join(codes, id_col))
+    wc = widen(corpus)
+    # Persist the coded corpus WITH its precomputed L2 norm: it feeds
+    # BOTH sides of the self-join (without the persist the
+    # plane-assignment cross join + groupBy runs twice), and the
+    # materialized norm moves the two O(dim) norm folds from every
+    # one of the Σ bucket² pairs to once per row (with_norm keeps the
+    # result bit-identical to cosine() — same op order).
+    coded = tracked_persist(
+        with_norm(wc.join(_lsh_codes(wc, n_planes, id_col, vec_col), id_col), vec_col)
+    )
     left = coded.select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"), "code"
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("svec"),
+        F.col("nrm").alias("snrm"), "code"
     )
     right = coded.select(
-        F.col(id_col).alias("dst_id"), F.col(vec_col).alias("dvec"), F.col("code").alias("dcode")
+        F.col(id_col).alias("dst_id"), F.col(vec_col).alias("dvec"),
+        F.col("nrm").alias("dnrm"), F.col("code").alias("dcode")
     )
     scored = left.join(
         right,
@@ -272,7 +280,9 @@ def knn_graph(
     ).select(
         "src_id",
         "dst_id",
-        F.round(cosine(F.col("svec"), F.col("dvec")), 6).alias("sim"),
+        F.round(
+            dot(F.col("svec"), F.col("dvec")) / (F.col("snrm") * F.col("dnrm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("dst_id").asc())
     return (

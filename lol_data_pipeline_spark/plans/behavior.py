@@ -585,17 +585,17 @@ def stat_corr_matrix(spark, sf_dir):
     "stat_mad_outliers",
     sql="""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
       FROM events GROUP BY 1
     ), dev AS (
-      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      SELECT e.event_type, e.value, m.med, round(abs(e.value - m.med), 6) AS ad
       FROM events e JOIN med m USING (event_type)
     ), mad AS (
-      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad FROM dev GROUP BY 1
     )
     SELECT d.event_type,
-           round(max(d.med), 6) AS med,
-           round(max(m.mad), 6) AS mad,
+           max(d.med) AS med,
+           max(m.mad) AS mad,
            CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(count(*) AS BIGINT) AS n
     FROM dev d JOIN mad m USING (event_type)
@@ -617,19 +617,27 @@ def stat_mad_outliers(spark, sf_dir):
     IS this query's scale path, the exact form is its ground truth.
     Both percentile passes reuse the same per-type partitioning; the
     tiny med/mad tables broadcast back onto the fact scan, which is
-    read twice (med pass, then dev/flag pass) and shuffled never."""
+    read twice (med pass, then dev/flag pass) and shuffled never.
+    med / ad / mad are rounded to 6 dp BEFORE the ad > 3·mad flag —
+    Spark's percentile() and DuckDB's quantile_cont could disagree
+    in the last ulp of the interpolation, and an unrounded boundary
+    comparison would let that flip n_outliers by one."""
     ev = T(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("value") - F.col("med"))
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
-    mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.round(F.abs(F.col("value") - F.col("med")), 6)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.max("med"), 6).alias("med"),
-            F.round(F.max("mad"), 6).alias("mad"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
             F.sum((F.col("ad") > 3 * F.col("mad")).cast("int")).cast("long").alias("n_outliers"),
             F.count("*").cast("long").alias("n"),
         )

@@ -1533,38 +1533,8 @@ def dedup_substring(spark, sf_dir):
     M3); the cross-doc window-hash index is also how the suffix-array
     variant's candidate stage is approximated in one shuffle.
     """
-    from lol_data_pipeline_spark.functions.scalar import md5_long
-
     docs = T(spark, sf_dir, "documents")
-    sh = tx.word_shingle_arrays(docs, n=_SUB_N, keep=["doc_id"], out_col="s")
-    # explode_OUTER + null-drop, not plain explode: InferFilters-
-    # FromGenerate would clone a `size(s) > 0` filter through the
-    # projection barrier and re-run the O(words²) shingling below
-    # the exchange (same pathology dedup.doc_shingles documents;
-    # measured 2.9 s → 0.7 s for this stage at sf0.1).
-    pairs = (
-        sh.select("doc_id", F.explode_outer("s").alias("w"))
-        .filter(F.col("w").isNotNull())
-        .select("doc_id", md5_long("w").alias("h"))
-    )
-    from lol_data_pipeline_spark.caching import tracked_persist
-
-    pairs = tracked_persist(pairs)  # feeds base, dup AND the join-back
-    base = pairs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
-    dup = pairs.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2).select("h")
-    cnt = (
-        pairs.join(dup, "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_dup"))
-    )
-    return base.join(cnt, "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.round(
-            F.coalesce(F.col("n_dup"), F.lit(0)) * F.lit(1.0) / F.col("n_windows"), 4
-        ).alias("dup_ratio"),
-    )
+    return dd.substring_dup_stats(docs, n=_SUB_N)
 
 
 # =========================================================================
@@ -1748,7 +1718,8 @@ _CENT_DIM = 64
              count(*) AS n
       FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
                    generate_subscripts(embedding, 1) AS pos
-            FROM embeddings)
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {_CENT_DIM})
       GROUP BY 1, 2
     )
     SELECT CAST(label AS INTEGER) AS label,
@@ -1770,23 +1741,8 @@ def emb_label_centroids(spark, sf_dir):
     O(rows)); the oracle unnests positionally and re-lists, proving
     the packed column-per-dimension layout equals the semantic
     per-component mean."""
-    emb = T(spark, sf_dir, "embeddings")
-    # Each aggregate/projection parses from ONE SQL string: building
-    # the 64-per-dimension expressions op-by-op with Column methods
-    # costs several py4j round-trips per operator and the plan BUILD
-    # dominated the measured wall clock (same finding as
-    # dedup._minhash_agg_cols; 1.5 s → see PERF_NOTES).
-    sums = emb.groupBy("label").agg(
-        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
-        *[
-            F.expr(
-                f"sum(CAST(floor(CAST(element_at(embedding, {d + 1}) AS DOUBLE)"
-                f" * {_CENT_SCALE}.0) AS BIGINT))"
-            ).alias(f"s{d}")
-            for d in range(_CENT_DIM)
-        ],
+    from lol_data_pipeline_spark.operators.clustering import label_centroids
+
+    return label_centroids(
+        T(spark, sf_dir, "embeddings"), dim=_CENT_DIM, scale=_CENT_SCALE
     )
-    cent = ", ".join(
-        f"round(CAST(s{d} AS DOUBLE) / n / {_CENT_SCALE}.0, 6)" for d in range(_CENT_DIM)
-    )
-    return sums.select("label", "n", F.expr(f"array({cent})").alias("centroid"))

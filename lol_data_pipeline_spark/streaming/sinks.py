@@ -71,14 +71,12 @@ def incremental_view_multibatch(spark, sf_dir: str):
 
     from lol_data_pipeline_spark.io import load_table
     from lol_data_pipeline_spark.streaming.windows import (
-        _ckpt_dir,
-        stage_ordered_batches,
+        replay_multibatch,
         time_slices,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
     parts = time_slices(ev, "ts", n=4)
-    stage = stage_ordered_batches(parts, key="incr_view")
     state_root = tempfile.mkdtemp(prefix="incr_view_state_")
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -98,22 +96,14 @@ def incremental_view_multibatch(spark, sf_dir: str):
         )
 
     try:
-        schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(stage, "*.parquet"))
+        replay_multibatch(
+            spark,
+            parts,
+            build=lambda stream: stream,
+            mode="append",
+            key=f"incr_view:{sf_dir}",
+            foreach_batch=merge_batch,
         )
-        q = (
-            stream.writeStream.outputMode("append")
-            .foreachBatch(merge_batch)
-            .option("checkpointLocation", _ckpt_dir())
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         versions = sorted(
             (d for d in os.listdir(state_root) if d.startswith("v")),
             key=lambda d: int(d[1:]),
@@ -134,5 +124,6 @@ def incremental_view_multibatch(spark, sf_dir: str):
             rows, "event_type string, n bigint, sum_value double"
         )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        # the replay harness cleans its own staging; only the
+        # versioned state dir is ours to remove
         shutil.rmtree(state_root, ignore_errors=True)

@@ -139,12 +139,17 @@ def stage_ordered_batches(parts, key: str) -> str:
 
 
 def replay_multibatch(
-    spark: SparkSession, parts, build, mode: str, key: str
-) -> DataFrame:
+    spark: SparkSession, parts, build, mode: str, key: str, foreach_batch=None
+) -> DataFrame | None:
     """Run a streaming query over a MULTI-micro-batch replay: stage
     ``parts`` as ordered single-file batches, stream them one file
     per trigger, apply ``build(stream_df) -> streaming DF``, drain to
-    the memory sink, clean the staging.
+    the memory sink (or, with ``foreach_batch``, through a
+    foreachBatch sink — returns None; the sink owns the output),
+    clean the staging. ONE harness for both sink shapes so the
+    staging/schema/trigger/drain contract cannot drift between the
+    oracle-replay entries and the foreachBatch incremental-view
+    entry.
 
     This is the harness that makes cross-batch state REAL: windows
     and join buffers span batch boundaries, watermarks advance
@@ -162,7 +167,20 @@ def replay_multibatch(
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(stage, "*.parquet"))
         )
-        return run_to_completion(build(stream), mode=mode)
+        if foreach_batch is None:
+            return run_to_completion(build(stream), mode=mode)
+        q = (
+            build(stream)
+            .writeStream.outputMode(mode)
+            .foreachBatch(foreach_batch)
+            .option("checkpointLocation", _ckpt_dir())
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return None
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

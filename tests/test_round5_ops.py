@@ -15,8 +15,7 @@ from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.operators.similarity import knn_graph
 from lol_data_pipeline_spark.plans import REGISTRY
-
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMALL as SF
 
 
 # ---------------------------------------------------------------- dedup_substring
@@ -43,30 +42,13 @@ def test_substring_dedup_flags_copied_paragraph(spark):
 
 
 def _run_substring(spark, docs):
-    """Run the dedup_substring plan body on an arbitrary documents
-    frame by monkey-loading it through a temp view — the registered
-    fn reads from sf_dir, so rebuild the same plan inline."""
-    from lol_data_pipeline_spark.caching import tracked_persist
-    from lol_data_pipeline_spark.functions import text as tx
-    from lol_data_pipeline_spark.functions.scalar import md5_long
+    """The PRODUCTION plan body (operators.dedup.substring_dup_stats)
+    on an arbitrary documents frame — the registered fn only differs
+    by reading its input from sf_dir, so these tests exercise the
+    real code path, not a copy that can drift."""
+    from lol_data_pipeline_spark.operators.dedup import substring_dup_stats
 
-    sh = tx.word_shingle_arrays(docs, n=8, keep=["doc_id"], out_col="s")
-    pairs = tracked_persist(
-        sh.select("doc_id", F.explode("s").alias("w"))
-        .select("doc_id", md5_long("w").alias("h"))
-        .dropDuplicates(["doc_id", "h"])
-    )
-    base = pairs.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_windows"))
-    dup = pairs.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2).select("h")
-    cnt = pairs.join(dup, "h").groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup"))
-    return base.join(cnt, "doc_id", "left").select(
-        "doc_id",
-        "n_windows",
-        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.round(F.coalesce("n_dup", F.lit(0)) * F.lit(1.0) / F.col("n_windows"), 4).alias(
-            "dup_ratio"
-        ),
-    )
+    return substring_dup_stats(docs, n=8)
 
 
 def test_substring_dedup_short_docs_absent(spark):
@@ -333,35 +315,16 @@ def _identical_under_repartition(spark, build, parts=(1, 13)):
 
 def test_label_centroids_partitioning_invariant(spark, sf_dir):
     """Fixed-point integer accumulation ⇒ same centroid bits on any
-    partitioning (a double sum would drift in the last ulp)."""
-    from lol_data_pipeline_spark.plans.extensions import _CENT_DIM, _CENT_SCALE
+    partitioning (a double sum would drift in the last ulp). Runs
+    the PRODUCTION label_centroids, not a copy."""
+    from lol_data_pipeline_spark.operators.clustering import label_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def build(p):
-        e = emb.repartition(p)
-        sums = e.groupBy("label").agg(
-            F.count("*").cast("long").alias("n"),
-            *[
-                F.sum(
-                    F.floor(
-                        F.element_at("embedding", d + 1).cast("double")
-                        * F.lit(float(_CENT_SCALE))
-                    ).cast("long")
-                ).alias(f"s{d}")
-                for d in range(_CENT_DIM)
-            ],
-        )
-        return sums.select(
-            "label",
-            "n",
-            *[
-                F.round(
-                    F.col(f"s{d}").cast("double") / F.col("n") / F.lit(float(_CENT_SCALE)), 6
-                ).alias(f"c{d}")
-                for d in range(_CENT_DIM)
-            ],
-        )
+        out = label_centroids(emb.repartition(p))
+        # flatten the array column so row tuples compare exactly
+        return out.select("label", "n", F.expr("array_join(transform(centroid, x -> cast(x as string)), ',')").alias("c"))
 
     rows = _identical_under_repartition(spark, build)
     assert rows
@@ -391,3 +354,28 @@ def test_mixture_sample_partitioning_invariant(spark, sf_dir):
 
     rows = _identical_under_repartition(spark, build)
     assert rows
+
+
+def test_incremental_probe_tolerates_user_is_new_column(spark, sf_dir):
+    """A docs frame that already carries its own `is_new` column (the
+    natural name for a batch flag) must not collide with the probe's
+    internal flag, and NULL flags count as index-side rows."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_new",
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(True)).otherwise(
+            F.lit(None).cast("boolean")
+        ),
+    )
+    out = dd.minhash_lsh_probe(
+        docs, is_new=F.col("is_new"), k=16, bands=8, n=3, threshold=0.8
+    ).collect()
+    # same pairs as the modulo-expression form (NULL ⇒ index side)
+    want = dd.minhash_lsh_probe(
+        load_table(spark, sf_dir, "documents"),
+        is_new=(F.pmod(F.col("doc_id"), F.lit(5)) == 0),
+        k=16, bands=8, n=3, threshold=0.8,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, want))
