@@ -85,6 +85,7 @@ HEADLINE = [
     "emb_label_centroids",
     "dq_referential_integrity",
     "rel_cdc_upsert",
+    "ann_range_search",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1746,3 +1746,54 @@ def emb_label_centroids(spark, sf_dir):
     return label_centroids(
         T(spark, sf_dir, "embeddings"), dim=_CENT_DIM, scale=_CENT_SCALE
     )
+
+
+# =========================================================================
+# ann_range_search — radius (threshold) similarity search
+# =========================================================================
+
+
+@query(
+    "ann_range_search",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10)
+    SELECT q.query_id, c.vec_id AS match_id,
+           {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+    FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    WHERE {SQL_COS.format(a='q.qvec', b='c.embedding')} >= 0.3
+    """,
+)
+def ann_range_search(spark, sf_dir):
+    """Radius search: ALL corpus vectors within a cosine-similarity
+    threshold of each query — the other half of the similarity-search
+    API surface (top-k answers "best k"; range answers "everything
+    this close", the shape dedup thresholds and recall evaluation
+    need). Result size is data-dependent, so there is NO top-k window
+    at all — a pure filter after scoring, nothing to single-partition.
+
+    Layout mirrors the brute-force top-k: queries broadcast with
+    precomputed norms, the corpus is scanned once and never shuffled
+    (with_norm moves the per-pair norm folds to once per row). At
+    100 TB the candidate-pruned variants (IVF cell probe / LSH
+    buckets, both implemented) bound the scan; the exact form is the
+    recall baseline and the oracle shape."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = sim.with_norm(
+        emb.filter(F.col("vec_id") < 10), "embedding", "qnrm"
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "qnrm"
+    )
+    c = sim.with_norm(sim.widen(emb), "embedding", "cnrm")
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.round(
+                sim.dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )

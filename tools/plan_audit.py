@@ -50,6 +50,7 @@ CROSS_OK = {
     "emb_knn_graph",  # LSH plane assignment: n_planes-row broadcast cross join
     "rel_gap_fill_locf",  # spine = types x 1-row min/max bounds broadcast
     "text_tfidf_topterms",  # corpus doc-count scalar broadcast (1 row)
+    "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
