@@ -396,3 +396,27 @@ def stream_sliding_multibatch(spark, sf_dir):
     state restore), append mode emits each window exactly once at
     watermark passage; oracle is the batch two-offset cross join."""
     return sw.sliding_counts_multibatch(spark, sf_dir)
+
+
+@query(
+    "stream_cdc_latest",
+    sql="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           ts AS last_ts,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_latest(spark, sf_dir):
+    """Streaming CDC apply over a four-batch replay: per-key
+    last-write-wins state (one tuple per key) materializes the
+    current-state table a change stream implies — the streaming
+    SCD1/upsert. Oracle is the batch row_number() latest-per-key."""
+    from lol_data_pipeline_spark.streaming.stateful import latest_per_key_multibatch
+
+    return latest_per_key_multibatch(spark, sf_dir)

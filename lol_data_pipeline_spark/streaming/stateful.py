@@ -240,3 +240,83 @@ def user_topk_values(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+CDC_OUTPUT_DDL = (
+    "user_id bigint, last_ts_us bigint, last_event_id bigint, "
+    "last_value double, upd bigint"
+)
+
+
+def _cdc_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Last-write-wins merge: state = (ts_us, event_id, value, upd)
+    of the key's newest event so far, ordered by (ts, event_id) —
+    the deterministic tie-break the oracle mirrors. Timestamps ride
+    as integer microseconds through state and output so no float or
+    tz conversion can perturb the comparison."""
+    best = state.get if state.exists else (-1, -1, 0.0, 0)
+    ts_us, eid, val, upd = best
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        ids = pdf["event_id"].astype("int64").to_numpy()
+        vals = pdf["value"].astype("float64").to_numpy()
+        for i in range(len(pdf)):
+            if (us[i], ids[i]) > (ts_us, eid):
+                ts_us, eid, val = int(us[i]), int(ids[i]), float(vals[i])
+    upd += 1
+    state.update((ts_us, eid, val, upd))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "last_ts_us": pd.Series([ts_us], dtype="int64"),
+            "last_event_id": pd.Series([eid], dtype="int64"),
+            "last_value": pd.Series([val], dtype="float64"),
+            "upd": pd.Series([upd], dtype="int64"),
+        }
+    )
+
+
+def latest_per_key_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: materialize each key's LATEST record
+    (last-write-wins by event time, event_id tie-break) across a
+    four-micro-batch ordered replay — the streaming SCD1/upsert that
+    turns a change stream into a current-state table. State is ONE
+    tuple per key regardless of stream volume (the canonical
+    state≪data shape, like top-k); a lost batch or wrong
+    merge-order comparison surfaces as a stale row vs the batch
+    row_number() oracle. The memory sink appends one snapshot per
+    key per batch; the update counter keeps each key's last."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.streaming.windows import (
+        replay_multibatch,
+        time_slices,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _cdc_update,
+            outputStructType=CDC_OUTPUT_DDL,
+            stateStructType="ts_us bigint, eid bigint, val double, upd bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    res = replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "update", f"cdc_mb:{sf_dir}"
+    )
+    import pyspark.sql.functions as F
+
+    last = res.groupBy(F.col("user_id").alias("u")).agg(F.max("upd").alias("last_upd"))
+    return (
+        res.join(last, (res["user_id"] == last["u"]) & (res["upd"] == last["last_upd"]))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
+            "last_event_id",
+            "last_value",
+        )
+    )
