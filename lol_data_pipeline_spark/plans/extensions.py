@@ -1797,3 +1797,56 @@ def ann_range_search(spark, sf_dir):
         )
         .filter(F.col("sim") >= 0.3)
     )
+
+
+# =========================================================================
+# text_hashing_vectorizer — feature-hashing doc vectors (no vocabulary)
+# =========================================================================
+
+_HV_DIM = 16
+
+
+@query(
+    "text_hashing_vectorizer",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
+    h AS (SELECT doc_id, {SQL_MD5_LONG.format(expr='t')} % {_HV_DIM} AS b FROM tok)
+    SELECT doc_id,
+           [{", ".join(f"CAST(sum(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS BIGINT)" for d in range(_HV_DIM))}] AS vec,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM h GROUP BY doc_id
+    """,
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    """Feature-hashing (hashing-trick) document vectors: each token
+    lands in bucket md5(token) mod {dim}, per-doc bucket counts form
+    a fixed-width vector — text vectorization with NO vocabulary,
+    NO model, and NO fitting pass (the sklearn HashingVectorizer /
+    Vowpal Wabbit trick). The workhorse for cheap similarity /
+    clustering features over corpora too large to build a vocab for:
+    the output schema is known before reading a single row, so the
+    operator is embarrassingly shardable.
+
+    Plan: ONE explode + ONE hash-aggregate with {dim} conditional
+    sums (state O(dim) per doc, partial-agg before the only
+    shuffle); the vector assembles in the same aggregate's
+    projection. Exact integer counts — bit-identical on any
+    partitioning and engine by construction. Buckets use the same
+    md5_long the dedup family shares with its oracles."""
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens("text")).alias("t")).select(
+        "doc_id", F.pmod(md5_long("t"), F.lit(_HV_DIM)).alias("b")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_tokens"),
+        *[
+            F.expr(f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                f"v{i}"
+            )
+            for i in range(_HV_DIM)
+        ],
+    )
+    vec = ", ".join(f"v{i}" for i in range(_HV_DIM))
+    return sums.select("doc_id", F.expr(f"array({vec})").alias("vec"), "n_tokens")
