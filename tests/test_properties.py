@@ -297,3 +297,31 @@ def test_time_slices_partition_any_input(spark, secs, n):
     for a, b in zip(non_null, non_null[1:]):
         if a and b:
             assert max(a) <= min(b)  # time-ordered across slices
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_substring_dedup_clone_has_full_ratio(spark, docs):
+    """Cloning any document makes EVERY one of its windows shared —
+    the clone pair must both report dup_ratio 1.0, and ratios are
+    always within [0, 1]. (The defining invariant of the
+    posting-list window-dedup operator, independent of the oracle.)"""
+    from pyspark.sql import Row
+
+    from lol_data_pipeline_spark.operators.dedup import substring_dup_stats
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    clone_src = rows[0]
+    rows.append(Row(doc_id=len(rows), text=clone_src.text))
+    out = {r["doc_id"]: r for r in substring_dup_stats(spark.createDataFrame(rows), n=8).collect()}
+    assert out[clone_src.doc_id]["dup_ratio"] == 1.0
+    assert out[len(rows) - 1]["dup_ratio"] == 1.0
+    for r in out.values():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_dup_windows"] <= r["n_windows"]
