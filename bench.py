@@ -86,6 +86,12 @@ HEADLINE = [
     "dq_referential_integrity",
     "rel_cdc_upsert",
     "ann_range_search",
+    # r5b additions
+    "rel_skyline_parts",
+    "stat_ks_drift",
+    "stat_linreg_hourly",
+    "corpus_shard_plan",
+    "text_unigram_loglik",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -759,3 +759,252 @@ def rel_cdc_upsert(spark, sf_dir):
         ),
         F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+# Two-sample CDF drift: compare value distributions between event
+# types at a fixed 20-point grid derived from the global min/max.
+# The grid formula text is SHARED between the Spark expression and
+# the DuckDB oracle so both engines evaluate identical IEEE doubles.
+_KS_CUTS = 20
+_KS_CUT_SQL = "mn + (mx - mn) * {i} / 20.0"
+
+
+def _ks_cut(i: int) -> str:
+    return _KS_CUT_SQL.format(i=i)
+
+
+@query(
+    "stat_ks_drift",
+    sql=f"""
+    WITH scal AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    cuts AS (
+      SELECT i, {_KS_CUT_SQL.format(i="i")} AS cut
+      FROM range(1, {_KS_CUTS + 1}) t(i), scal
+    ),
+    cdf AS (
+      SELECT event_type, i,
+             CAST(sum(CASE WHEN value <= cut THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS cdf,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events CROSS JOIN cuts
+      GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           max(a.n) AS n_a,
+           max(b.n) AS n_b,
+           round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+    FROM cdf a JOIN cdf b ON a.i = b.i AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def stat_ks_drift(spark, sf_dir):
+    """Distribution-drift detection: a Kolmogorov–Smirnov-style
+    statistic between every pair of event types, evaluated at a
+    FIXED 20-point grid instead of the full empirical CDF.
+
+    The textbook KS statistic sup|F_a − F_b| needs a global sort of
+    both samples — a scale-killer. The grid form needs exactly ONE
+    scan: a 1-row min/max scalar broadcast, then 20 conditional
+    counts per group in a single hash aggregate (20 longs of state
+    per group, independent of data size), then all comparisons
+    happen on a (groups × 20)-row table. Rank error vs the exact
+    statistic is bounded by the largest CDF jump inside one grid
+    cell — the standard sketch trade (same argument as
+    sketch_quantile_hist). Counts are exact integers, so cdf =
+    count/n is a deterministic double in both engines; the grid
+    formula text is shared verbatim with the oracle.
+
+    At 100 TB this is THE feasible drift monitor: one pass, 20
+    counters per group, no sort, no sample collection. No reference
+    parity — north-star data-quality extension (SURVEY §7 M3)."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    scal = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    wide = (
+        ev.join(F.broadcast(scal))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN value <= {_ks_cut(i)} THEN 1 ELSE 0 END")
+                ).alias(f"c{i}")
+                for i in range(1, _KS_CUTS + 1)
+            ],
+        )
+    )
+    stack_args = ", ".join(
+        f"{i}, CAST(c{i} AS DOUBLE) / n" for i in range(1, _KS_CUTS + 1)
+    )
+    cdf = wide.select(
+        "event_type",
+        "n",
+        F.expr(f"stack({_KS_CUTS}, {stack_args}) AS (i, cdf)"),
+    )
+    a = cdf.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("i").alias("ia"),
+        F.col("cdf").alias("cdf_a"),
+    )
+    b = cdf.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("i").alias("ib"),
+        F.col("cdf").alias("cdf_b"),
+    )
+    return (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "stat_linreg_hourly",
+    sql="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    suff AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM base GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM suff
+    """,
+)
+def stat_linreg_hourly(spark, sf_dir):
+    """Per-group ordinary least squares (value vs hour-of-day) from
+    sufficient statistics — the one-pass closed form: slope =
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), plus intercept and r².
+
+    Determinism is the whole design: x is a small integer and y is
+    fixed-point cents (round(value·100) as BIGINT), so all six
+    sufficient statistics are EXACT integer sums — immune to
+    float-summation order, hence identical under any partitioning
+    and in both engines. Floats appear only in the final per-group
+    combination, written as the same expression text on both sides.
+
+    At 100 TB: one scan, one hash aggregate with 6 longs of state
+    per group — the same mergeable-sufficient-statistics pattern as
+    stat_corr_matrix, and the template for any moment-based model
+    fit (the int64 sums hold to ~10¹⁴ rows per group at these
+    magnitudes; beyond that the same shape runs on DECIMAL(38)).
+    No reference parity — north-star profiling extension."""
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    suff = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    dxx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    dyy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    return suff.select(
+        "event_type",
+        "n",
+        F.expr(f"round({num} / {dxx}, 6)").alias("slope_cents"),
+        F.expr(
+            f"round((CAST(sy AS DOUBLE) - ({num} / {dxx}) * CAST(sx AS DOUBLE)) / n, 6)"
+        ).alias("intercept_cents"),
+        F.expr(f"round({num} * {num} / ({dxx} * {dyy}), 6)").alias("r2"),
+    )
+
+
+@query(
+    "rel_skyline_parts",
+    sql="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def rel_skyline_parts(spark, sf_dir):
+    """Pareto frontier (skyline) over part: minimize p_retailprice
+    while maximizing p_size — rows no other row dominates.
+
+    The naive plan is an all-pairs NOT EXISTS (quadratic). The
+    scale-safe shape is two-phase bucket pruning:
+
+    1. bucket parts into 32 price bands (1-row min/max scalar
+       broadcast; bucket index is monotone in price, so a row in a
+       strictly lower band is strictly cheaper),
+    2. per-band max size (≤32 rows) → prefix-max over strictly
+       cheaper bands (32×32 driver-free self-join), broadcast back:
+       any row whose size ≤ the cheaper-prefix max is dominated by
+       SOME strictly-cheaper row and is pruned without ever being
+       compared pairwise,
+    3. the surviving candidates hug the frontier staircase (a
+       vanishing fraction of the data — pruning removed everything
+       strictly inside it), so the exact dominance anti-join runs
+       on candidates × candidates via broadcast, never data × data.
+
+    Pruning is sound: it only drops rows with a strict dominator, so
+    the skyline survives intact and the oracle can stay the plain
+    NOT EXISTS form. Degenerate guard: if every price is identical
+    all rows land in one band and the plan degrades to exact-only —
+    correct, and the band count (or a second dimension grid) is the
+    tuning knob. No reference parity — north-star analytic."""
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    scal = p.agg(F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx"))
+    bucket_sql = (
+        "least(31, greatest(0, CAST(floor((p_retailprice - mn) * 32.0 / (mx - mn + 1e-9)) AS INT)))"
+    )
+    banded = p.join(F.broadcast(scal)).withColumn("b", F.expr(bucket_sql))
+    bmax = banded.groupBy("b").agg(F.max("p_size").alias("bmax"))
+    lower = bmax.select(F.col("b").alias("lb"), F.col("bmax").alias("lmax"))
+    pm = (
+        bmax.join(lower, F.col("lb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.max("lmax").alias("pmax"))
+    )
+    cand = (
+        banded.join(F.broadcast(pm), "b")
+        .filter(F.col("pmax").isNull() | (F.col("p_size") > F.col("pmax")))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    cand = tracked_persist(cand)
+    q = cand.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") > F.col("p_size")))
+    )
+    return cand.join(F.broadcast(q), dominated, "left_anti")

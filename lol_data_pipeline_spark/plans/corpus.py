@@ -546,3 +546,64 @@ def corpus_mixture_sample(spark, sf_dir):
         )
         .withColumn("epoch", F.col("epoch").cast("long"))
     )
+
+
+@query(
+    "corpus_shard_plan",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             {SQL_MD5_LONG.format(expr="concat('shard:', CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+             {SQL_MD5_LONG.format(expr="concat('ord:', CAST(doc_id AS VARCHAR))")} AS sort_key
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(sort_key) AS first_key,
+           max(sort_key) AS last_key,
+           min_by(doc_id, sort_key) AS first_doc
+    FROM keyed GROUP BY 1
+    """,
+)
+def corpus_shard_plan(spark, sf_dir):
+    """Deterministic global-shuffle plan for training-data sharding:
+    every document gets a content-independent (shard, sort_key) from
+    engine-portable md5 hashes, and the entry reports the per-shard
+    balance sheet (doc count, byte mass, key range, first doc).
+
+    Why hash-order instead of a shuffled row_number: a global random
+    permutation needs a data-sized sort to ONE ordering authority,
+    and isn't reproducible across reruns/partitionings. Hash keys
+    give the same three properties training wants — uniform shard
+    balance, a total deterministic order within each shard (sort by
+    sort_key at write time, a per-shard local sort), and exact
+    reproducibility from doc_id alone — with zero data-sized
+    coordination: the assignment is a per-row projection and the
+    report is one 16-group aggregate with constant state.
+
+    At 100 TB the write path is
+    `df.repartition(16, shard).sortWithinPartitions(sort_key)` — one
+    shuffle whose reducers ARE the shards; this entry pins the
+    assignment semantics that write depends on. Reference analog:
+    the match-ID list partitioning the bulk fetch fans out over
+    (`/root/reference/src/api/pipeline.py:30-35`), generalized to
+    reproducible ML shards."""
+    d = T(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 16
+        ).alias("shard"),
+        md5_long(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("sort_key").alias("first_key"),
+        F.max("sort_key").alias("last_key"),
+        F.min_by("doc_id", "sort_key").alias("first_doc"),
+    )

@@ -1861,3 +1861,93 @@ def text_hashing_vectorizer(spark, sf_dir):
     )
     vec = ", ".join(f"v{i}" for i in range(_HV_DIM))
     return sums.select("doc_id", F.expr(f"array({vec})").alias("vec"), "n_tokens")
+
+
+_ULM_VOCAB_K = 512
+
+
+@query(
+    "text_unigram_loglik",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tok),
+    vocab AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT {_ULM_VOCAB_K}),
+    lp AS (
+      SELECT term,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT) AS lp
+      FROM vocab, total
+    ),
+    oov AS (
+      SELECT CAST(round(ln(1.0 / tot) * 1000000) AS BIGINT) AS lp_oov FROM total
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(coalesce(l.lp, o.lp_oov)) AS sum_lp_e6,
+           round(CAST(sum(coalesce(l.lp, o.lp_oov)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS avg_lp
+    FROM tok t LEFT JOIN lp l ON t.term = l.term CROSS JOIN oov o
+    GROUP BY 1
+    """,
+)
+def text_unigram_loglik(spark, sf_dir):
+    """CCNet-style language-model quality scoring: per-document mean
+    log-likelihood under a corpus unigram LM with a bounded top-K
+    vocabulary (K=512) and an out-of-vocabulary floor of ln(1/total).
+    Low (very negative) scores flag gibberish / boilerplate docs —
+    the classic perplexity filter of LLM curation pipelines, reduced
+    to its feasible-at-scale unigram form.
+
+    Scale design: the term-frequency table can be data-sized, but the
+    MODEL is capped at K rows via the partition-local-heap top-k
+    (global_topk_ranked — no global sort, no unpartitioned window)
+    and broadcast to the scoring join; the corpus total is a 1-row
+    scalar broadcast. Per-token log-probs are frozen to fixed-point
+    micro-nats (round(ln·10⁶) as BIGINT) BEFORE the per-doc sum, so
+    the aggregate is an exact integer — deterministic under any
+    partitioning and identical across engines (float log-prob sums
+    would differ by summation order). Docs with zero tokens have no
+    likelihood and drop out (mirrored by the oracle's inner unnest).
+
+    No reference parity — north-star text-analysis extension
+    (SURVEY §7 M3)."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    d = T(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    )
+    tf = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = tok.agg(F.count("*").cast("long").alias("tot"))
+    vocab = global_topk_ranked(tf, [("cnt", True), ("term", False)], _ULM_VOCAB_K)
+    lp = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.expr("CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)").alias(
+            "lp"
+        ),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "term", "left")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.coalesce(
+                    F.col("lp"),
+                    F.expr("CAST(round(ln(1.0 / tot) * 1000000) AS BIGINT)"),
+                )
+            ).alias("sum_lp_e6"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp_e6",
+        F.expr(
+            "round(CAST(sum_lp_e6 AS DOUBLE) / n_tokens / 1000000.0, 6)"
+        ).alias("avg_lp"),
+    )

@@ -1,0 +1,260 @@
+"""Behavioral tests for the second round-5 operator batch: Pareto
+skyline, KS-grid drift, sufficient-statistics OLS, deterministic
+shard planning, unigram-LM quality scoring.
+
+Oracle parity (tests/test_parity_all.py + tools/check_parity.py)
+pins exact values; these pin the SEMANTIC invariants a refactor
+could silently break while still matching a co-refactored oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.plans import REGISTRY
+from tests.conftest import SF_SMALL as SF
+
+
+# ---------------------------------------------------------------- rel_skyline_parts
+
+
+def test_skyline_rows_are_mutually_nondominated(spark):
+    """No returned row dominates another returned row, and every
+    returned row is genuinely non-dominated in the source table —
+    the definition, checked exhaustively at sf0.001."""
+    out = REGISTRY["rel_skyline_parts"].fn(spark, SF).collect()
+    src = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_size", "p_retailprice")
+        .collect()
+    )
+
+    def dominates(a_price, a_size, b_price, b_size):
+        return (
+            a_price <= b_price
+            and a_size >= b_size
+            and (a_price < b_price or a_size > b_size)
+        )
+
+    for r in out:
+        for s in src:
+            assert not dominates(
+                s["p_retailprice"], s["p_size"], r["p_retailprice"], r["p_size"]
+            ), f"{r} dominated by {s}"
+    for a in out:
+        for b in out:
+            if a is not b:
+                assert not dominates(
+                    a["p_retailprice"], a["p_size"], b["p_retailprice"], b["p_size"]
+                )
+
+
+def test_skyline_frontier_is_strictly_increasing_staircase(spark):
+    """Over DISTINCT (price, size) points sorted by ascending price,
+    skyline sizes strictly INCREASE — paying more must buy strictly
+    more size, else the cheaper point dominates (min-price/max-size
+    frontier shape). Exact duplicates of a frontier point all
+    survive strict dominance, hence the dedupe before the check."""
+    pts = sorted(
+        {
+            (r["p_retailprice"], r["p_size"])
+            for r in REGISTRY["rel_skyline_parts"].fn(spark, SF).collect()
+        }
+    )
+    sizes = [s for _, s in pts]
+    assert sizes == sorted(sizes)
+    assert len(set(sizes)) == len(sizes)
+    prices = [p for p, _ in pts]
+    assert len(set(prices)) == len(prices)
+
+
+# ---------------------------------------------------------------- stat_ks_drift
+
+
+def test_ks_drift_bounds_and_symmetric_pairs(spark):
+    """KS statistic is in [0, 1]; every unordered type pair appears
+    exactly once (canonical a < b orientation)."""
+    rows = REGISTRY["stat_ks_drift"].fn(spark, SF).collect()
+    assert rows, "no pairs produced"
+    seen = set()
+    for r in rows:
+        assert 0.0 <= r["ks_stat"] <= 1.0
+        assert r["type_a"] < r["type_b"]
+        key = (r["type_a"], r["type_b"])
+        assert key not in seen
+        seen.add(key)
+
+
+def test_ks_drift_identical_samples_score_zero(spark):
+    """Two groups with identical value multisets have KS = 0 at every
+    grid point — drift detector must not false-positive on clones."""
+    from pyspark.sql import Row
+
+    base = [Row(event_type="a", value=float(v)) for v in range(100)]
+    clone = [Row(event_type="b", value=float(v)) for v in range(100)]
+    df = spark.createDataFrame(base + clone)
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    scal = df.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    wide = (
+        df.join(F.broadcast(scal))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN value <= {bh._ks_cut(i)} THEN 1 ELSE 0 END")
+                ).alias(f"c{i}")
+                for i in range(1, bh._KS_CUTS + 1)
+            ]
+        )
+    )
+    a, b = sorted(wide.collect(), key=lambda r: r["event_type"])
+    assert [a[f"c{i}"] for i in range(1, 21)] == [b[f"c{i}"] for i in range(1, 21)]
+
+
+# ---------------------------------------------------------------- stat_linreg_hourly
+
+
+def test_linreg_recovers_exact_line(spark):
+    """On noiseless y = 3x + 5 (cents: 300x + 500) the closed form
+    returns the exact slope/intercept and r² = 1."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    rows = [
+        Row(
+            event_type="t",
+            ts=dt.datetime(2024, 1, 1, h, 0, 0),
+            value=3.0 * h + 5.0,
+        )
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows)
+    base = df.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    suff = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    dxx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    dyy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    r = suff.select(
+        F.expr(f"round({num} / {dxx}, 6)").alias("slope"),
+        F.expr(f"round({num} * {num} / ({dxx} * {dyy}), 6)").alias("r2"),
+    ).collect()[0]
+    assert r["slope"] == 300.0
+    assert r["r2"] == 1.0
+
+
+def test_linreg_entry_r2_within_bounds(spark):
+    for r in REGISTRY["stat_linreg_hourly"].fn(spark, SF).collect():
+        if r["r2"] is not None:
+            assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------- corpus_shard_plan
+
+
+def test_shard_plan_partitioning_independent(spark):
+    """The shard report is identical under different input
+    partitionings — the reproducibility property the hash design
+    buys (a row_number-based shuffle would NOT survive this)."""
+    fn = REGISTRY["corpus_shard_plan"].fn
+
+    def keyify(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = keyify(fn(spark, SF))
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").repartition(13)
+    import lol_data_pipeline_spark.plans.corpus  # noqa: F401
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % 16
+        ).alias("shard"),
+        md5_long(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    rep = keyed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("sort_key").alias("first_key"),
+        F.max("sort_key").alias("last_key"),
+        F.min_by("doc_id", "sort_key").alias("first_doc"),
+    )
+    assert keyify(rep) == base
+
+
+def test_shard_plan_covers_all_docs_balanced(spark):
+    rows = REGISTRY["corpus_shard_plan"].fn(spark, SF).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_docs == total
+    assert len(rows) == 16
+    counts = [r["n_docs"] for r in rows]
+    # md5 sharding should be roughly uniform: no empty shard and no
+    # shard holding more than 4x its fair share on 500 docs.
+    assert min(counts) > 0
+    assert max(counts) <= 4 * total / 16
+
+
+# ---------------------------------------------------------------- text_unigram_loglik
+
+
+def test_unigram_loglik_common_beats_rare(spark):
+    """A doc made of corpus-frequent words must score (avg log-lik)
+    strictly higher than a doc of hapax gibberish — the separation
+    the quality filter exists to provide."""
+    from pyspark.sql import Row
+
+    common = "the cat sat on the mat and the dog sat too"
+    docs = [Row(doc_id=i, text=common) for i in range(20)]
+    docs.append(Row(doc_id=99, text="zxqv wplk jhgf qwerty uiopz"))
+    df = spark.createDataFrame(docs)
+    df.createOrReplaceTempView("___ulm_docs")
+    # reuse the production plan body against the temp frame via the
+    # registered fn's module helpers
+    from lol_data_pipeline_spark.functions import text as tx
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    tok = df.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = tok.agg(F.count("*").cast("long").alias("tot"))
+    vocab = global_topk_ranked(tf, [("cnt", True), ("term", False)], 512)
+    lp = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.expr("CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000) AS BIGINT)").alias("lp"),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "term", "left")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("lp"), F.expr("CAST(round(ln(1.0 / tot) * 1000000) AS BIGINT)"))).alias("s"),
+        )
+        .select("doc_id", (F.col("s") / F.col("n_tokens")).alias("avg"))
+    )
+    out = {r["doc_id"]: r["avg"] for r in scored.collect()}
+    assert out[0] > out[99]
+
+
+def test_unigram_loglik_entry_scores_negative(spark):
+    rows = REGISTRY["text_unigram_loglik"].fn(spark, SF).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_lp"] < 0.0
+        assert r["n_tokens"] > 0

@@ -51,6 +51,11 @@ CROSS_OK = {
     "rel_gap_fill_locf",  # spine = types x 1-row min/max bounds broadcast
     "text_tfidf_topterms",  # corpus doc-count scalar broadcast (1 row)
     "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
+    "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
+    "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
+    "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
+    # and frontier-candidates x candidates dominance anti-join — all
+    # bounded by construction (band count / staircase size), never data x data
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
