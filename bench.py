@@ -92,6 +92,7 @@ HEADLINE = [
     "stat_linreg_hourly",
     "corpus_shard_plan",
     "text_unigram_loglik",
+    "ann_recall_eval",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1951,3 +1951,89 @@ def text_unigram_loglik(spark, sf_dir):
             "round(CAST(sum_lp_e6 AS DOUBLE) / n_tokens / 1000000.0, 6)"
         ).alias("avg_lp"),
     )
+
+
+@query(
+    "ann_recall_eval",
+    sql=f"""
+    WITH qe AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+    se AS (
+      SELECT qe.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='qe.qvec', b='c.embedding')} AS sim
+      FROM qe JOIN embeddings c ON c.vec_id <> qe.query_id
+    ),
+    re AS (
+      SELECT query_id, match_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+      FROM se
+    ),
+    exact AS (SELECT query_id, match_id FROM re WHERE rank <= 5),
+    cent AS (SELECT vec_id AS cell_id, embedding AS centvec FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC, cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    qi AS (SELECT vec_id AS query_id, embedding AS qvec, cell_id AS qcell FROM cells WHERE vec_id < 20),
+    si AS (
+      SELECT qi.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='qi.qvec', b='c.embedding')} AS sim
+      FROM qi JOIN cells c ON c.cell_id = qi.qcell AND c.vec_id <> qi.query_id
+    ),
+    ri AS (
+      SELECT query_id, match_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+      FROM si
+    ),
+    approx AS (SELECT query_id, match_id FROM ri WHERE rank <= 5)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.match_id = e.match_id
+    GROUP BY 1
+    """,
+)
+def ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the IVF approximate index against brute-force
+    ground truth, per query — the evaluation harness every ANN
+    deployment needs before trusting an index ("measure, don't
+    guess": an IVF cell that silently drops true neighbors shows up
+    HERE, not in the index entry's own oracle, which only pins the
+    algorithm as specified).
+
+    Both sides reuse the production operators verbatim
+    (operators/similarity.cosine_topk and .ivf_topk on the same
+    20-query set), so this entry breaks if either implementation
+    drifts. The comparison itself is a (queries×k)-row left join —
+    trivially small. At 100 TB the exact side is the expensive leg;
+    the standard practice this entry models is running it over a
+    fixed evaluation sample (here: query ids < 20) rather than the
+    full corpus, which is exactly what keeps the eval affordable at
+    any scale. No reference parity — north-star similarity-search
+    extension (SURVEY §7 M3)."""
+    emb = T(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    approx = sim.ivf_topk(emb, n_centroids=8, k=5, n_queries=20)
+    e = exact.select("query_id", "match_id")
+    a = approx.select(
+        F.col("query_id").alias("aq"),
+        F.col("match_id").alias("am"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        e.join(a, (F.col("query_id") == F.col("aq")) & (F.col("match_id") == F.col("am")), "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / count(*), 6)"
+            ).alias("recall_at_5"),
+        )
+    )

@@ -333,3 +333,32 @@ def test_substring_dedup_projects_arrays_before_shuffle(spark, sf_dir):
         assert "_ws_toks" not in keys and " s#" not in keys, keys
     # no exchange's output should include the shingle array column
     assert "CartesianProduct" not in plan
+
+
+def test_r5b_entries_scale_shapes(spark, sf_dir):
+    """The r5b batch keeps its scale claims at the plan level:
+    unigram vocab capping is TakeOrderedAndProject (never an
+    unpartitioned rank window over the data-sized vocabulary);
+    skyline's exact dominance pass is a broadcast nested loop over
+    the pruned candidates only; the drift/OLS aggregates carry no
+    join (resp. no data-sized join) and no global window."""
+    import tools.plan_audit as pa
+
+    plan = physical_plan(spark, sf_dir, "text_unigram_loglik")
+    assert not pa.has_global_window(plan)
+    assert "TakeOrderedAndProject" in plan
+
+    plan = physical_plan(spark, sf_dir, "rel_skyline_parts")
+    assert not pa.has_global_window(plan)
+    assert "BroadcastNestedLoopJoin" in plan
+
+    plan = physical_plan(spark, sf_dir, "stat_ks_drift")
+    assert not pa.has_global_window(plan)
+
+    plan = physical_plan(spark, sf_dir, "stat_linreg_hourly")
+    assert not pa.has_global_window(plan)
+    assert "Join" not in plan
+
+    plan = physical_plan(spark, sf_dir, "corpus_shard_plan")
+    assert not pa.has_global_window(plan)
+    assert "Join" not in plan

@@ -258,3 +258,45 @@ def test_unigram_loglik_entry_scores_negative(spark):
     for r in rows:
         assert r["avg_lp"] < 0.0
         assert r["n_tokens"] > 0
+
+
+# ---------------------------------------------------------------- ann_recall_eval
+
+
+def test_ann_recall_eval_bounds(spark):
+    """Each of the 20 queries reports exactly k=5 ground-truth rows,
+    0 <= n_hit <= 5, and recall == n_hit/5 — the harness invariants
+    regardless of how good the index is."""
+    rows = REGISTRY["ann_recall_eval"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= 5
+        assert abs(r["recall_at_5"] - r["n_hit"] / 5.0) < 1e-9
+
+
+def test_ann_recall_eval_perfect_when_one_cell(spark):
+    """With a single IVF cell the index IS brute force — recall must
+    be exactly 1.0 for every query (eval-harness sanity: it can
+    detect 'no loss', not only loss)."""
+    from pyspark.sql import Row
+    from lol_data_pipeline_spark.operators import similarity as sim_ops
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), float((i * 3) % 5), 1.0]) for i in range(30)]
+    )
+    exact = sim_ops.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    approx = sim_ops.ivf_topk(emb, n_centroids=1, k=3, n_queries=5)
+    e = exact.select("query_id", "match_id")
+    a = approx.select(
+        F.col("query_id").alias("aq"), F.col("match_id").alias("am"), F.lit(1).alias("hit")
+    )
+    out = (
+        e.join(a, (F.col("query_id") == F.col("aq")) & (F.col("match_id") == F.col("am")), "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(out) == 5
+    for r in out:
+        assert r["n_hit"] == r["n"]
