@@ -93,6 +93,8 @@ HEADLINE = [
     "corpus_shard_plan",
     "text_unigram_loglik",
     "ann_recall_eval",
+    "rel_rolling_wau",
+    "stat_entropy_daily",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1008,3 +1008,122 @@ def rel_skyline_parts(spark, sf_dir):
         & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") > F.col("p_size")))
     )
     return cand.join(F.broadcast(q), dominated, "left_anti")
+
+
+@query(
+    "rel_rolling_wau",
+    sql="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM du),
+    rolled AS (
+      SELECT s.day AS report_day, du.user_id
+      FROM spine s JOIN du ON du.day BETWEEN s.day - 6 AND s.day
+    ),
+    wau AS (
+      SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM rolled GROUP BY 1
+    ),
+    dau AS (
+      SELECT day AS report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM du GROUP BY 1
+    )
+    SELECT d.report_day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.report_day = w.report_day
+    """,
+)
+def rel_rolling_wau(spark, sf_dir):
+    """Rolling 7-day distinct users (WAU) per day, plus DAU and the
+    DAU/WAU stickiness ratio — the canonical engagement dashboard
+    query, and the shape every "rolling distinct" metric takes.
+
+    Spark has no COUNT(DISTINCT) OVER a range frame, and a
+    range-join against raw events would re-scan the fact 7×. The
+    scale-safe form collapses FIRST: events → distinct (day, user)
+    pairs (one shuffle, map-side combine absorbs the per-day event
+    volume — the output is active-pairs-sized, not events-sized),
+    then each pair is exploded to the ≤7 report days it serves
+    (bounded fan-out, a projection) and semi-joined to observed
+    days, then ONE distinct-count per report day. Total: two keyed
+    shuffles over active-pairs-sized data, never an events-sized
+    range join. The same template computes rolling 28-day MAU by
+    widening the sequence. No reference parity — north-star
+    behavioral extension (SURVEY §7 M3)."""
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct().withColumnRenamed("day", "report_day")
+    rolled = (
+        du.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("report_day", F.expr("date_add(day, o)"))
+        .join(spine, "report_day")
+    )
+    wau = rolled.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau = du.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return dau.join(wau, "report_day").select(
+        "report_day",
+        "dau",
+        "wau",
+        F.expr("round(CAST(dau AS DOUBLE) / wau, 6)").alias("stickiness"),
+    )
+
+
+@query(
+    "stat_entropy_daily",
+    sql="""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, sum(c) AS n FROM counts GROUP BY 1),
+    terms AS (
+      SELECT c.day, t.n,
+             CAST(round((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n) * 1000000000) AS BIGINT) AS term_e9
+      FROM counts c JOIN tot t ON c.day = t.day
+    )
+    SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-CAST(sum(term_e9) AS DOUBLE) / 1000000000.0, 6) AS entropy_nats
+    FROM terms GROUP BY 1
+    """,
+)
+def stat_entropy_daily(spark, sf_dir):
+    """Shannon entropy of the daily event-type mix — the behavioral
+    diversity monitor (a day whose traffic collapses onto one event
+    type drops to ~0 nats; uniform mix over k types scores ln k).
+    Pairs with stat_ks_drift as the pipeline's drift dashboard: KS
+    watches value distributions, this watches categorical mixes.
+
+    Two stacked aggregates sharing the day partitioning (per-(day,
+    type) counts, then per-day totals — the second groupBy reuses
+    the first shuffle's keys); each −p·ln p term is frozen to
+    fixed-point nano-nats BEFORE the per-day sum, so the entropy is
+    an exact-integer aggregate — deterministic under any
+    partitioning and identical across engines. Per-day state is one
+    counter per observed type (bounded by the type vocabulary, not
+    by events). No reference parity — north-star data-quality
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = counts.groupBy("day").agg(F.sum("c").alias("n"))
+    terms = counts.join(tot, "day").select(
+        "day",
+        "n",
+        F.expr(
+            "CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("term_e9"),
+    )
+    return terms.groupBy("day").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.expr("round(-CAST(sum(term_e9) AS DOUBLE) / 1000000000.0, 6)").alias(
+            "entropy_nats"
+        ),
+    )

@@ -300,3 +300,102 @@ def test_ann_recall_eval_perfect_when_one_cell(spark):
     assert len(out) == 5
     for r in out:
         assert r["n_hit"] == r["n"]
+
+
+# ---------------------------------------------------------------- rel_rolling_wau
+
+
+def test_rolling_wau_dominates_dau_and_monotone_window(spark):
+    """WAU >= DAU always (the 7-day set contains the 1-day set);
+    stickiness in (0, 1]; every report day is an observed day."""
+    rows = REGISTRY["rel_rolling_wau"].fn(spark, SF).collect()
+    assert rows
+    observed = {
+        r["day"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["wau"] >= r["dau"] >= 1
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["report_day"] in observed
+
+
+def test_rolling_wau_exact_on_synthetic_window(spark):
+    """Hand-checkable case: user 1 active day 1 only, user 2 active
+    days 1 and 8. Day 8's WAU window [2..8] contains only user 2."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 1, 1, 12), user_id=1),
+            Row(ts=dt.datetime(2024, 1, 1, 13), user_id=2),
+            Row(ts=dt.datetime(2024, 1, 8, 12), user_id=2),
+        ]
+    )
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct().withColumnRenamed("day", "report_day")
+    rolled = (
+        du.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("report_day", F.expr("date_add(day, o)"))
+        .join(spine, "report_day")
+    )
+    wau = {
+        r["report_day"].isoformat(): r["wau"]
+        for r in rolled.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    assert wau["2024-01-01"] == 2
+    assert wau["2024-01-08"] == 1
+
+
+# ---------------------------------------------------------------- stat_entropy_daily
+
+
+def test_entropy_daily_bounds(spark):
+    """0 <= H <= ln(n_types) per day (within fixed-point epsilon)."""
+    import math
+
+    rows = REGISTRY["stat_entropy_daily"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-6
+
+
+def test_entropy_extremes(spark):
+    """Single-type day scores exactly 0; uniform 4-type day scores
+    ln 4 (to fixed-point resolution)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+
+    ev = spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 2, 1, 1), event_type="only")] * 10
+        + [
+            Row(ts=dt.datetime(2024, 2, 2, h + 1), event_type=t)
+            for h in range(5)
+            for t in ("a", "b", "c", "d")
+        ]
+    )
+    counts = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = counts.groupBy("day").agg(F.sum("c").alias("n"))
+    terms = counts.join(tot, "day").select(
+        "day",
+        F.expr(
+            "CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)"
+            " * 1000000000) AS BIGINT)"
+        ).alias("t9"),
+    )
+    out = {
+        r["day"].isoformat(): -r["s"] / 1e9
+        for r in terms.groupBy("day").agg(F.sum("t9").alias("s")).collect()
+    }
+    assert out["2024-02-01"] == 0.0
+    assert abs(out["2024-02-02"] - math.log(4)) < 1e-6

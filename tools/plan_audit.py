@@ -52,6 +52,7 @@ CROSS_OK = {
     "text_tfidf_topterms",  # corpus doc-count scalar broadcast (1 row)
     "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
     "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
+    "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
     "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
     # and frontier-candidates x candidates dominance anti-join — all
