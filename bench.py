@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_recall_eval",
     "rel_rolling_wau",
     "stat_entropy_daily",
+    "rel_interval_overlap",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

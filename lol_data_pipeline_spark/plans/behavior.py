@@ -1127,3 +1127,95 @@ def stat_entropy_daily(spark, sf_dir):
             "entropy_nats"
         ),
     )
+
+
+@query(
+    "rel_interval_overlap",
+    sql=f"""
+    WITH base AS (
+      SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_SESSION_GAP_MS}
+                     THEN 1 ELSE 0 END AS s_flag
+      FROM base
+    ), sess AS (
+      SELECT *, sum(s_flag) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    win AS (
+      SELECT day,
+             CAST(day AS TIMESTAMP) + INTERVAL 2 HOUR AS w_start,
+             CAST(day AS TIMESTAMP) + INTERVAL 4 HOUR AS w_end
+      FROM days
+    )
+    SELECT w.day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+           CAST(sum(epoch_ms(least(s.s_end, w.w_end))
+                    - epoch_ms(greatest(s.s_start, w.w_start))) AS BIGINT) AS overlap_ms
+    FROM win w JOIN sessions s
+      ON s.s_start <= w.w_end AND s.s_end >= w.w_start
+    GROUP BY 1
+    """,
+)
+def rel_interval_overlap(spark, sf_dir):
+    """Interval-overlap join WITHOUT a shared equi-key: user sessions
+    (derived by the same 30-min-gap sessionization as
+    rel_sessionize_events) against daily 02:00–04:00 maintenance
+    windows — which sessions were live during each window, and for
+    how long.
+
+    rel_range_join's trick (equi-key carries the shuffle, range
+    predicate rides inside the join) needs a shared key; a pure
+    overlap join has none, and the naive form is a cartesian with an
+    inequality filter — the classic scale-killer. The scale-safe
+    manufacture: BUCKET time by day on both sides. Each session
+    explodes to the calendar days it touches (fan-out bounded by
+    interval length / bucket width — here ≤2 for sub-day sessions),
+    windows carry their own day, and the join becomes an EQUI-join
+    on day with the exact overlap predicate evaluated only within a
+    bucket. A window's day is unique, so bucketing cannot duplicate
+    a (session, window) pair. Overlap duration sums exact epoch-ms
+    integers — deterministic. Same pattern at any scale: pick the
+    bucket width ~ the p99 interval length. No reference parity —
+    north-star relational extension (SURVEY §7 M3)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    flag = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > _SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    sessions = sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    win = days.select(
+        "day",
+        F.expr("CAST(day AS TIMESTAMP) + INTERVAL 2 HOUR").alias("w_start"),
+        F.expr("CAST(day AS TIMESTAMP) + INTERVAL 4 HOUR").alias("w_end"),
+    )
+    bucketed = sessions.withColumn(
+        "day", F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end")))
+    )
+    joined = bucketed.join(F.broadcast(win), "day").filter(
+        (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start"))
+    )
+    return joined.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.unix_millis(F.least("s_end", "w_end"))
+            - F.unix_millis(F.greatest("s_start", "w_start"))
+        ).cast("long").alias("overlap_ms"),
+    )

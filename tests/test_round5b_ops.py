@@ -399,3 +399,76 @@ def test_entropy_extremes(spark):
     }
     assert out["2024-02-01"] == 0.0
     assert abs(out["2024-02-02"] - math.log(4)) < 1e-6
+
+
+# ---------------------------------------------------------------- rel_interval_overlap
+
+
+def test_interval_overlap_invariants(spark):
+    rows = REGISTRY["rel_interval_overlap"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_sessions"] >= r["n_users"] >= 1
+        assert r["overlap_ms"] >= 0
+        # a session can overlap at most the 2h window per day
+        assert r["overlap_ms"] <= r["n_sessions"] * 2 * 3600 * 1000
+
+
+def test_interval_overlap_bucketing_no_duplicates(spark):
+    """A midnight-crossing session touches two day buckets but must
+    pair with each window at most once, with exact clamped overlap."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    # one session 23:00 day1 .. 03:00 day2 (crosses midnight, overlaps
+    # day2's 02:00-04:00 window by exactly 1h), plus a filler event
+    # so day1 exists in the spine
+    ev = spark.createDataFrame(
+        [
+            Row(ts=dt.datetime(2024, 3, 1, 23, 0), user_id=7, event_id=1),
+            Row(ts=dt.datetime(2024, 3, 1, 23, 20), user_id=7, event_id=2),
+            Row(ts=dt.datetime(2024, 3, 1, 23, 40), user_id=7, event_id=3),
+            Row(ts=dt.datetime(2024, 3, 2, 0, 0), user_id=7, event_id=4),
+            Row(ts=dt.datetime(2024, 3, 2, 3, 0), user_id=7, event_id=5),
+        ]
+    )
+    # replicate the entry's plan on the inline frame
+    from pyspark.sql import Window as W
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    flag = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > bh._SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = ev.withColumn("session_idx", F.sum(flag).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sessions = sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    # the 00:00->03:00 gap is 3h > 30min, so this is actually TWO
+    # sessions: [23:00, 00:00] and [03:00, 03:00]
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    win = days.select(
+        "day",
+        F.expr("CAST(day AS TIMESTAMP) + INTERVAL 2 HOUR").alias("w_start"),
+        F.expr("CAST(day AS TIMESTAMP) + INTERVAL 4 HOUR").alias("w_end"),
+    )
+    bucketed = sessions.withColumn(
+        "day", F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end")))
+    )
+    joined = bucketed.join(F.broadcast(win), "day").filter(
+        (F.col("s_start") <= F.col("w_end")) & (F.col("s_end") >= F.col("w_start"))
+    )
+    out = joined.select(
+        "day",
+        "session_idx",
+        (
+            F.unix_millis(F.least("s_end", "w_end"))
+            - F.unix_millis(F.greatest("s_start", "w_start"))
+        ).alias("ms"),
+    ).collect()
+    # only the instantaneous 03:00 session overlaps day2's window
+    assert len(out) == 1
+    assert out[0]["day"].isoformat() == "2024-03-02"
+    assert out[0]["ms"] == 0
