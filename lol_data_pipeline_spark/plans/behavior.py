@@ -765,8 +765,12 @@ def rel_cdc_upsert(spark, sf_dir):
 # types at a fixed 20-point grid derived from the global min/max.
 # The grid formula text is SHARED between the Spark expression and
 # the DuckDB oracle so both engines evaluate identical IEEE doubles.
+# The LAST cut is the literal max: mn + (mx-mn)*20/20.0 can round a
+# hair BELOW mx in IEEE arithmetic, silently dropping max-valued rows
+# from the final CDF point (caught by the hypothesis property test —
+# a group without the global max would then show phantom 1/n drift).
 _KS_CUTS = 20
-_KS_CUT_SQL = "mn + (mx - mn) * {i} / 20.0"
+_KS_CUT_SQL = "CASE WHEN {i} = " + str(_KS_CUTS) + " THEN mx ELSE mn + (mx - mn) * {i} / 20.0 END"
 
 
 def _ks_cut(i: int) -> str:

@@ -325,3 +325,102 @@ def test_substring_dedup_clone_has_full_ratio(spark, docs):
     for r in out.values():
         assert 0.0 <= r["dup_ratio"] <= 1.0
         assert r["n_dup_windows"] <= r["n_windows"]
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 50),  # price (small int domain forces ties)
+            st.integers(1, 20),  # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_bucket_pruning_equals_bruteforce(spark, pts):
+    """The banded-pruning skyline must return EXACTLY the brute-force
+    Pareto frontier for arbitrary point sets — including degenerate
+    all-same-price inputs and heavy ties, where the pruning phase
+    contributes nothing and correctness rests on the exact pass."""
+    from pyspark.sql import Row
+
+    from lol_data_pipeline_spark.plans import REGISTRY  # noqa: F401  (module import side effects)
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    df = spark.createDataFrame(
+        [Row(p_partkey=i, p_size=s, p_retailprice=float(p)) for i, (p, s) in enumerate(pts)]
+    )
+    # production plan body on the arbitrary frame
+    scal = df.agg(F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx"))
+    bucket_sql = (
+        "least(31, greatest(0, CAST(floor((p_retailprice - mn) * 32.0 / (mx - mn + 1e-9)) AS INT)))"
+    )
+    banded = df.join(F.broadcast(scal)).withColumn("b", F.expr(bucket_sql))
+    bmax = banded.groupBy("b").agg(F.max("p_size").alias("bmax"))
+    lower = bmax.select(F.col("b").alias("lb"), F.col("bmax").alias("lmax"))
+    pm = (
+        bmax.join(lower, F.col("lb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.max("lmax").alias("pmax"))
+    )
+    cand = (
+        banded.join(F.broadcast(pm), "b")
+        .filter(F.col("pmax").isNull() | (F.col("p_size") > F.col("pmax")))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+    q = cand.select(F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size"))
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & ((F.col("q_price") < F.col("p_retailprice")) | (F.col("q_size") > F.col("p_size")))
+    )
+    got = {
+        r["p_partkey"]
+        for r in cand.join(F.broadcast(q), dominated, "left_anti").collect()
+    }
+
+    def dom(a, b):
+        return a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+
+    want = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(dom((p2, s2), (p, s)) for (p2, s2) in pts)
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ks_grid_cdf_monotone_and_bounded(spark, vals):
+    """Grid CDF counts are non-decreasing in the cut index and end at
+    n on the last cut (value <= max always true) — for any sample."""
+    from pyspark.sql import Row
+
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    df = spark.createDataFrame([Row(event_type="g", value=float(v)) for v in vals])
+    scal = df.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    wide = (
+        df.join(F.broadcast(scal))
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(F.expr(f"CASE WHEN value <= {bh._ks_cut(i)} THEN 1 ELSE 0 END")).alias(
+                    f"c{i}"
+                )
+                for i in range(1, bh._KS_CUTS + 1)
+            ]
+        )
+    )
+    r = wide.collect()[0]
+    counts = [r[f"c{i}"] for i in range(1, bh._KS_CUTS + 1)]
+    assert counts == sorted(counts)
+    assert counts[-1] == len(vals)
