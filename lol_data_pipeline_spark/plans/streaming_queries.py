@@ -420,3 +420,33 @@ def stream_cdc_latest(spark, sf_dir):
     from lol_data_pipeline_spark.streaming.stateful import latest_per_key_multibatch
 
     return latest_per_key_multibatch(spark, sf_dir)
+
+
+@query(
+    "stream_cdf_multibatch",
+    sql="""
+    WITH scal AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    cuts AS (
+      SELECT i, CASE WHEN i = 20 THEN mx
+                     ELSE mn + (mx - mn) * i / 20.0 END AS cut
+      FROM range(1, 21) t(i), scal
+    )
+    SELECT event_type,
+           CAST(i AS INTEGER) AS i,
+           CAST(sum(CASE WHEN value <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN cuts
+    GROUP BY event_type, i
+    """,
+)
+def stream_cdf_multibatch(spark, sf_dir):
+    """Streaming fixed-grid CDF drift counters over a four-batch
+    replay (complete mode): the streaming twin of stat_ks_drift.
+    Reference bounds are frozen literals (a stream can't know its
+    final min/max — production monitors compare against a reference
+    window); the 20 per-group counters are mergeable state folded
+    per micro-batch, and the final snapshot must equal the batch
+    aggregate."""
+    from lol_data_pipeline_spark.streaming import windows as sw
+
+    return sw.cdf_counters_multibatch(spark, sf_dir)

@@ -621,3 +621,58 @@ def sliding_counts_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = replay_multibatch(spark, parts, build, "append", f"sliding_mb:{sf_dir}")
     return res.filter(F.col("window_start") <= F.lit(mx))
+
+
+def cdf_counters_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-event-type fixed-grid CDF
+    counters (the stat_ks_drift sketch) accumulated as streaming
+    aggregate state over a FOUR-micro-batch time-ordered replay.
+
+    The monitor's reference bounds (global min/max of value) come
+    from the batch reference window — a 1-row scalar collect — and
+    are frozen as literals in the streaming plan, exactly how a
+    production drift monitor compares live traffic against a fixed
+    reference distribution (a stream cannot know its own final
+    min/max). The 20 counters per group are the mergeable-sketch
+    property in action: each micro-batch folds its rows into
+    constant-size state, so the final snapshot equals the batch
+    aggregate — which is what the DuckDB oracle checks. Lost or
+    double-merged counter state across any of the 4 triggers fails
+    parity."""
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    mn, mx = float(b["mn"]), float(b["mx"])
+    # literal grid, last cut exactly mx (same rationale as
+    # plans/behavior._KS_CUT_SQL: *20/20.0 can round below mx)
+    cuts = [
+        (i, f"({mn!r} + ({mx!r} - {mn!r}) * {i} / 20.0)") for i in range(1, 20)
+    ] + [(20, repr(mx))]
+    parts = time_slices(ev, "ts", 4)
+
+    def build(stream):
+        return stream.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(F.expr(f"CASE WHEN value <= {c} THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias(f"c{i}")
+                for i, c in cuts
+            ],
+        )
+
+    wide = replay_multibatch(
+        spark, parts, build, "complete", key=f"cdf_counters|{sf_dir}"
+    )
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(1, 21))
+    return wide.select(
+        "event_type",
+        "n",
+        F.expr(f"stack(20, {stack_args}) AS (i, n_le)"),
+    ).select(
+        "event_type",
+        F.col("i").cast("int").alias("i"),
+        F.col("n_le").cast("long").alias("n_le"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -472,3 +472,23 @@ def test_interval_overlap_bucketing_no_duplicates(spark):
     assert len(out) == 1
     assert out[0]["day"].isoformat() == "2024-03-02"
     assert out[0]["ms"] == 0
+
+
+# ---------------------------------------------------------------- stream_cdf_multibatch
+
+
+def test_stream_cdf_counters_monotone_and_complete(spark):
+    """Per type: n_le is non-decreasing in the grid index and reaches
+    n at the last cut (the literal-max fix applies to the streaming
+    twin too); grid has exactly 20 points per type."""
+    rows = REGISTRY["stream_cdf_multibatch"].fn(spark, SF).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["i"])
+        assert [r["i"] for r in rs] == list(range(1, 21)), t
+        counts = [r["n_le"] for r in rs]
+        assert counts == sorted(counts), t
+        assert counts[-1] == rs[0]["n"], t
