@@ -997,3 +997,44 @@ def rel_incremental_agg_merge(spark, sf_dir):
             F.round(F.max("p_max"), 2).alias("max_price"),
         )
     )
+
+
+@query(
+    "ref_json_lines_scan",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           min(CAST(ts AS DATE)) AS first_day,
+           max(CAST(ts AS DATE)) AS last_day
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ref_json_lines_scan(spark, sf_dir):
+    """Schema-enforced JSON-lines source with an explicit corrupt-
+    record policy: the events table staged as a JSONL landing zone
+    (epoch-ms timestamps), read back under a DECLARED schema in
+    PERMISSIVE mode with two injected malformed lines routed into
+    `_corrupt_record` and quarantined by filter — then aggregated.
+    Parity against the parquet table proves the JSON round trip is
+    lossless AND that the corrupt lines contaminated nothing.
+
+    Reference parity: the reference trusts `response.json()` with
+    only a content-type guard (`/root/reference/src/api/pipeline.py:
+    67-74`); this is that ingestion surface with the malformed-payload
+    policy made explicit and scale-safe (schema-on-read with a
+    declared StructType — no sampling inference pass over 100 TB —
+    and per-file parallel line parsing). Timestamps re-enter through
+    io.ts_from_epoch, the same unit-detecting chokepoint as every
+    other long→timestamp path (SURVEY §1.2)."""
+    from lol_data_pipeline_spark.sources.jsonl import read_events_jsonl
+
+    raw = read_events_jsonl(spark, sf_dir)
+    valid = raw.filter(F.col("_corrupt_record").isNull())
+    return valid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )

@@ -492,3 +492,49 @@ def test_stream_cdf_counters_monotone_and_complete(spark):
         counts = [r["n_le"] for r in rs]
         assert counts == sorted(counts), t
         assert counts[-1] == rs[0]["n"], t
+
+
+# ---------------------------------------------------------------- ref_json_lines_scan
+
+
+def test_jsonl_corrupt_records_quarantined(spark):
+    """The two injected malformed lines surface as _corrupt_record
+    rows (not silent nulls, not job failure) and the valid row count
+    matches the parquet table exactly."""
+    from lol_data_pipeline_spark.sources.jsonl import (
+        CORRUPT_LINES,
+        read_events_jsonl,
+    )
+
+    # Spark disallows corrupt-column-only queries on raw JSON (count
+    # prunes every other column) — cache first, the documented
+    # workaround, then query the parsed results
+    raw = read_events_jsonl(spark, SF).cache()
+    try:
+        n_corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        assert n_corrupt == len(CORRUPT_LINES)
+        n_valid = raw.filter(F.col("_corrupt_record").isNull()).count()
+        n_parquet = spark.read.parquet(f"{SF}/events.parquet").count()
+        assert n_valid == n_parquet
+    finally:
+        raw.unpersist()
+
+
+def test_jsonl_timestamps_roundtrip(spark):
+    """Epoch-ms JSON timestamps re-enter through ts_from_epoch and
+    equal the parquet timestamps row-for-row."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.sources.jsonl import read_events_jsonl
+
+    got = {
+        r["event_id"]: r["ts"]
+        for r in read_events_jsonl(spark, SF)
+        .filter(F.col("_corrupt_record").isNull())
+        .select("event_id", "ts")
+        .collect()
+    }
+    want = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, SF, "events").select("event_id", "ts").collect()
+    }
+    assert got == want
