@@ -96,6 +96,7 @@ HEADLINE = [
     "rel_rolling_wau",
     "stat_entropy_daily",
     "rel_interval_overlap",
+    "rel_bloom_prejoin",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

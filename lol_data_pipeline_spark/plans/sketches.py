@@ -637,3 +637,93 @@ def sketch_quantile_hist(spark, sf_dir):
             ).alias("est_value"),
         )
     )
+
+
+@query(
+    "rel_bloom_prejoin",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def rel_bloom_prejoin(spark, sf_dir):
+    """Runtime-filter join pre-reduction: before shuffling the fact
+    for a selective dim join, probe each fact row against a BLOOM
+    BITMASK of the dim's join keys and drop non-matching rows at scan
+    time. The join itself then removes the bloom's false positives,
+    so the result is byte-identical to the plain join — the oracle IS
+    the plain join, which is the whole point (a physical-only
+    optimization must never change answers).
+
+    The production shape, not the semi-join model
+    (sketch_bloom_membership probes via an exploded bit join — fine
+    for a membership REPORT, wrong for a pre-filter because it costs
+    a shuffle): here the 4096-bit set packs into a ≤64-entry
+    word→mask map built by one tiny aggregate over the dim keys,
+    broadcast, and probed with a PURE PROJECTION (3 hash → bit-test
+    expressions per row — whole-stage codegen, zero extra shuffle).
+    At 100 TB this is the manual form of Spark's own runtime bloom
+    filter (spark.sql.optimizer.runtime.bloomFilter), written out so
+    the no-false-negative contract is testable: every fact row the
+    real join keeps MUST pass the pre-filter
+    (tests/test_round5b_ops.py pins it)."""
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dk = F.col("o_orderkey").cast("string")
+    words = (
+        orders.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), dk)), F.lit(_BLOOM_M))
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr("CAST(shiftleft(1L, CAST(bit % 64 AS INT)) AS BIGINT)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    bloom = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mp")
+    )
+    fk = F.col("l_orderkey").cast("string")
+    probes = [
+        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), fk)), F.lit(_BLOOM_M))
+        for j in range(_BLOOM_K)
+    ]
+    pre = li.join(F.broadcast(bloom))
+    cond = F.lit(True)
+    for j, bit in enumerate(probes):
+        pre = pre.withColumn(f"__b{j}", bit)
+        word = (F.col(f"__b{j}") / 64).cast("int")
+        mask = F.expr(f"CAST(shiftleft(1L, CAST(__b{j} % 64 AS INT)) AS BIGINT)")
+        cond = cond & (
+            (F.coalesce(F.try_element_at(F.col("mp"), word), F.lit(0)) .bitwiseAND(mask)) != 0
+        )
+    filtered = pre.filter(cond).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -538,3 +538,70 @@ def test_jsonl_timestamps_roundtrip(spark):
         for r in load_table(spark, SF, "events").select("event_id", "ts").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- rel_bloom_prejoin
+
+
+def test_bloom_prejoin_no_false_negatives(spark):
+    """The bitmask pre-filter must pass EVERY fact row the real join
+    keeps (false negatives would silently drop revenue — the one
+    failure mode a physical-only filter cannot have), while dropping
+    a meaningful share of non-matching rows."""
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+    import lol_data_pipeline_spark.plans.sketches as sk
+
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    dk = F.col("o_orderkey").cast("string")
+    words = (
+        orders.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            md5_long(F.concat(F.lit(f"b{j}:"), dk)), F.lit(sk._BLOOM_M)
+                        )
+                        for j in range(sk._BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            F.expr("CAST(shiftleft(1L, CAST(bit % 64 AS INT)) AS BIGINT)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    bloom = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mp")
+    )
+    fk = F.col("l_orderkey").cast("string")
+    pre = li.join(F.broadcast(bloom))
+    cond = F.lit(True)
+    for j in range(sk._BLOOM_K):
+        bit = F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), fk)), F.lit(sk._BLOOM_M))
+        pre = pre.withColumn(f"__b{j}", bit)
+        word = (F.col(f"__b{j}") / 64).cast("int")
+        mask = F.expr(f"CAST(shiftleft(1L, CAST(__b{j} % 64 AS INT)) AS BIGINT)")
+        cond = cond & (
+            (F.coalesce(F.try_element_at(F.col("mp"), word), F.lit(0)).bitwiseAND(mask))
+            != 0
+        )
+    passed = pre.filter(cond).select("l_orderkey")
+    true_match = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+    n_li, n_passed, n_true = li.count(), passed.count(), true_match.count()
+    # no false negatives: every true match passes
+    assert (
+        true_match.join(passed.distinct(), "l_orderkey", "left_anti").count() == 0
+    )
+    assert n_true <= n_passed <= n_li
+    # and the filter actually filters (urgent is ~20% of orders; with
+    # 4096 bits the false-positive rate stays well under 100%)
+    assert n_passed < n_li

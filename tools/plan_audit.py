@@ -53,6 +53,7 @@ CROSS_OK = {
     "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
     "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
     "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
+    "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
     "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
     # and frontier-candidates x candidates dominance anti-join — all
