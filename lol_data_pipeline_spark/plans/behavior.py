@@ -29,6 +29,23 @@ from lol_data_pipeline_spark.plans.queries import T, query
 _SESSION_GAP_MS = 1_800_000  # 30 min
 
 
+def _with_session_idx(ev):
+    """30-min-gap session boundaries: adds ``session_idx`` within each
+    user partition (lag + running sum of boundary flags). ONE
+    definition shared by rel_sessionize_events and
+    rel_interval_overlap so the gap rule / tie-break ordering cannot
+    silently desynchronize between the two entries' sessions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    flag = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > _SESSION_GAP_MS), 1
+    ).otherwise(0)
+    return ev.withColumn(
+        "session_idx",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 @query(
     "rel_sessionize_events",
     sql=f"""
@@ -64,15 +81,7 @@ def rel_sessionize_events(spark, sf_dir):
     which is produced inside the user partitions, so Catalyst reuses
     the partitioning instead of re-shuffling."""
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ms = F.unix_millis(F.lag("ts").over(w))
-    flag = F.when(
-        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > _SESSION_GAP_MS), 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "session_idx",
-        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _with_session_idx(ev)
     return sess.groupBy(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("session_idx").cast("long").alias("session_idx"),
@@ -786,7 +795,10 @@ def rel_cdc_upsert(spark, sf_dir):
 # from the final CDF point (caught by the hypothesis property test —
 # a group without the global max would then show phantom 1/n drift).
 _KS_CUTS = 20
-_KS_CUT_SQL = "CASE WHEN {i} = " + str(_KS_CUTS) + " THEN mx ELSE mn + (mx - mn) * {i} / 20.0 END"
+_KS_CUT_SQL = (
+    "CASE WHEN {i} = " + str(_KS_CUTS)
+    + " THEN mx ELSE mn + (mx - mn) * {i} / " + f"{_KS_CUTS}.0 END"
+)
 
 
 def _ks_cut(i: int) -> str:
@@ -884,9 +896,28 @@ def stat_ks_drift(spark, sf_dir):
     )
 
 
+# OLS combination formulas, single-sourced so the Spark expressions
+# and the oracle SQL cannot drift. Degenerate groups (all x equal →
+# dxx = 0; all y equal → dyy = 0) are explicit NULLs on BOTH sides:
+# relying on x/0 → NULL is a non-ANSI Spark behavior that DuckDB 1.1+
+# no longer shares (IEEE inf/NaN became its default).
+_LR_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_LR_DXX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+_LR_DYY = "CAST(n * syy - sy * sy AS DOUBLE)"
+_LR_SLOPE = f"CASE WHEN {_LR_DXX} = 0 THEN NULL ELSE round({_LR_NUM} / {_LR_DXX}, 6) END"
+_LR_INTERCEPT = (
+    f"CASE WHEN {_LR_DXX} = 0 THEN NULL ELSE "
+    f"round((CAST(sy AS DOUBLE) - ({_LR_NUM} / {_LR_DXX}) * CAST(sx AS DOUBLE)) / n, 6) END"
+)
+_LR_R2 = (
+    f"CASE WHEN {_LR_DXX} = 0 OR {_LR_DYY} = 0 THEN NULL ELSE "
+    f"round({_LR_NUM} * {_LR_NUM} / ({_LR_DXX} * {_LR_DYY}), 6) END"
+)
+
+
 @query(
     "stat_linreg_hourly",
-    sql="""
+    sql=f"""
     WITH base AS (
       SELECT event_type,
              CAST(hour(ts) AS BIGINT) AS x,
@@ -901,16 +932,9 @@ def stat_ks_drift(spark, sf_dir):
       FROM base GROUP BY 1
     )
     SELECT event_type, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
-           round((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept_cents,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+           {_LR_SLOPE} AS slope_cents,
+           {_LR_INTERCEPT} AS intercept_cents,
+           {_LR_R2} AS r2
     FROM suff
     """,
 )
@@ -946,17 +970,12 @@ def stat_linreg_hourly(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
-    dxx = "CAST(n * sxx - sx * sx AS DOUBLE)"
-    dyy = "CAST(n * syy - sy * sy AS DOUBLE)"
     return suff.select(
         "event_type",
         "n",
-        F.expr(f"round({num} / {dxx}, 6)").alias("slope_cents"),
-        F.expr(
-            f"round((CAST(sy AS DOUBLE) - ({num} / {dxx}) * CAST(sx AS DOUBLE)) / n, 6)"
-        ).alias("intercept_cents"),
-        F.expr(f"round({num} * {num} / ({dxx} * {dyy}), 6)").alias("r2"),
+        F.expr(_LR_SLOPE).alias("slope_cents"),
+        F.expr(_LR_INTERCEPT).alias("intercept_cents"),
+        F.expr(_LR_R2).alias("r2"),
     )
 
 
@@ -1208,14 +1227,10 @@ def rel_interval_overlap(spark, sf_dir):
     bucket width ~ the p99 interval length. No reference parity —
     north-star relational extension (SURVEY §7 M3)."""
     ev = T(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ms = F.unix_millis(F.lag("ts").over(w))
-    flag = F.when(
-        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > _SESSION_GAP_MS), 1
-    ).otherwise(0)
-    sess = ev.withColumn(
-        "session_idx", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    # project to the three session-defining columns BEFORE the window:
+    # the user_id shuffle is this entry's only data-sized exchange and
+    # must not carry event_type/value/props bytes it never reads
+    sess = _with_session_idx(ev.select("user_id", "event_id", "ts"))
     sessions = sess.groupBy("user_id", "session_idx").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )

@@ -359,6 +359,17 @@ def _sql_bloom_bit(j: str, key: str) -> str:
     return f"({h} % {_BLOOM_M})"
 
 
+def _bloom_bits(key_col):
+    """The k bloom bit positions of a key — ONE definition shared by
+    every build and probe site (sketch_bloom_membership,
+    rel_bloom_prejoin, and their tests): a build/probe hash-family
+    mismatch would silently break the no-false-negative contract."""
+    return [
+        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), key_col)), F.lit(_BLOOM_M))
+        for j in range(_BLOOM_K)
+    ]
+
+
 @query(
     "sketch_bloom_membership",
     sql=f"""
@@ -397,14 +408,7 @@ def sketch_bloom_membership(spark, sf_dir):
     mk = F.col("o_custkey").cast("string")
     bits = (
         orders.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), mk)), F.lit(_BLOOM_M))
-                        for j in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
+            F.explode(F.array(*_bloom_bits(mk))).alias("bit")
         )
         .distinct()
     )
@@ -412,14 +416,7 @@ def sketch_bloom_membership(spark, sf_dir):
     pk = F.col("c_custkey").cast("string")
     probed = probe.select(
         "c_custkey",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), pk)), F.lit(_BLOOM_M))
-                    for j in range(_BLOOM_K)
-                ]
-            )
-        ).alias("bit"),
+        F.explode(F.array(*_bloom_bits(pk))).alias("bit"),
     )
     hits = (
         probed.join(F.broadcast(bits), "bit", "left_semi")
@@ -681,16 +678,7 @@ def rel_bloom_prejoin(spark, sf_dir):
     )
     dk = F.col("o_orderkey").cast("string")
     words = (
-        orders.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), dk)), F.lit(_BLOOM_M))
-                        for j in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
-        )
+        orders.select(F.explode(F.array(*_bloom_bits(dk))).alias("bit"))
         .distinct()
         .select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -703,10 +691,7 @@ def rel_bloom_prejoin(spark, sf_dir):
         F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mp")
     )
     fk = F.col("l_orderkey").cast("string")
-    probes = [
-        F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), fk)), F.lit(_BLOOM_M))
-        for j in range(_BLOOM_K)
-    ]
+    probes = _bloom_bits(fk)
     pre = li.join(F.broadcast(bloom))
     cond = F.lit(True)
     for j, bit in enumerate(probes):

@@ -50,11 +50,17 @@ def stage_events_jsonl(spark: SparkSession, sf_dir: str) -> str:
     Idempotent: reused if already staged by this process."""
     from lol_data_pipeline_spark.io import load_table
 
+    import atexit
+    import shutil
+
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     stage = os.path.join(tempfile.gettempdir(), f"jsonl_events_{h}_{os.getpid()}")
     done = os.path.join(stage, "_STAGED")
     if os.path.exists(done):
         return stage
+    # pid-scoped dirs would otherwise accrete across runs — remove
+    # this process's staging on exit (reuse within the process stands)
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),

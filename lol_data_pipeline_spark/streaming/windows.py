@@ -645,10 +645,18 @@ def cdf_counters_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
     mn, mx = float(b["mn"]), float(b["mx"])
     # literal grid, last cut exactly mx (same rationale as
-    # plans/behavior._KS_CUT_SQL: *20/20.0 can round below mx)
+    # plans/behavior._KS_CUT_SQL: *20/20.0 can round below mx).
+    # Literals enter via CAST('...' AS DOUBLE): a bare fractional
+    # literal parses as DECIMAL in Spark SQL, and decimal-arithmetic
+    # cuts diverge from the oracle's IEEE-double formula by an ulp —
+    # exactly the boundary-miscount class this grid already guards
+    # against at the top end.
+    mn_sql = f"CAST('{mn!r}' AS DOUBLE)"
+    mx_sql = f"CAST('{mx!r}' AS DOUBLE)"
     cuts = [
-        (i, f"({mn!r} + ({mx!r} - {mn!r}) * {i} / 20.0)") for i in range(1, 20)
-    ] + [(20, repr(mx))]
+        (i, f"({mn_sql} + ({mx_sql} - {mn_sql}) * {i} / 20.0)")
+        for i in range(1, 20)
+    ] + [(20, mx_sql)]
     parts = time_slices(ev, "ts", 4)
 
     def build(stream):

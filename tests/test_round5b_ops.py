@@ -548,7 +548,6 @@ def test_bloom_prejoin_no_false_negatives(spark):
     keeps (false negatives would silently drop revenue — the one
     failure mode a physical-only filter cannot have), while dropping
     a meaningful share of non-matching rows."""
-    from lol_data_pipeline_spark.functions.scalar import md5_long
     import lol_data_pipeline_spark.plans.sketches as sk
 
     orders = (
@@ -559,18 +558,7 @@ def test_bloom_prejoin_no_false_negatives(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
     dk = F.col("o_orderkey").cast("string")
     words = (
-        orders.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(
-                            md5_long(F.concat(F.lit(f"b{j}:"), dk)), F.lit(sk._BLOOM_M)
-                        )
-                        for j in range(sk._BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
-        )
+        orders.select(F.explode(F.array(*sk._bloom_bits(dk))).alias("bit"))
         .distinct()
         .select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -585,8 +573,7 @@ def test_bloom_prejoin_no_false_negatives(spark):
     fk = F.col("l_orderkey").cast("string")
     pre = li.join(F.broadcast(bloom))
     cond = F.lit(True)
-    for j in range(sk._BLOOM_K):
-        bit = F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), fk)), F.lit(sk._BLOOM_M))
+    for j, bit in enumerate(sk._bloom_bits(fk)):
         pre = pre.withColumn(f"__b{j}", bit)
         word = (F.col(f"__b{j}") / 64).cast("int")
         mask = F.expr(f"CAST(shiftleft(1L, CAST(__b{j} % 64 AS INT)) AS BIGINT)")
@@ -605,3 +592,37 @@ def test_bloom_prejoin_no_false_negatives(spark):
     # and the filter actually filters (urgent is ~20% of orders; with
     # 4096 bits the false-positive rate stays well under 100%)
     assert n_passed < n_li
+
+
+def test_linreg_degenerate_group_is_null_not_engine_dependent(spark):
+    """A group whose events all share one hour has dxx = 0; the
+    shared CASE guard must emit NULL explicitly (x/0-as-NULL is
+    non-ANSI Spark behavior DuckDB 1.1+ no longer shares)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    df = spark.createDataFrame(
+        [Row(event_type="one_hour", ts=dt.datetime(2024, 1, 1, 9, m), value=1.0 + m)
+         for m in range(5)]
+    )
+    base = df.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    suff = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = suff.select(
+        F.expr(bh._LR_SLOPE).alias("slope"),
+        F.expr(bh._LR_INTERCEPT).alias("icept"),
+        F.expr(bh._LR_R2).alias("r2"),
+    ).collect()[0]
+    assert r["slope"] is None and r["icept"] is None and r["r2"] is None
