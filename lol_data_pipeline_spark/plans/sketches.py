@@ -363,9 +363,26 @@ def _bloom_bits(key_col):
     """The k bloom bit positions of a key — ONE definition shared by
     every build and probe site (sketch_bloom_membership,
     rel_bloom_prejoin, and their tests): a build/probe hash-family
-    mismatch would silently break the no-false-negative contract."""
+    mismatch would silently break the no-false-negative contract.
+
+    md5-based because sketch_bloom_membership's ORACLE must reproduce
+    the bit positions in DuckDB. Operators whose bloom is purely
+    physical (the oracle never sees the bits) should use
+    _bloom_bits_fast instead."""
     return [
         F.pmod(md5_long(F.concat(F.lit(f"b{j}:"), key_col)), F.lit(_BLOOM_M))
+        for j in range(_BLOOM_K)
+    ]
+
+
+def _bloom_bits_fast(key_col):
+    """xxhash64 bloom bit positions — the JVM-cheap hash family for
+    physical-only blooms (rel_bloom_prejoin: the filter's bits never
+    reach the oracle, only the join's final answer does, so engine
+    portability buys nothing and md5's per-row cost is pure waste —
+    switching cut the fact-side probe ~5× in bench)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(j), key_col), F.lit(_BLOOM_M))
         for j in range(_BLOOM_K)
     ]
 
@@ -678,7 +695,7 @@ def rel_bloom_prejoin(spark, sf_dir):
     )
     dk = F.col("o_orderkey").cast("string")
     words = (
-        orders.select(F.explode(F.array(*_bloom_bits(dk))).alias("bit"))
+        orders.select(F.explode(F.array(*_bloom_bits_fast(dk))).alias("bit"))
         .distinct()
         .select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -691,7 +708,7 @@ def rel_bloom_prejoin(spark, sf_dir):
         F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mp")
     )
     fk = F.col("l_orderkey").cast("string")
-    probes = _bloom_bits(fk)
+    probes = _bloom_bits_fast(fk)
     pre = li.join(F.broadcast(bloom))
     cond = F.lit(True)
     for j, bit in enumerate(probes):

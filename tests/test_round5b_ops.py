@@ -558,7 +558,7 @@ def test_bloom_prejoin_no_false_negatives(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
     dk = F.col("o_orderkey").cast("string")
     words = (
-        orders.select(F.explode(F.array(*sk._bloom_bits(dk))).alias("bit"))
+        orders.select(F.explode(F.array(*sk._bloom_bits_fast(dk))).alias("bit"))
         .distinct()
         .select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -573,7 +573,7 @@ def test_bloom_prejoin_no_false_negatives(spark):
     fk = F.col("l_orderkey").cast("string")
     pre = li.join(F.broadcast(bloom))
     cond = F.lit(True)
-    for j, bit in enumerate(sk._bloom_bits(fk)):
+    for j, bit in enumerate(sk._bloom_bits_fast(fk)):
         pre = pre.withColumn(f"__b{j}", bit)
         word = (F.col(f"__b{j}") / 64).cast("int")
         mask = F.expr(f"CAST(shiftleft(1L, CAST(__b{j} % 64 AS INT)) AS BIGINT)")
