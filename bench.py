@@ -97,6 +97,7 @@ HEADLINE = [
     "stat_entropy_daily",
     "rel_interval_overlap",
     "rel_bloom_prejoin",
+    "corpus_pipeline_e2e",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

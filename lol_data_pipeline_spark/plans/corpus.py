@@ -607,3 +607,111 @@ def corpus_shard_plan(spark, sf_dir):
         F.max("sort_key").alias("last_key"),
         F.min_by("doc_id", "sort_key").alias("first_doc"),
     )
+
+
+# The end-to-end curation funnel composes the three constituent
+# oracles VERBATIM as subqueries (fetched from REGISTRY at module
+# import, after they are defined above) — the composite can only
+# pass if each stage still matches its own entry.
+def _e2e_sql() -> str:
+    from lol_data_pipeline_spark.plans.queries import REGISTRY
+
+    qual = REGISTRY["corpus_quality_filter"].sql
+    surv = REGISTRY["corpus_dedup_keep_first"].sql
+    decon = REGISTRY["corpus_decontaminate"].sql
+    return f"""
+    WITH qual AS (
+      SELECT doc_id FROM ({qual}) q WHERE q.kept
+    ),
+    surv AS (
+      SELECT doc_id FROM ({surv}) s
+    ),
+    cont AS (
+      SELECT doc_id FROM ({decon}) c WHERE c.contaminated
+    ),
+    base AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE source NOT IN ('src0', 'src1')
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN q.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(sum(CASE WHEN q.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                          AND c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+           CAST(sum(CASE WHEN q.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+                          AND c.doc_id IS NULL THEN b.n_chars ELSE 0 END) AS BIGINT)
+               AS chars_final
+    FROM base b
+    LEFT JOIN qual q ON q.doc_id = b.doc_id
+    LEFT JOIN surv s ON s.doc_id = b.doc_id
+    LEFT JOIN cont c ON c.doc_id = b.doc_id
+    GROUP BY 1
+    """
+
+
+@query("corpus_pipeline_e2e", sql=_e2e_sql())
+def corpus_pipeline_e2e(spark, sf_dir):
+    """The full curation pipeline as ONE funnel report: per source,
+    how many documents enter, survive the quality gate, survive
+    near-dup keep-first, and survive benchmark decontamination —
+    plus the byte mass that reaches training. This is the
+    integration proof: a user replacing their curation pipeline runs
+    THIS query, and it reuses the three production stage operators
+    verbatim (quality filter, component keep-first, 5-gram
+    decontamination), so drift in any stage breaks the composite's
+    oracle, which itself embeds each stage's oracle as a subquery.
+
+    Stage semantics: each stage flags against the FULL corpus and
+    the funnel applies the flags jointly (the standard flag-columns-
+    then-select curation shape — deterministic and embarrassingly
+    composable). A strictly sequential re-run-per-stage pipeline
+    would re-derive dup components on the shrinking corpus; at 100 TB
+    nobody does that — stages are computed once, as here, and the
+    keep-first choice inside a dup group is id-minimal, independent
+    of the other stages' flags.
+
+    Scale: the three stage frames are doc-id keyed and tiny relative
+    to the corpus (ids only); the funnel is three LEFT joins on the
+    same key — one partitioning carries all of them — and one
+    aggregate over sources."""
+    base = (
+        T(spark, sf_dir, "documents")
+        .filter(~F.col("source").isin("src0", "src1"))
+        .select("doc_id", "source", "n_chars")
+    )
+    q = (
+        corpus_quality_filter(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .withColumn("q", F.lit(1))
+    )
+    s = (
+        corpus_dedup_keep_first(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("s", F.lit(1))
+    )
+    c = (
+        corpus_decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+        .withColumn("c", F.lit(1))
+    )
+    flags = (
+        base.join(q, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .join(c, "doc_id", "left")
+    )
+    keep = F.col("q").isNotNull() & F.col("s").isNotNull() & F.col("c").isNull()
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_in"),
+        F.sum(F.col("q").isNotNull().cast("int")).cast("long").alias("n_quality"),
+        F.sum((F.col("q").isNotNull() & F.col("s").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_dedup"),
+        F.sum(keep.cast("int")).cast("long").alias("n_final"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).cast("long").alias(
+            "chars_final"
+        ),
+    )

@@ -626,3 +626,20 @@ def test_linreg_degenerate_group_is_null_not_engine_dependent(spark):
         F.expr(bh._LR_R2).alias("r2"),
     ).collect()[0]
     assert r["slope"] is None and r["icept"] is None and r["r2"] is None
+
+
+# ---------------------------------------------------------------- corpus_pipeline_e2e
+
+
+def test_pipeline_e2e_funnel_monotone(spark):
+    """Each curation stage can only shrink the corpus: n_in >=
+    n_quality >= n_dedup >= n_final, chars_final <= sum(n_chars),
+    and no benchmark source appears in the report."""
+    rows = REGISTRY["corpus_pipeline_e2e"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_in"] >= r["n_quality"] >= r["n_dedup"] >= r["n_final"] >= 0
+        assert r["source"] not in ("src0", "src1")
+        assert r["chars_final"] >= 0
+    total_final = sum(r["n_final"] for r in rows)
+    assert total_final > 0, "pipeline must keep something at sf0.001"
