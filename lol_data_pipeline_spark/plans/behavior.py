@@ -1226,7 +1226,14 @@ def rel_interval_overlap(spark, sf_dir):
     integers — deterministic. Same pattern at any scale: pick the
     bucket width ~ the p99 interval length. No reference parity —
     north-star relational extension (SURVEY §7 M3)."""
-    ev = T(spark, sf_dir, "events")
+    return _overlap_report(T(spark, sf_dir, "events"))
+
+
+def _overlap_report(ev):
+    """The rel_interval_overlap plan body over an arbitrary events
+    frame (user_id, event_id, ts, ...) — extracted so the property
+    test can drive it with random midnight-crossing/multi-day
+    sessions and compare against brute force."""
     # project to the three session-defining columns BEFORE the window:
     # the user_id shuffle is this entry's only data-sized exchange and
     # must not carry event_type/value/props bytes it never reads

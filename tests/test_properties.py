@@ -424,3 +424,69 @@ def test_ks_grid_cdf_monotone_and_bounded(spark, vals):
     counts = [r[f"c{i}"] for i in range(1, bh._KS_CUTS + 1)]
     assert counts == sorted(counts)
     assert counts[-1] == len(vals)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),        # user_id
+            st.integers(0, 5 * 24 * 60),  # minutes offset over 5 days
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_interval_overlap_bucketing_equals_bruteforce(spark, events):
+    """The day-bucketed overlap join must equal a brute-force
+    sessions×windows overlap for arbitrary event layouts — including
+    sessions crossing midnight and spanning multiple days (chains of
+    <30-min gaps), the cases where a bucketing bug would double-count
+    or drop a pair."""
+    from pyspark.sql import Row
+
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        Row(user_id=u, event_id=i, ts=base + dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["day"].isoformat(): (r["n_sessions"], r["n_users"], r["overlap_ms"])
+        for r in bh._overlap_report(df).collect()
+    }
+
+    # brute force in python: sessionize, enumerate windows, overlap
+    GAP = dt.timedelta(milliseconds=bh._SESSION_GAP_MS)
+    by_user = {}
+    for u, m in events:
+        by_user.setdefault(u, []).append(base + dt.timedelta(minutes=m))
+    sessions = []
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        for t in tss[1:]:
+            if t - prev > GAP:
+                sessions.append((u, start, prev))
+                start = t
+            prev = t
+        sessions.append((u, start, prev))
+    days = sorted({(base + dt.timedelta(minutes=m)).date() for _, m in events})
+    want = {}
+    for d in days:
+        w0 = dt.datetime(d.year, d.month, d.day, 2, 0, 0)
+        w1 = dt.datetime(d.year, d.month, d.day, 4, 0, 0)
+        hits = [
+            (u, s, e) for (u, s, e) in sessions if s <= w1 and e >= w0
+        ]
+        if hits:
+            ms = sum(
+                int((min(e, w1) - max(s, w0)).total_seconds() * 1000)
+                for (_, s, e) in hits
+            )
+            want[d.isoformat()] = (len(hits), len({u for u, _, _ in hits}), ms)
+    assert got == want
