@@ -89,6 +89,7 @@ HEADLINE = [
     # r5b additions
     "rel_skyline_parts",
     "stat_ks_drift",
+    "stat_psi_drift",
     "stat_linreg_hourly",
     "corpus_shard_plan",
     "text_unigram_loglik",

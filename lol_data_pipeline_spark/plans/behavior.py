@@ -805,6 +805,27 @@ def _ks_cut(i: int) -> str:
     return _KS_CUT_SQL.format(i=i)
 
 
+def _grid_counts(ev):
+    """Per-group fixed-grid cumulative counts (event_type, n,
+    c1..c20) over (event_type, value) — ONE scan, constant per-group
+    state; shared by stat_ks_drift and stat_psi_drift so both
+    monitors read the same grid."""
+    scal = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return (
+        ev.join(F.broadcast(scal))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN value <= {_ks_cut(i)} THEN 1 ELSE 0 END")
+                ).alias(f"c{i}")
+                for i in range(1, _KS_CUTS + 1)
+            ],
+        )
+    )
+
+
 @query(
     "stat_ks_drift",
     sql=f"""
@@ -851,20 +872,7 @@ def stat_ks_drift(spark, sf_dir):
     counters per group, no sort, no sample collection. No reference
     parity — north-star data-quality extension (SURVEY §7 M3)."""
     ev = T(spark, sf_dir, "events").select("event_type", "value")
-    scal = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    wide = (
-        ev.join(F.broadcast(scal))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            *[
-                F.sum(
-                    F.expr(f"CASE WHEN value <= {_ks_cut(i)} THEN 1 ELSE 0 END")
-                ).alias(f"c{i}")
-                for i in range(1, _KS_CUTS + 1)
-            ],
-        )
-    )
+    wide = _grid_counts(ev)
     stack_args = ", ".join(
         f"{i}, CAST(c{i} AS DOUBLE) / n" for i in range(1, _KS_CUTS + 1)
     )
@@ -1260,4 +1268,110 @@ def _overlap_report(ev):
             F.unix_millis(F.least("s_end", "w_end"))
             - F.unix_millis(F.greatest("s_start", "w_start"))
         ).cast("long").alias("overlap_ms"),
+    )
+
+
+# PSI bin-term formula text, shared verbatim with the oracle. p's are
+# clamped at 1e-6 (scientific notation parses as DOUBLE in both
+# engines — a bare decimal literal would be DECIMAL in Spark) so
+# empty bins contribute a finite term instead of ±inf; each term is
+# frozen to fixed-point nano-units BEFORE the sum so the aggregate is
+# an exact integer on both engines.
+_PSI_P = "greatest(CAST({b} AS DOUBLE) / {n}, 1e-6)"
+_PSI_TERM = (
+    "CAST(round(({pa} - {pb}) * ln({pa} / {pb}) * 1000000000) AS BIGINT)"
+).format(
+    pa=_PSI_P.format(b="bin_a", n="n_a"),
+    pb=_PSI_P.format(b="bin_b", n="n_b"),
+)
+
+
+@query(
+    "stat_psi_drift",
+    sql=f"""
+    WITH scal AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    cuts AS (
+      SELECT i, {_KS_CUT_SQL.format(i="i")} AS cut
+      FROM range(1, {_KS_CUTS + 1}) t(i), scal
+    ),
+    cum AS (
+      SELECT event_type, i,
+             CAST(sum(CASE WHEN value <= cut THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events CROSS JOIN cuts
+      GROUP BY 1, 2
+    ),
+    bins AS (
+      SELECT event_type, i, n,
+             c - coalesce(lag(c) OVER (PARTITION BY event_type ORDER BY i), 0) AS b
+      FROM cum
+    ),
+    terms AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b,
+             a.b AS bin_a, b.b AS bin_b
+      FROM bins a JOIN bins b
+        ON a.i = b.i AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           round(CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def stat_psi_drift(spark, sf_dir):
+    """Population Stability Index between every pair of event types
+    over the SAME fixed 20-bin grid as stat_ks_drift: PSI =
+    Σ_bins (p_a − p_b)·ln(p_a/p_b). The industry-standard drift score
+    (credit-risk monitoring's >0.25 = "significant shift" rule) —
+    where KS reports the worst single point of CDF divergence, PSI
+    integrates divergence across ALL bins, so broad small shifts that
+    never produce one big CDF gap still register.
+
+    Same scale posture as its sibling: one scan, 20 counters per
+    group (shared via _grid_counts — both monitors read ONE grid
+    pass when run together), bin masses from a 20-row-per-group
+    partitioned window, every float term frozen to fixed-point
+    nano-units before the sum. Empty bins are clamped at p = 1e-6 on
+    both engines (the standard PSI epsilon; an empty bin would
+    otherwise emit ±inf). No reference parity — north-star
+    data-quality extension (SURVEY §7 M3)."""
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    wide = _grid_counts(ev)
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(1, _KS_CUTS + 1))
+    cum = wide.select(
+        "event_type",
+        "n",
+        F.expr(f"stack({_KS_CUTS}, {stack_args}) AS (i, c)"),
+    )
+    w = Window.partitionBy("event_type").orderBy("i")
+    bins = cum.select(
+        "event_type",
+        "n",
+        "i",
+        (F.col("c") - F.coalesce(F.lag("c").over(w), F.lit(0))).alias("b"),
+    )
+    a = bins.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("i").alias("ia"),
+        F.col("b").alias("bin_a"),
+    )
+    b = bins.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("i").alias("ib"),
+        F.col("b").alias("bin_b"),
+    )
+    return (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.expr(
+                f"round(CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000.0, 6)"
+            ).alias("psi"),
+        )
     )

@@ -643,3 +643,17 @@ def test_pipeline_e2e_funnel_monotone(spark):
         assert r["chars_final"] >= 0
     total_final = sum(r["n_final"] for r in rows)
     assert total_final > 0, "pipeline must keep something at sf0.001"
+
+
+# ---------------------------------------------------------------- stat_psi_drift
+
+
+def test_psi_nonnegative_and_symmetric_zero(spark):
+    """PSI >= 0 for every pair (each term (pa-pb)ln(pa/pb) is
+    non-negative since sign(pa-pb) == sign(ln(pa/pb))), and identical
+    distributions score ~0 (fixed-point epsilon)."""
+    rows = REGISTRY["stat_psi_drift"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= -1e-9, r
+        assert r["type_a"] < r["type_b"]

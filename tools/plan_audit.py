@@ -52,6 +52,7 @@ CROSS_OK = {
     "text_tfidf_topterms",  # corpus doc-count scalar broadcast (1 row)
     "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
     "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
+    "stat_psi_drift",  # same 1-row bounds broadcast + 20-bin grid as ks
     "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
     "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
