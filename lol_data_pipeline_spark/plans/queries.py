@@ -1038,3 +1038,64 @@ def ref_json_lines_scan(spark, sf_dir):
         F.min(F.to_date("ts")).alias("first_day"),
         F.max(F.to_date("ts")).alias("last_day"),
     )
+
+
+@query(
+    "rel_asof_tolerance",
+    sql="""
+    SELECT c.event_id AS click_id, c.user_id,
+           CASE WHEN v.ts IS NOT NULL AND c.ts - v.ts <= INTERVAL 30 MINUTE
+                THEN v.event_id END AS view_id,
+           CASE WHEN v.ts IS NOT NULL AND c.ts - v.ts <= INTERVAL 30 MINUTE
+                THEN round(v.value, 2) END AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def rel_asof_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): the latest view
+    at-or-before each click, but only if it happened within 30
+    minutes — staler matches become NULL instead of silently
+    attributing a click to an hours-old view. The real-world form of
+    every attribution join (a lookback window is a business rule,
+    not an afterthought).
+
+    Same one-shuffle union-tag kernel as rel_asof_join
+    (operators/asof.py — no pandas, skew-safe); the matched row's
+    OWN timestamp rides in the carried payload struct, so the
+    tolerance check is a pure post-projection — no second join, no
+    extra shuffle. The oracle is DuckDB's native ASOF LEFT JOIN with
+    the same CASE guard."""
+    from lol_data_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join_backward(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["view_id", "view_value", "view_ts"],
+        tiebreak="view_id",
+    )
+    fresh = F.col("asof_view_ts").isNotNull() & (
+        F.unix_millis("ts") - F.unix_millis("asof_view_ts") <= 30 * 60 * 1000
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.when(fresh, F.col("asof_view_id")).alias("view_id"),
+        F.when(fresh, F.round("asof_view_value", 2)).alias("view_value"),
+    )

@@ -657,3 +657,41 @@ def test_psi_nonnegative_and_symmetric_zero(spark):
     for r in rows:
         assert r["psi"] >= -1e-9, r
         assert r["type_a"] < r["type_b"]
+
+
+# ---------------------------------------------------------------- rel_asof_tolerance
+
+
+def test_asof_tolerance_nullifies_stale_matches(spark):
+    """A click 31 minutes after the only view gets NULL; a click 29
+    minutes after gets the match — the lookback boundary."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from lol_data_pipeline_spark.operators.asof import asof_join_backward
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [
+            Row(click_id=1, user_id=9, ts=t0 + dt.timedelta(minutes=29)),
+            Row(click_id=2, user_id=9, ts=t0 + dt.timedelta(minutes=31)),
+        ]
+    )
+    views = spark.createDataFrame(
+        [Row(user_id=9, ts=t0, view_id=100, view_ts=t0)]
+    )
+    joined = asof_join_backward(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["view_id", "view_ts"], tiebreak="view_id",
+    )
+    fresh = F.col("asof_view_ts").isNotNull() & (
+        F.unix_millis("ts") - F.unix_millis("asof_view_ts") <= 30 * 60 * 1000
+    )
+    out = {
+        r["click_id"]: r["v"]
+        for r in joined.select(
+            "click_id", F.when(fresh, F.col("asof_view_id")).alias("v")
+        ).collect()
+    }
+    assert out[1] == 100
+    assert out[2] is None
