@@ -808,8 +808,10 @@ def _ks_cut(i: int) -> str:
 def _grid_counts(ev):
     """Per-group fixed-grid cumulative counts (event_type, n,
     c1..c20) over (event_type, value) — ONE scan, constant per-group
-    state; shared by stat_ks_drift and stat_psi_drift so both
-    monitors read the same grid."""
+    state. Shared DEFINITION for stat_ks_drift and stat_psi_drift
+    (same grid, same counters); each registry entry still executes
+    its own scan — a caller wanting one physical pass computes this
+    frame once, persists it, and derives both reports from it."""
     scal = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     return (
         ev.join(F.broadcast(scal))
@@ -1330,8 +1332,9 @@ def stat_psi_drift(spark, sf_dir):
     never produce one big CDF gap still register.
 
     Same scale posture as its sibling: one scan, 20 counters per
-    group (shared via _grid_counts — both monitors read ONE grid
-    pass when run together), bin masses from a 20-row-per-group
+    group (the _grid_counts frame is the shared definition; persist
+    it once to derive both reports from one physical pass), bin
+    masses from a 20-row-per-group
     partitioned window, every float term frozen to fixed-point
     nano-units before the sum. Empty bins are clamped at p = 1e-6 on
     both engines (the standard PSI epsilon; an empty bin would

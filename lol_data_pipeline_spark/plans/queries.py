@@ -1040,17 +1040,58 @@ def ref_json_lines_scan(spark, sf_dir):
     )
 
 
+_ASOF_TOLERANCE_MS = 30 * 60 * 1000
+
+
+def asof_tolerance_attribution(clicks, views, tolerance_ms=_ASOF_TOLERANCE_MS):
+    """The rel_asof_tolerance plan body over arbitrary frames —
+    clicks (click_id, user_id, ts), views (user_id, ts, view_id,
+    view_value?, view_ts) — used by BOTH the registry entry and its
+    boundary test so the lookback guard cannot regress against a
+    private copy. Matched rows older than ``tolerance_ms`` become
+    NULL; the matched row's own timestamp rides in the carried
+    payload struct, so the check is a pure post-projection."""
+    from lol_data_pipeline_spark.operators.asof import asof_join_backward
+
+    payload = [c for c in ("view_id", "view_value", "view_ts") if c in views.columns]
+    joined = asof_join_backward(
+        clicks,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=payload,
+        tiebreak="view_id",
+    )
+    fresh = F.col("asof_view_ts").isNotNull() & (
+        F.unix_millis("ts") - F.unix_millis("asof_view_ts") <= tolerance_ms
+    )
+    out = [
+        "click_id",
+        "user_id",
+        F.when(fresh, F.col("asof_view_id")).alias("view_id"),
+    ]
+    if "view_value" in payload:
+        out.append(F.when(fresh, F.round("asof_view_value", 2)).alias("view_value"))
+    return joined.select(*out)
+
+
 @query(
     "rel_asof_tolerance",
     sql="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    )
     SELECT c.event_id AS click_id, c.user_id,
            CASE WHEN v.ts IS NOT NULL AND c.ts - v.ts <= INTERVAL 30 MINUTE
                 THEN v.event_id END AS view_id,
            CASE WHEN v.ts IS NOT NULL AND c.ts - v.ts <= INTERVAL 30 MINUTE
                 THEN round(v.value, 2) END AS view_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
 )
 def rel_asof_tolerance(spark, sf_dir):
@@ -1063,13 +1104,12 @@ def rel_asof_tolerance(spark, sf_dir):
     not an afterthought).
 
     Same one-shuffle union-tag kernel as rel_asof_join
-    (operators/asof.py — no pandas, skew-safe); the matched row's
-    OWN timestamp rides in the carried payload struct, so the
-    tolerance check is a pure post-projection — no second join, no
-    extra shuffle. The oracle is DuckDB's native ASOF LEFT JOIN with
-    the same CASE guard."""
-    from lol_data_pipeline_spark.operators.asof import asof_join_backward
-
+    (operators/asof.py — no pandas, skew-safe). Equal-timestamp view
+    ties are broken to max event_id EXPLICITLY on both sides: the
+    Spark kernel's tiebreak already picks max, but DuckDB's ASOF
+    JOIN leaves duplicate right timestamps undefined, so the oracle
+    pre-dedupes views per (user_id, ts) with the same rule — parity
+    is deterministic for any data, not just tie-free fixtures."""
     ev = T(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", "ts"
@@ -1081,21 +1121,4 @@ def rel_asof_tolerance(spark, sf_dir):
         F.col("value").alias("view_value"),
         F.col("ts").alias("view_ts"),
     )
-    joined = asof_join_backward(
-        clicks,
-        views,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        payload=["view_id", "view_value", "view_ts"],
-        tiebreak="view_id",
-    )
-    fresh = F.col("asof_view_ts").isNotNull() & (
-        F.unix_millis("ts") - F.unix_millis("asof_view_ts") <= 30 * 60 * 1000
-    )
-    return joined.select(
-        "click_id",
-        "user_id",
-        F.when(fresh, F.col("asof_view_id")).alias("view_id"),
-        F.when(fresh, F.round("asof_view_value", 2)).alias("view_value"),
-    )
+    return asof_tolerance_attribution(clicks, views)

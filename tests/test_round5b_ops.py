@@ -648,15 +648,53 @@ def test_pipeline_e2e_funnel_monotone(spark):
 # ---------------------------------------------------------------- stat_psi_drift
 
 
-def test_psi_nonnegative_and_symmetric_zero(spark):
+def test_psi_nonnegative(spark):
     """PSI >= 0 for every pair (each term (pa-pb)ln(pa/pb) is
-    non-negative since sign(pa-pb) == sign(ln(pa/pb))), and identical
-    distributions score ~0 (fixed-point epsilon)."""
+    non-negative since sign(pa-pb) == sign(ln(pa/pb)))."""
     rows = REGISTRY["stat_psi_drift"].fn(spark, SF).collect()
     assert rows
     for r in rows:
         assert r["psi"] >= -1e-9, r
         assert r["type_a"] < r["type_b"]
+
+
+def test_psi_identical_distributions_score_zero(spark):
+    """Two groups with identical value multisets must score exactly
+    0 — bin misalignment between the self-join sides or an
+    asymmetric clamp would inflate it."""
+    from pyspark.sql import Row
+
+    import lol_data_pipeline_spark.plans.behavior as bh
+
+    df = spark.createDataFrame(
+        [Row(event_type=t, value=float(v % 37) * 1.5 - 10) for t in ("a", "b") for v in range(200)]
+    )
+    wide = bh._grid_counts(df)
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(1, bh._KS_CUTS + 1))
+    cum = wide.select("event_type", "n", F.expr(f"stack({bh._KS_CUTS}, {stack_args}) AS (i, c)"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("i")
+    bins = cum.select(
+        "event_type", "n", "i",
+        (F.col("c") - F.coalesce(F.lag("c").over(w), F.lit(0))).alias("b"),
+    )
+    a = bins.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a"),
+        F.col("i").alias("ia"), F.col("b").alias("bin_a"),
+    )
+    b = bins.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b"),
+        F.col("i").alias("ib"), F.col("b").alias("bin_b"),
+    )
+    out = (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.expr(f"round(CAST(sum({bh._PSI_TERM}) AS DOUBLE) / 1000000000.0, 6)").alias("psi"))
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
 
 
 # ---------------------------------------------------------------- rel_asof_tolerance
@@ -668,7 +706,7 @@ def test_asof_tolerance_nullifies_stale_matches(spark):
     import datetime as dt
 
     from pyspark.sql import Row
-    from lol_data_pipeline_spark.operators.asof import asof_join_backward
+    from lol_data_pipeline_spark.plans.queries import asof_tolerance_attribution
 
     t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
     clicks = spark.createDataFrame(
@@ -680,18 +718,11 @@ def test_asof_tolerance_nullifies_stale_matches(spark):
     views = spark.createDataFrame(
         [Row(user_id=9, ts=t0, view_id=100, view_ts=t0)]
     )
-    joined = asof_join_backward(
-        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
-        payload=["view_id", "view_ts"], tiebreak="view_id",
-    )
-    fresh = F.col("asof_view_ts").isNotNull() & (
-        F.unix_millis("ts") - F.unix_millis("asof_view_ts") <= 30 * 60 * 1000
-    )
+    # drive the PRODUCTION helper (shared with the registry entry),
+    # not a private copy of the guard
     out = {
-        r["click_id"]: r["v"]
-        for r in joined.select(
-            "click_id", F.when(fresh, F.col("asof_view_id")).alias("v")
-        ).collect()
+        r["click_id"]: r["view_id"]
+        for r in asof_tolerance_attribution(clicks, views).collect()
     }
     assert out[1] == 100
     assert out[2] is None
