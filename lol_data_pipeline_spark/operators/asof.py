@@ -86,3 +86,61 @@ def asof_join_backward(
         carried.filter(F.col("__side") == 1)
         .select(*lcols, *[F.col("__pc").getField(c).alias(f"asof_{c}") for c in payload])
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach to each left row the payload of the EARLIEST right row
+    with the same ``on`` key and ``right_ts >= left_ts`` (NULL when
+    none) — the forward twin of :func:`asof_join_backward`, i.e. the
+    "next event at-or-after" / time-to-convert join.
+
+    Same union-tag single-shuffle construction, with the window
+    ordering REVERSED: descending timestamp, right rows before left
+    rows at equal timestamps (so the match is inclusive), and the
+    tiebreak DESCENDING so that among equal-timestamp right rows the
+    MINIMUM tiebreak value is the one ``last(ignorenulls)`` carries —
+    the deterministic mirror of backward's max-wins rule. An oracle
+    must pre-dedupe equal-timestamp right rows to min-tiebreak to
+    match (DuckDB's ASOF JOIN leaves duplicate timestamps undefined).
+    """
+    lcols = left.columns
+    ptype = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
+    ltagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tie"),
+        F.lit(None).cast(ptype).alias("__p"),
+    )
+    rtagged = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ltagged.unionByName(rtagged).select(
+        *lcols,
+        F.col("__side"),
+        F.last("__p", ignorenulls=True).over(w).alias("__pc"),
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col("__pc").getField(c).alias(f"asof_{c}") for c in payload])
+    )

@@ -1122,3 +1122,63 @@ def rel_asof_tolerance(spark, sf_dir):
         F.col("ts").alias("view_ts"),
     )
     return asof_tolerance_attribution(clicks, views)
+
+
+@query(
+    "rel_asof_forward",
+    sql="""
+    WITH p AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id ASC) = 1
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS purchase_id,
+           CAST(CASE WHEN p.ts IS NOT NULL
+                     THEN epoch_ms(p.ts) - epoch_ms(c.ts) END AS BIGINT)
+               AS ms_to_convert
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def rel_asof_forward(spark, sf_dir):
+    """Forward as-of join: the NEXT purchase at-or-after each click
+    by the same user, plus the time-to-convert — the attribution
+    question rel_asof_join asks in reverse. Spark still has no ASOF;
+    operators/asof.py's forward twin runs the same one-shuffle
+    union-tag kernel with the window ordering reversed (descending
+    ts, min-id tiebreak). Equal-timestamp purchase ties are
+    pre-deduped to MIN event_id in the oracle because DuckDB's ASOF
+    leaves duplicate right timestamps undefined — the deterministic
+    mirror of rel_asof_tolerance's max-wins rule on the backward
+    side."""
+    from lol_data_pipeline_spark.operators.asof import asof_join_forward
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["purchase_id", "purchase_ts"],
+        tiebreak="purchase_id",
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.col("asof_purchase_id").alias("purchase_id"),
+        (
+            F.unix_millis("asof_purchase_ts") - F.unix_millis("ts")
+        ).cast("long").alias("ms_to_convert"),
+    )

@@ -726,3 +726,42 @@ def test_asof_tolerance_nullifies_stale_matches(spark):
     }
     assert out[1] == 100
     assert out[2] is None
+
+
+# ---------------------------------------------------------------- rel_asof_forward
+
+
+def test_asof_forward_picks_nearest_future_min_id(spark):
+    """The forward kernel must pick the EARLIEST future right row
+    (inclusive at equal ts) and break equal-timestamp ties to MIN
+    id — the documented deterministic mirror of backward's max rule."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from lol_data_pipeline_spark.operators.asof import asof_join_forward
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0)
+    clicks = spark.createDataFrame(
+        [
+            Row(click_id=1, user_id=5, ts=t0),                          # matches p at t0 (inclusive)
+            Row(click_id=2, user_id=5, ts=t0 + dt.timedelta(minutes=5)),  # matches later pair, min id
+            Row(click_id=3, user_id=5, ts=t0 + dt.timedelta(hours=2)),    # nothing after
+        ]
+    )
+    purchases = spark.createDataFrame(
+        [
+            Row(user_id=5, ts=t0, purchase_id=50),
+            Row(user_id=5, ts=t0 + dt.timedelta(minutes=10), purchase_id=61),
+            Row(user_id=5, ts=t0 + dt.timedelta(minutes=10), purchase_id=60),
+        ]
+    )
+    out = {
+        r["click_id"]: r["asof_purchase_id"]
+        for r in asof_join_forward(
+            clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload=["purchase_id"], tiebreak="purchase_id",
+        ).collect()
+    }
+    assert out[1] == 50
+    assert out[2] == 60
+    assert out[3] is None
