@@ -1378,3 +1378,84 @@ def stat_psi_drift(spark, sf_dir):
             ).alias("psi"),
         )
     )
+
+
+@query(
+    "stat_cusum_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(n) AS BIGINT) AS total
+      FROM daily
+    ),
+    cus AS (
+      SELECT day, n,
+             CAST(t.d * sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                  - (row_number() OVER (ORDER BY day)) * t.total AS BIGINT)
+                 AS cusum_scaled
+      FROM daily CROSS JOIN tot t
+    ),
+    mx AS (SELECT max(abs(cusum_scaled)) AS m FROM cus),
+    peak AS (
+      SELECT min(day) AS pd FROM cus, mx WHERE abs(cusum_scaled) = m
+    )
+    SELECT c.day, c.n, c.cusum_scaled,
+           (abs(c.cusum_scaled) = mx.m AND c.day = peak.pd) AS is_peak
+    FROM cus c CROSS JOIN mx CROSS JOIN peak
+    """,
+)
+def stat_cusum_changepoint(spark, sf_dir):
+    """CUSUM level-shift (changepoint) detection over daily event
+    volume: the running sum of deviations from the global daily mean
+    peaks at the day the level changed — the classic offline CUSUM
+    statistic, the time-dimension sibling of the stat_ks/psi drift
+    pair (those compare groups; this finds WHEN a single series
+    shifted).
+
+    Exact-integer formulation: with D days and total events T, the
+    statistic D·Σ_{j≤i} n_j − i·T is the cusum scaled by D — integer
+    arithmetic end-to-end, so no float-summation or mean-rounding
+    divergence is possible between engines. The running sum is a
+    window over the DAY-GRAIN series: bounded by the calendar (30
+    rows here, 36 500 for a century), never by event volume — the
+    allowlisted global-window shape, same argument as
+    sketch_quantile_hist's 64 bins. Peak day ties break to the
+    earliest day on both sides."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("d"), F.sum("n").cast("long").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rn = Window.orderBy("day")
+    cus = daily.join(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (
+            F.col("d") * F.sum("n").over(w) - F.row_number().over(rn) * F.col("total")
+        ).cast("long").alias("cusum_scaled"),
+    )
+    mx = cus.agg(F.max(F.abs("cusum_scaled")).alias("m"))
+    peak_day = (
+        cus.join(F.broadcast(mx))
+        .filter(F.abs("cusum_scaled") == F.col("m"))
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return (
+        cus.join(F.broadcast(mx))
+        .join(F.broadcast(peak_day))
+        .select(
+            "day",
+            "n",
+            "cusum_scaled",
+            (
+                (F.abs("cusum_scaled") == F.col("m"))
+                & (F.col("day") == F.col("peak_day"))
+            ).alias("is_peak"),
+        )
+    )

@@ -765,3 +765,46 @@ def test_asof_forward_picks_nearest_future_min_id(spark):
     assert out[1] == 50
     assert out[2] == 60
     assert out[3] is None
+
+
+# ---------------------------------------------------------------- stat_cusum_changepoint
+
+
+def test_cusum_finds_injected_level_shift(spark):
+    """A series with 10 days at ~5/day then 10 days at ~50/day must
+    peak (max |cusum|) exactly at the last low day — the level-shift
+    boundary; cusum ends at 0 by construction."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        per_day = 5 if d < 10 else 50
+        for k in range(per_day):
+            rows.append(
+                Row(ts=dt.datetime(2024, 8, 1 + d, 8, 0, k % 60), event_id=eid)
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    tot = daily.agg(
+        F.count("*").cast("long").alias("d"), F.sum("n").cast("long").alias("total")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    rn = W.orderBy("day")
+    cus = daily.join(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("d") * F.sum("n").over(w) - F.row_number().over(rn) * F.col("total")
+        ).cast("long").alias("c"),
+    ).collect()
+    by_day = sorted(cus, key=lambda r: r["day"])
+    peak = max(by_day, key=lambda r: abs(r["c"]))
+    assert peak["day"].isoformat() == "2024-08-10"  # last low day
+    assert by_day[-1]["c"] == 0  # telescoping: D*total - D*total

@@ -56,6 +56,7 @@ CROSS_OK = {
     "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
     "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
+    "stat_cusum_changepoint",  # three 1-row scalar broadcasts (totals, max, peak day)
     "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
     # and frontier-candidates x candidates dominance anti-join — all
     # bounded by construction (band count / staircase size), never data x data
@@ -65,6 +66,8 @@ CROSS_OK = {
 GLOBAL_WINDOW_OK = {
     "sketch_kmv_setops",  # window over k=64 sketch rows
     "sketch_quantile_hist",  # running sum over 64 fixed bins
+    "stat_cusum_changepoint",  # running sum over the DAY-grain series —
+    # bounded by the calendar (36.5k rows/century), never by event volume
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
