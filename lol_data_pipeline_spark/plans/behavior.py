@@ -487,7 +487,9 @@ def rel_retention_cohort(spark, sf_dir):
     sql="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
-             CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_value
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / count(*) + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_value
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
@@ -527,8 +529,22 @@ def rel_gap_fill_locf(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts"), "value"
     )
+    # fixed-point mean: per-row value*1e4 snaps to an exact BIGINT,
+    # the sum is exact, and the final divide is one deterministic
+    # float op — a plain round(avg(),4) drifted by 1 ulp across the
+    # 4-dp boundary at sf0.1 (3 rows in the full-registry sweep)
+    # because float summation order differs between engines. The
+    # per-row snap AND the final 4-dp snap are floor(x + 0.5), NOT
+    # round(): the engines disagree on double round()'s .5 tie
+    # direction (Spark half-up, DuckDB half-even) — with exact
+    # integer sums the mean lands on EXACT .5 ties (s/n = 472537.5
+    # in the sf0.1 sweep), so the tie rule must be spelled out.
     hourly = ev.groupBy("event_type", "hour_ts").agg(
-        F.count("*").cast("long").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / count(*) + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE)"
+        ).alias("avg_value"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min(F.col("hour_ts"))).alias("lo"),

@@ -97,7 +97,8 @@ def rel_q7_volume_shipping(spark, sf_dir):
     "rel_q9_product_profit",
     sql="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS amount
+           round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                              AS BIGINT)) AS DOUBLE) / 100.0, 2) AS amount
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -110,7 +111,14 @@ def rel_q7_volume_shipping(spark, sf_dir):
 def rel_q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: LIKE-filtered part dimension drives a 5-table
     join, profit grouped by supplier nation and order year. The part
-    filter prunes before the fact join (broadcast semi-reduction)."""
+    filter prunes before the fact join (broadcast semi-reduction).
+
+    The profit sum is cents-exact (per-row floor(x·100 + 0.5) to an integer cent — NOT round(), whose double .5 ties Spark and DuckDB break differently —
+    exact BIGINT sum, one final divide): the largest per-group sum in
+    the catalog, and the plain round(sum(),2) form drifted by 0.01 on
+    one group at sf0.1 when engine summation order crossed the
+    rounding boundary — the accounting-grade form is deterministic at
+    any scale and matches how money should be summed anyway."""
     li, o, s, n, p = (T(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier", "nation", "part"))
     return (
         li.join(F.broadcast(p.filter(F.col("p_type").like("PROM%"))), F.col("l_partkey") == F.col("p_partkey"))
@@ -118,7 +126,12 @@ def rel_q9_product_profit(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("amount"))
+        .agg(
+            F.expr(
+                "round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)) AS DOUBLE) / 100.0, 2)"
+            ).alias("amount")
+        )
     )
 
 
