@@ -864,7 +864,7 @@ def _grid_counts(ev):
            b.event_type AS type_b,
            max(a.n) AS n_a,
            max(b.n) AS n_b,
-           round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+           CAST(floor((max(abs(a.cdf - b.cdf))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS ks_stat
     FROM cdf a JOIN cdf b ON a.i = b.i AND a.event_type < b.event_type
     GROUP BY 1, 2
     """,
@@ -917,7 +917,9 @@ def stat_ks_drift(spark, sf_dir):
         .agg(
             F.max("n_a").alias("n_a"),
             F.max("n_b").alias("n_b"),
-            F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias("ks_stat"),
+            F.expr(
+                "CAST(floor((max(abs(cdf_a - cdf_b))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+            ).alias("ks_stat"),
         )
     )
 
@@ -930,14 +932,14 @@ def stat_ks_drift(spark, sf_dir):
 _LR_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
 _LR_DXX = "CAST(n * sxx - sx * sx AS DOUBLE)"
 _LR_DYY = "CAST(n * syy - sy * sy AS DOUBLE)"
-_LR_SLOPE = f"CASE WHEN {_LR_DXX} = 0 THEN NULL ELSE round({_LR_NUM} / {_LR_DXX}, 6) END"
+_LR_SLOPE = f"CASE WHEN {_LR_DXX} = 0 THEN NULL ELSE CAST(floor(({_LR_NUM} / {_LR_DXX}) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) END"
 _LR_INTERCEPT = (
     f"CASE WHEN {_LR_DXX} = 0 THEN NULL ELSE "
-    f"round((CAST(sy AS DOUBLE) - ({_LR_NUM} / {_LR_DXX}) * CAST(sx AS DOUBLE)) / n, 6) END"
+    f"CAST(floor(((CAST(sy AS DOUBLE) - ({_LR_NUM} / {_LR_DXX}) * CAST(sx AS DOUBLE)) / n) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) END"
 )
 _LR_R2 = (
     f"CASE WHEN {_LR_DXX} = 0 OR {_LR_DYY} = 0 THEN NULL ELSE "
-    f"round({_LR_NUM} * {_LR_NUM} / ({_LR_DXX} * {_LR_DYY}), 6) END"
+    f"CAST(floor(({_LR_NUM} * {_LR_NUM} / ({_LR_DXX} * {_LR_DYY})) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) END"
 )
 
 
@@ -1093,7 +1095,7 @@ def rel_skyline_parts(spark, sf_dir):
       FROM du GROUP BY 1
     )
     SELECT d.report_day, d.dau, w.wau,
-           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+           CAST(floor((CAST(d.dau AS DOUBLE) / w.wau) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS stickiness
     FROM dau d JOIN wau w ON d.report_day = w.report_day
     """,
 )
@@ -1132,7 +1134,7 @@ def rel_rolling_wau(spark, sf_dir):
         "report_day",
         "dau",
         "wau",
-        F.expr("round(CAST(dau AS DOUBLE) / wau, 6)").alias("stickiness"),
+        F.expr("CAST(floor((CAST(dau AS DOUBLE) / wau) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)").alias("stickiness"),
     )
 
 
@@ -1152,7 +1154,7 @@ def rel_rolling_wau(spark, sf_dir):
     )
     SELECT day, CAST(max(n) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_types,
-           round(-CAST(sum(term_e9) AS DOUBLE) / 1000000000.0, 6) AS entropy_nats
+           CAST(floor((-CAST(sum(term_e9) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS entropy_nats
     FROM terms GROUP BY 1
     """,
 )
@@ -1188,9 +1190,9 @@ def stat_entropy_daily(spark, sf_dir):
     return terms.groupBy("day").agg(
         F.max("n").cast("long").alias("n_events"),
         F.count("*").cast("long").alias("n_types"),
-        F.expr("round(-CAST(sum(term_e9) AS DOUBLE) / 1000000000.0, 6)").alias(
-            "entropy_nats"
-        ),
+        F.expr(
+            "CAST(floor((-CAST(sum(term_e9) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+        ).alias("entropy_nats"),
     )
 
 
@@ -1334,7 +1336,7 @@ _PSI_TERM = (
     SELECT type_a, type_b,
            CAST(max(n_a) AS BIGINT) AS n_a,
            CAST(max(n_b) AS BIGINT) AS n_b,
-           round(CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000.0, 6) AS psi
+           CAST(floor((CAST(sum({_PSI_TERM}) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS psi
     FROM terms GROUP BY 1, 2
     """,
 )
@@ -1390,7 +1392,7 @@ def stat_psi_drift(spark, sf_dir):
             F.max("n_a").cast("long").alias("n_a"),
             F.max("n_b").cast("long").alias("n_b"),
             F.expr(
-                f"round(CAST(sum({_PSI_TERM}) AS DOUBLE) / 1000000000.0, 6)"
+                f"CAST(floor((CAST(sum({_PSI_TERM}) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
             ).alias("psi"),
         )
     )

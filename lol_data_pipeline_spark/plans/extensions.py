@@ -1886,8 +1886,7 @@ _ULM_VOCAB_K = 512
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            sum(coalesce(l.lp, o.lp_oov)) AS sum_lp_e6,
-           round(CAST(sum(coalesce(l.lp, o.lp_oov)) AS DOUBLE)
-                 / count(*) / 1000000.0, 6) AS avg_lp
+           CAST(floor((CAST(sum(coalesce(l.lp, o.lp_oov)) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_lp
     FROM tok t LEFT JOIN lp l ON t.term = l.term CROSS JOIN oov o
     GROUP BY 1
     """,
@@ -1948,7 +1947,7 @@ def text_unigram_loglik(spark, sf_dir):
         "n_tokens",
         "sum_lp_e6",
         F.expr(
-            "round(CAST(sum_lp_e6 AS DOUBLE) / n_tokens / 1000000.0, 6)"
+            "CAST(floor((CAST(sum_lp_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
         ).alias("avg_lp"),
     )
 

@@ -1182,3 +1182,22 @@ def rel_asof_forward(spark, sf_dir):
             F.unix_millis("asof_purchase_ts") - F.unix_millis("ts")
         ).cast("long").alias("ms_to_convert"),
     )
+
+
+def snap_sql(expr: str, scale: int = 6) -> str:
+    """Tie-safe n-decimal snap, identical text for Spark and DuckDB:
+    ``floor(x·10ⁿ + 0.5) / 10ⁿ`` instead of ``round(x, n)``.
+
+    Why round() is unsafe for RATIONAL outputs (exact-integer
+    numerators over integer denominators — fixed-point averages,
+    count ratios, OLS statistics): such values land on EXACT .5 ties
+    at the n-th decimal (e.g. s/n = 472537.5 in the sf0.1 sweep),
+    and the engines break double round()'s tie differently (Spark
+    half-up via BigDecimal, DuckDB half-even) — a one-ulp output
+    difference that fails the value-hash. floor(x + 0.5) has ONE
+    definition everywhere. Float-valued expressions (cosines, BM25
+    scores) hit ties with probability ~0 and may keep round(); the
+    divisor is CAST(... AS DOUBLE) because a bare ``1000000.0``
+    literal is DECIMAL in DuckDB and would change the output type."""
+    m = 10 ** scale
+    return f"CAST(floor(({expr}) * {m} + 0.5) AS BIGINT) / CAST({m} AS DOUBLE)"
