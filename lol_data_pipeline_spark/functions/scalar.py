@@ -104,3 +104,14 @@ def element_at_pos(arr: Column | str, pos: Column) -> Column:
     """Null-safe element extraction by computed (1-based) index."""
     a = F.col(arr) if isinstance(arr, str) else arr
     return F.when(pos.isNull(), F.lit(None)).otherwise(F.try_element_at(a, pos))
+
+
+def snap(col: Column | str, scale: int = 6) -> Column:
+    """Tie-safe n-decimal snap (Column twin of plans.queries.snap_sql):
+    ``floor(x·10ⁿ + 0.5) / 10ⁿ``. Use instead of round() whenever the
+    value is RATIONAL (exact-integer numerator / integer denominator)
+    — such values hit EXACT .5 ties at the snap scale, where Spark
+    (half-up) and DuckDB (half-even) break double round() apart."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10 ** scale
+    return (F.floor(c * m + F.lit(0.5)).cast("long") / F.lit(float(m))).alias("snap")

@@ -160,6 +160,6 @@ def label_centroids(
         ],
     )
     cent = ", ".join(
-        f"round(CAST(s{d} AS DOUBLE) / n / {scale}.0, 6)" for d in range(dim)
+        f"CAST(floor(CAST(s{d} AS DOUBLE) / n / CAST({scale} AS DOUBLE) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)" for d in range(dim)
     )
     return sums.select(label_col, "n", F.expr(f"array({cent})").alias("centroid"))

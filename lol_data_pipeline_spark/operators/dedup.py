@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.caching import tracked_persist
-from lol_data_pipeline_spark.functions.scalar import md5_long
+from lol_data_pipeline_spark.functions.scalar import md5_long, snap
 from lol_data_pipeline_spark.functions.text import word_shingle_arrays
 from lol_data_pipeline_spark.io import widen
 
@@ -108,7 +108,7 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            snap(
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
                 6,
@@ -279,7 +279,7 @@ def _jaccard_verify(
         .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            snap(
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
                 6,
@@ -415,7 +415,7 @@ def substring_dup_stats(docs: DataFrame, n: int = 8) -> DataFrame:
         "doc_id",
         "n_windows",
         F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.round(
+        snap(
             F.coalesce(F.col("n_dup"), F.lit(0)) * F.lit(1.0) / F.col("n_windows"), 4
         ).alias("dup_ratio"),
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from lol_data_pipeline_spark.functions import scalar
 from lol_data_pipeline_spark.functions import text as tx
 from lol_data_pipeline_spark.io import widen as widen_
 from lol_data_pipeline_spark.operators import dedup as dd
@@ -52,7 +53,7 @@ def _sql_stop_hits(lang: str) -> str:
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
-           round(len(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_tok_len
+           CAST(floor((len(array_to_string(t, '')) * 1.0 / len(t)) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_tok_len
     FROM tok
     """,
 )
@@ -67,7 +68,7 @@ def text_token_stats(spark, sf_dir):
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("t")).cast("long").alias("n_uniq"),
-        F.round(
+        scalar.snap(
             F.length(F.concat_ws("", F.col("t"))) * F.lit(1.0) / F.size("t"), 4
         ).alias("avg_tok_len"),
     )
@@ -85,7 +86,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_pieces,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq_pieces,
-           round(len(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_piece_len
+           CAST(floor((len(array_to_string(t, '')) * 1.0 / len(t)) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_piece_len
     FROM tok
     """,
 )
@@ -103,7 +104,7 @@ def text_token_bpe(spark, sf_dir):
         "doc_id",
         F.size("t").cast("long").alias("n_pieces"),
         F.size(F.array_distinct("t")).cast("long").alias("n_uniq_pieces"),
-        F.round(
+        scalar.snap(
             F.length(F.concat_ws("", F.col("t"))) * F.lit(1.0) / F.size("t"), 4
         ).alias("avg_piece_len"),
     )
@@ -224,11 +225,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+       CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {thr}
+WHERE CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) >= {thr}
 """
 
 
@@ -1510,7 +1511,7 @@ _SUB_N = 8  # window width in tokens
     )
     SELECT b.doc_id, b.n_windows,
            CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           round(coalesce(c.n_dup, 0) * 1.0 / b.n_windows, 4) AS dup_ratio
+           CAST(floor((coalesce(c.n_dup, 0) * 1.0 / b.n_windows) * 10000 + 0.5) AS BIGINT) / CAST(10000 AS DOUBLE) AS dup_ratio
     FROM base b LEFT JOIN cnt c USING (doc_id)
     """,
 )
@@ -1607,11 +1608,11 @@ def emb_knn_graph(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT CAST(id_new AS BIGINT) AS id_new, CAST(id_index AS BIGINT) AS id_index,
-           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+           CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = id_new
     JOIN sizes sb ON sb.doc_id = id_index
-    WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.8
+    WHERE CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) >= 0.8
     """,
 )
 def dedup_incremental_minhash(spark, sf_dir):
@@ -1735,7 +1736,7 @@ _CENT_DIM = 64
     )
     SELECT CAST(label AS INTEGER) AS label,
            CAST(max(n) AS BIGINT) AS n,
-           list(round(CAST(s AS DOUBLE) / n / {_CENT_SCALE}.0, 6) ORDER BY pos) AS centroid
+           list(CAST(floor((CAST(s AS DOUBLE) / n / CAST({_CENT_SCALE} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS centroid
     FROM comp GROUP BY label
     """,
 )
