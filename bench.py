@@ -98,7 +98,10 @@ HEADLINE = [
     "stat_entropy_daily",
     "rel_interval_overlap",
     "rel_bloom_prejoin",
-    "corpus_pipeline_e2e",
+    # corpus_pipeline_e2e is NOT benched: it composes three already-
+    # benched stages (quality, keep-first dedup, decontaminate) and
+    # costs their sum (~41 s at sf0.1) — no new signal for 2 min of
+    # bench wall; same policy as the single multibatch representative
     "sketch_hll_rolling",
     "rel_asof_tolerance",
     "rel_asof_forward",

@@ -41,9 +41,16 @@ def connected_components(
     """(vertex, component) for every vertex in ``pairs``, where
     component = min vertex id reachable within ``iters`` hops (= the
     true component minimum once iters ≥ component diameter)."""
+    # persist the PAIR LIST before the symmetric union: the union
+    # references it twice, so an unpersisted pairs subtree (the whole
+    # shingle→hash→verify pipeline) would execute twice just to build
+    # edges — measured as the dominant cost of dedup_components at
+    # sf0.1 (the label rounds themselves touch only a few hundred
+    # rows).
+    pairs_p = tracked_persist(pairs.select(a_col, b_col))
     edges = tracked_persist(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs_p.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+            pairs_p.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
     )
     labels = edges.select(F.col("src").alias("v")).distinct().withColumn(

@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (coalesce tiny shuffles, pick broadcasts)
+        # INSIDE cached subtrees too: many operators tracked_persist
+        # small intermediates (dedup signatures, CC labels), and
+        # without this flag every shuffle under an InMemoryRelation
+        # keeps the static partition count — measured 19.7 s -> much
+        # less on dedup_components' 4 label-propagation rounds whose
+        # state is a few hundred rows spread over 32-64 tasks
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
