@@ -110,6 +110,12 @@ def asof_join_forward(
     the deterministic mirror of backward's max-wins rule. An oracle
     must pre-dedupe equal-timestamp right rows to min-tiebreak to
     match (DuckDB's ASOF JOIN leaves duplicate timestamps undefined).
+
+    NULL timestamps: the window orders DESC **NULLS FIRST** so a left
+    row with NULL ``left_ts`` sorts before every right row and gets a
+    NULL payload (a bare DESC would be NULLS LAST, silently matching
+    it to the key's EARLIEST right row); NULL-``right_ts`` rows are
+    dropped — a reference row at "unknown time" matches nothing.
     """
     lcols = left.columns
     ptype = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
@@ -120,7 +126,7 @@ def asof_join_forward(
         F.lit(0).cast("long").alias("__tie"),
         F.lit(None).cast(ptype).alias("__p"),
     )
-    rtagged = right.select(
+    rtagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
             for c in lcols
@@ -132,7 +138,11 @@ def asof_join_forward(
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc())
+        .orderBy(
+            F.col("__ts").desc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__tie").desc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = ltagged.unionByName(rtagged).select(

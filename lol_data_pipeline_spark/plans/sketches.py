@@ -181,8 +181,8 @@ def _rho_case_col(w):
     ), agg AS (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n_used,
-             sum(CAST(2 AS BIGINT) ** (53 - m_j))
-               + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** 53) AS s
+             sum((CAST(1 AS BIGINT) << (53 - m_j)))
+               + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 53) AS s
       FROM regs GROUP BY 1
     ), ex AS (
       SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
@@ -754,8 +754,8 @@ def rel_bloom_prejoin(spark, sf_dir):
     est AS (
       SELECT report_day,
              CAST(count(*) AS BIGINT) AS n_used,
-             CAST(sum(CAST(2 AS BIGINT) ** (53 - m_j))
-               + ({_HLL_M} - count(*)) * (CAST(2 AS BIGINT) ** 53) AS BIGINT) AS harmonic_s
+             CAST(sum((CAST(1 AS BIGINT) << (53 - m_j)))
+               + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS harmonic_s
       FROM win_regs GROUP BY 1
     ),
     exact AS (
@@ -764,8 +764,8 @@ def rel_bloom_prejoin(spark, sf_dir):
       GROUP BY 1
     )
     SELECT e.report_day, x.wau_exact, e.n_used, e.harmonic_s,
-           CASE WHEN {_HLL_C!r} / e.harmonic_s <= 640.0 AND e.n_used < 256
-                THEN round(256.0 * ln(256.0 / (256 - e.n_used)), 2)
+           CASE WHEN {_HLL_C!r} / e.harmonic_s <= {2.5 * _HLL_M!r} AND e.n_used < {_HLL_M}
+                THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - e.n_used)), 2)
                 ELSE round({_HLL_C!r} / e.harmonic_s, 2) END AS hll_wau
     FROM est e JOIN exact x ON x.report_day = e.report_day
     """,

@@ -44,7 +44,39 @@ def test_dump_plans_showcase_names_resolve():
 def test_every_oracled_entry_mentioned_in_coverage():
     """Every registry entry name appears somewhere in COVERAGE.md —
     the judge walks that file line-by-line; an unmentioned operator
-    is invisible coverage."""
+    is invisible coverage. Word-boundary match, NOT substring: plain
+    containment would let ann_cosine_topk ride on
+    ann_cosine_topk_arrow's mention."""
     s = open(os.path.join(ROOT, "COVERAGE.md")).read()
-    missing = [n for n in sorted(REGISTRY) if n not in s]
+    missing = [
+        n
+        for n in sorted(REGISTRY)
+        if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(n)}(?![A-Za-z0-9_])", s)
+    ]
     assert not missing, f"entries absent from COVERAGE.md: {missing}"
+
+
+def test_inline_snap_occurrences_match_canonical_shape():
+    """Every tie-safe snap inlined in an oracle SQL matches
+    plans.queries.snap_sql's exact output — the one-definition guard
+    for the ~20 inline copies (a drifted copy, e.g. one that
+    reintroduces a bare 1000000.0 DECIMAL literal or drops the +0.5,
+    breaks here instead of surfacing as a cross-engine tie flake)."""
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+
+    pat = re.compile(
+        r"CAST\(floor\(\((.+?)\) \* (\d+) \+ 0\.5\) AS BIGINT\) / CAST\((\d+) AS DOUBLE\)"
+    )
+    found = 0
+    for name, spec in REGISTRY.items():
+        if not spec.sql:
+            continue
+        for m in pat.finditer(spec.sql):
+            expr, m1, m2 = m.group(1), m.group(2), m.group(3)
+            assert m1 == m2, f"{name}: mismatched scale factors in {m.group(0)}"
+            scale = len(m1) - 1
+            assert m.group(0) == snap_sql(expr, scale), (
+                f"{name}: inline snap drifts from snap_sql: {m.group(0)}"
+            )
+            found += 1
+    assert found >= 10, f"expected the snap sites to be visible, found {found}"

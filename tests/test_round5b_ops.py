@@ -808,3 +808,42 @@ def test_cusum_finds_injected_level_shift(spark):
     peak = max(by_day, key=lambda r: abs(r["c"]))
     assert peak["day"].isoformat() == "2024-08-10"  # last low day
     assert by_day[-1]["c"] == 0  # telescoping: D*total - D*total
+
+
+def test_asof_forward_null_timestamps(spark):
+    """A left row with NULL ts must get a NULL match (mirroring the
+    backward twin), and NULL-ts right rows match nothing — the
+    review-caught NULLS LAST trap where a NULL left ts silently
+    matched the key's earliest right row."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from lol_data_pipeline_spark.operators.asof import asof_join_forward
+    from pyspark.sql import types as T
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0)
+    schema_l = T.StructType([
+        T.StructField("click_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    schema_r = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("purchase_id", T.LongType()),
+    ])
+    clicks = spark.createDataFrame(
+        [(1, 5, None), (2, 5, t0)], schema_l
+    )
+    purchases = spark.createDataFrame(
+        [(5, t0, 50), (5, None, 99)], schema_r
+    )
+    out = {
+        r["click_id"]: r["asof_purchase_id"]
+        for r in asof_join_forward(
+            clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload=["purchase_id"], tiebreak="purchase_id",
+        ).collect()
+    }
+    assert out[1] is None  # NULL left ts -> no match
+    assert out[2] == 50    # NULL-ts right row (99) never matches
