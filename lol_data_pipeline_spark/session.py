@@ -45,14 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let AQE re-plan (coalesce tiny shuffles, pick broadcasts)
-        # INSIDE cached subtrees too: many operators tracked_persist
-        # small intermediates (dedup signatures, CC labels), and
-        # without this flag every shuffle under an InMemoryRelation
-        # keeps the static partition count — measured 19.7 s -> much
-        # less on dedup_components' 4 label-propagation rounds whose
-        # state is a few hundred rows spread over 32-64 tasks
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # canChangeCachedPlanOutputPartitioning stays at its default
+        # (false): measured A/B at sf0.1 — enabling it let AQE
+        # re-plan inside cached subtrees but REGRESSED persist-heavy
+        # entries ~40% (dedup_simhash 1.1→1.75 s, minhash 1.36→1.62)
+        # with no win on the label-propagation loop it was meant to
+        # help (that cost is stage-scheduling, which AQE can't
+        # remove). See PERF_NOTES.md.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
