@@ -450,3 +450,36 @@ def stream_cdf_multibatch(spark, sf_dir):
     from lol_data_pipeline_spark.streaming import windows as sw
 
     return sw.cdf_counters_multibatch(spark, sf_dir)
+
+
+@query(
+    "stream_alert_multibatch",
+    sql="""
+    WITH decisive AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 100.0 THEN 'on' ELSE 'off' END AS dir
+      FROM events WHERE value >= 100.0 OR value <= 10.0
+    ),
+    seq AS (
+      SELECT *, lag(dir) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM decisive
+    )
+    SELECT user_id, ts, event_id, dir AS transition
+    FROM seq WHERE dir != coalesce(prev, 'off')
+    """,
+)
+def stream_alert_multibatch(spark, sf_dir):
+    """Per-user hysteresis alerting (ON at value ≥ 100, OFF at ≤ 10,
+    transitions only) as a custom stateful streaming operator over a
+    four-batch time-ordered replay. The state machine's current
+    status crosses micro-batch boundaries through the state store;
+    the oracle reconstructs the same machine in batch SQL (decisive
+    events + lag over each user's history, initial state OFF). A
+    state-store round-trip bug changes WHICH rows are transitions —
+    the strictest cross-batch state check in the streaming family
+    because output identity, not an aggregate, depends on state."""
+    from lol_data_pipeline_spark.streaming.stateful import (
+        alert_transitions_multibatch,
+    )
+
+    return alert_transitions_multibatch(spark, sf_dir)

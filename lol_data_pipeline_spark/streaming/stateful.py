@@ -320,3 +320,70 @@ def latest_per_key_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value",
         )
     )
+
+
+_ALERT_HI = 100.0
+_ALERT_LO = 10.0
+ALERT_OUTPUT_DDL = "user_id bigint, ts timestamp, event_id bigint, transition string"
+
+
+def _alert_update_fn(hi: float, lo: float):
+    """Per-user hysteresis state machine: alert turns ON at
+    value >= hi, OFF at value <= lo; only TRANSITIONS are emitted
+    (edge-triggered — the shape monitoring systems actually want,
+    since level-triggered output re-alerts every batch). State is a
+    single boolean per user."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        on = bool(state.get[0]) if state.exists else False
+        out = []
+        for r in rows.itertuples():
+            if not on and r.value >= hi:
+                on = True
+                out.append((key[0], r.ts, r.event_id, "on"))
+            elif on and r.value <= lo:
+                on = False
+                out.append((key[0], r.ts, r.event_id, "off"))
+        state.update((on,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts", "event_id", "transition"]
+            )
+
+    return fn
+
+
+def alert_transitions_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-triggered alerting over a FOUR-micro-batch time-ordered
+    replay: the per-user ON/OFF hysteresis status must survive the
+    state store between batches — a lost or double-applied boolean
+    changes WHICH events are transitions, not just counts, so the
+    batch state-machine oracle catches it exactly. The emitted set is
+    append-only by construction (a transition happens once), so the
+    update-mode memory sink's concatenation of per-batch emissions IS
+    the final answer — no last-snapshot filter needed, unlike top-k."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.streaming.windows import (
+        replay_multibatch,
+        time_slices,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _alert_update_fn(_ALERT_HI, _ALERT_LO),
+            outputStructType=ALERT_OUTPUT_DDL,
+            stateStructType="is_on boolean",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "update", f"alert_mb:{sf_dir}"
+    )

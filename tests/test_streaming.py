@@ -347,3 +347,22 @@ def test_time_slices_route_null_ts_and_collapse_dup_bounds(spark):
     assert sum(p.count() for p in parts) == ev.count()  # full coverage
     assert all(p.count() > 0 for p in parts)  # no empty staged batch
     assert parts[0].filter(F.col("ts").isNull()).count() == 2  # NULLs in slice 0
+
+
+def test_alert_transitions_alternate_per_user(spark):
+    """Per user, transitions strictly alternate on/off/on/... starting
+    with 'on' (initial state is OFF) — the hysteresis invariant that
+    breaks if the boolean state is lost or double-applied between
+    micro-batches."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from tests.conftest import SF_SMALL as SF
+
+    rows = REGISTRY["stream_alert_multibatch"].fn(spark, SF).collect()
+    assert rows
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r["transition"])
+    for u, seq in by_user.items():
+        assert seq[0] == "on", (u, seq[:3])
+        for a, b in zip(seq, seq[1:]):
+            assert a != b, (u, seq)
