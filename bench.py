@@ -3,7 +3,11 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The stdout line's "queries" map
+is restricted to the frozen 29-query BASELINE_SET so the line stays
+<2 KB (the driver tails the last 2000 bytes of stdout; round 5's
+70-query line was clipped there and recorded as parsed:null). The
+full per-query map is written to BENCH_DETAIL.json and stderr.
 
 Each query executes fully via the noop sink (no driver collect, no
 result materialization cost — measures the engine, not the pipe).
@@ -167,22 +171,33 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "value_baseline_set": round(
-                    sum(t for n, t in timings.items() if n in BASELINE_SET), 3
-                ),
-                "n_queries": len(timings),
-                "calib_loop_sec": calib,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # ONLY the frozen 29-query baseline set goes on stdout: the driver
+        # keeps the last 2000 bytes of stdout and parses the JSON line found
+        # there. Round 5's full 70-query map outgrew that window and the line
+        # was clipped mid-JSON (BENCH_r05.json parsed: null). The baseline
+        # set never grows, so this line is bounded at ~1.2 KB forever; the
+        # full per-query map lands in BENCH_DETAIL.json and on stderr.
+        "queries": {n: t for n, t in timings.items() if n in BASELINE_SET},
+        "value_baseline_set": round(
+            sum(t for n, t in timings.items() if n in BASELINE_SET), 3
+        ),
+        "n_queries": len(timings),
+        "calib_loop_sec": calib,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail = dict(summary)
+    detail["queries"] = timings
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(summary)
+    assert len(line) < 1900, f"stdout bench line {len(line)}B risks the 2000B tail window"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -111,7 +111,12 @@ def snap(col: Column | str, scale: int = 6) -> Column:
     ``floor(x·10ⁿ + 0.5) / 10ⁿ``. Use instead of round() whenever the
     value is RATIONAL (exact-integer numerator / integer denominator)
     — such values hit EXACT .5 ties at the snap scale, where Spark
-    (half-up) and DuckDB (half-even) break double round() apart."""
+    (half-up) and DuckDB (half-even) break double round() apart.
+
+    The returned Column is unnamed — callers alias it. Note the
+    floor(+0.5) rule rounds NEGATIVE .5 ties toward +inf (-1.5 → -1),
+    unlike round()'s away-from-zero; identical to snap_sql on both
+    engines, but mind it if snapping signed values."""
     c = F.col(col) if isinstance(col, str) else col
     m = 10 ** scale
-    return (F.floor(c * m + F.lit(0.5)).cast("long") / F.lit(float(m))).alias("snap")
+    return F.floor(c * m + F.lit(0.5)).cast("long") / F.lit(float(m))

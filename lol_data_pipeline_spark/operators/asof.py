@@ -51,6 +51,14 @@ def asof_join_backward(
     row is selected atomically — per-column carries could silently
     mix payload values from different right rows when a field is
     null. One window function regardless of payload width, too.
+
+    NULL timestamps: NULL-``right_ts`` rows are dropped (a reference
+    row at "unknown time" matches nothing) — without the filter, ASC
+    NULLS FIRST ordering would sort such a row before every real row
+    and carry its payload onto left rows that precede any real
+    reference row. A left row with NULL ``left_ts`` sorts first and
+    can only pick up such phantom payloads, so with the filter it
+    gets NULL payload, symmetric with :func:`asof_join_forward`.
     """
     lcols = left.columns
     ptype = T.StructType([T.StructField(c, right.schema[c].dataType) for c in payload])
@@ -61,7 +69,7 @@ def asof_join_backward(
         F.lit(0).cast("long").alias("__tie"),
         F.lit(None).cast(ptype).alias("__p"),
     )
-    rtagged = right.select(
+    rtagged = right.filter(F.col(right_ts).isNotNull()).select(
         # left's non-key columns are NULL on reference rows
         *[
             (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)

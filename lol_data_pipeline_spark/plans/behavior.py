@@ -288,7 +288,8 @@ def dq_expectations(spark, sf_dir):
     )
     c3 = check(
         "orders_custkey_in_customer",
-        orders.join(F.broadcast(cust.select("c_custkey")),
+        # customer scales with SF: no broadcast hint, AQE decides
+        orders.join(cust.select("c_custkey"),
                     orders.o_custkey == F.col("c_custkey"), "left"),
         F.col("c_custkey").isNull(),
     )

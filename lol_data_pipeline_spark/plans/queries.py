@@ -502,7 +502,8 @@ def rel_q5_local_supplier(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        # supplier scales with SF: no hint, AQE decides broadcast-vs-shuffle
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -1014,7 +1015,7 @@ def rel_incremental_agg_merge(spark, sf_dir):
 def ref_json_lines_scan(spark, sf_dir):
     """Schema-enforced JSON-lines source with an explicit corrupt-
     record policy: the events table staged as a JSONL landing zone
-    (epoch-ms timestamps), read back under a DECLARED schema in
+    (epoch-micros timestamps, jsonl.py's ts_us), read back under a DECLARED schema in
     PERMISSIVE mode with two injected malformed lines routed into
     `_corrupt_record` and quarantined by filter — then aggregated.
     Parity against the parquet table proves the JSON round trip is

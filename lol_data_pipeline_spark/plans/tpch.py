@@ -72,17 +72,20 @@ def rel_q6_forecast_revenue(spark, sf_dir):
 def rel_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: 6-table snowflake join with a disjunctive
     cross-nation predicate, grouped by both nations and ship year.
-    nation/supplier/customer broadcast; only lineitem⋈orders
-    shuffles."""
+    nation is hint-broadcast (25 rows at every SF); supplier and
+    customer carry NO hint — they scale with data volume, so the
+    broadcast-vs-shuffle choice belongs to autoBroadcastJoinThreshold
+    + AQE (broadcast at bench SF, shuffle at 100 TB), not to a hint
+    that would OOM executors at scale."""
     li, o, c, s, n = (T(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "supplier", "nation"))
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
         li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -97,8 +100,8 @@ def rel_q7_volume_shipping(spark, sf_dir):
     "rel_q9_product_profit",
     sql="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
-                              AS BIGINT)) AS DOUBLE) / 100.0, 2) AS amount
+           ((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS amount
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -113,23 +116,28 @@ def rel_q9_product_profit(spark, sf_dir):
     join, profit grouped by supplier nation and order year. The part
     filter prunes before the fact join (broadcast semi-reduction).
 
-    The profit sum is cents-exact (per-row floor(x·100 + 0.5) to an integer cent — NOT round(), whose double .5 ties Spark and DuckDB break differently —
-    exact BIGINT sum, one final divide): the largest per-group sum in
-    the catalog, and the plain round(sum(),2) form drifted by 0.01 on
-    one group at sf0.1 when engine summation order crossed the
-    rounding boundary — the accounting-grade form is deterministic at
-    any scale and matches how money should be summed anyway."""
+    The profit sum keeps standard TPC-H ROUND-OF-SUM semantics AND is
+    cross-engine deterministic: l_extendedprice and l_discount are
+    both 2-dp, so the exact product has at most 4 decimals — per-row
+    floor(x·10⁴ + 0.5) recovers the EXACT 1e-4-unit integer (the +0.5
+    floor only strips double representation error; no information is
+    lost, unlike a per-row cent rounding, whose accumulated half-cent
+    error can move group totals). The exact BIGINT sum is then
+    cent-rounded ONCE in pure integer arithmetic ((s+50) div 100 —
+    half-up, no double division that could hit a .5 tie), and the
+    final int/100.0 yields the identical double on both engines. Tie
+    rule is half-up toward +inf; group sums here are non-negative."""
     li, o, s, n, p = (T(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier", "nation", "part"))
     return (
         li.join(F.broadcast(p.filter(F.col("p_type").like("PROM%"))), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaling: no hint, AQE decides
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.expr(
-                "round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
-                " AS BIGINT)) AS DOUBLE) / 100.0, 2)"
+                "CAST(((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+                " AS BIGINT)) + 50) div 100) AS DOUBLE) / 100.0"
             ).alias("amount")
         )
     )
@@ -166,7 +174,7 @@ def rel_q10_returned_items(spark, sf_dir):
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # SF-scaling: no hint, AQE decides
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
@@ -225,7 +233,7 @@ def rel_q14_promo_effect(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # SF-scaling: no hint, AQE decides
         .agg(F.round(100.0 * F.sum(promo) / F.sum(_rev()), 4).alias("promo_revenue_pct"))
     )
 
@@ -269,7 +277,7 @@ def rel_q15_top_supplier(spark, sf_dir):
     mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))  # SF-scaling: no hint
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -330,7 +338,7 @@ def rel_q18_large_orders(spark, sf_dir):
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # SF-scaling: no hint, AQE decides
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
@@ -505,10 +513,10 @@ def rel_q8_market_share(spark, sf_dir):
     share = F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(F.lit(0.0))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # SF-scaling: no hint, AQE decides
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(amer), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaling: no hint, AQE decides
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(F.sum(share) / F.sum(_rev()), 6).alias("mkt_share"))
@@ -707,7 +715,7 @@ def rel_q21_sole_late_supplier(spark, sf_dir):
         )
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # SF-scaling: no hint
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

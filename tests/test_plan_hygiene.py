@@ -362,3 +362,105 @@ def test_r5b_entries_scale_shapes(spark, sf_dir):
     plan = physical_plan(spark, sf_dir, "corpus_shard_plan")
     assert not pa.has_global_window(plan)
     assert "Join" not in plan
+
+
+def test_single_partition_detector_fires_on_injected_plans():
+    """SINGLE_PARTITION audit flag: fires on data-sized single-task
+    funnels, stays quiet on scalar aggregates and limits (whose
+    single-partition exchange carries one row / k rows per upstream
+    partition)."""
+    import tools.plan_audit as pa
+
+    bad_sort = (
+        "*(2) Sort [x#1L ASC NULLS FIRST], true, 0\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "   +- *(1) ColumnarToRow\n"
+        "      +- FileScan parquet [x#1L]"
+    )
+    assert pa.has_bad_single_partition(bad_sort)
+
+    ok_scalar_agg = (
+        "*(2) HashAggregate(keys=[], functions=[sum(x#1L)])\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "   +- *(1) HashAggregate(keys=[], functions=[partial_sum(x#1L)])\n"
+        "      +- FileScan parquet [x#1L]"
+    )
+    assert not pa.has_bad_single_partition(ok_scalar_agg)
+
+    ok_limit = (
+        "CollectLimit 10\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "   +- LocalLimit 10\n"
+        "      +- FileScan parquet [x#1L]"
+    )
+    assert not pa.has_bad_single_partition(ok_limit)
+
+    assert pa.has_bad_single_partition("*(1) Coalesce 1\n+- FileScan parquet [x#1L]")
+
+
+def test_broadcast_unbounded_detector_fires_on_injected_plans():
+    """BROADCAST_UNBOUNDED audit flag: fires on a HINTED broadcast of
+    an SF-scaling relation, quiet on nation/region, filtered,
+    aggregated, or unhinted builds."""
+    import tools.plan_audit as pa
+
+    def join_plan(hint, child):
+        return (
+            f"Join Inner, (l_suppkey#2L = s_suppkey#11L){hint}\n"
+            ":- Filter isnotnull(l_suppkey#2L)\n"
+            ":  +- Relation [l_orderkey#0L,l_suppkey#2L] parquet\n"
+            + child
+        )
+
+    bad = join_plan(
+        ", rightHint=(strategy=broadcast)",
+        "+- Filter isnotnull(s_suppkey#11L)\n"
+        "   +- Relation [s_suppkey#11L,s_name#12] parquet",
+    )
+    assert pa.has_unbounded_broadcast(bad)
+
+    ok_unhinted = join_plan(
+        "",
+        "+- Filter isnotnull(s_suppkey#11L)\n"
+        "   +- Relation [s_suppkey#11L,s_name#12] parquet",
+    )
+    assert not pa.has_unbounded_broadcast(ok_unhinted)
+
+    ok_nation = join_plan(
+        ", rightHint=(strategy=broadcast)",
+        "+- Filter isnotnull(n_nationkey#20L)\n"
+        "   +- Relation [n_nationkey#20L,n_name#21] parquet",
+    )
+    assert not pa.has_unbounded_broadcast(ok_nation)
+
+    ok_filtered = join_plan(
+        ", rightHint=(strategy=broadcast)",
+        "+- Filter (isnotnull(s_suppkey#11L) AND StartsWith(s_name#12, X))\n"
+        "   +- Relation [s_suppkey#11L,s_name#12] parquet",
+    )
+    assert not pa.has_unbounded_broadcast(ok_filtered)
+
+    ok_agg = join_plan(
+        ", rightHint=(strategy=broadcast)",
+        "+- Aggregate [s_suppkey#11L], [s_suppkey#11L]\n"
+        "   +- Relation [s_suppkey#11L,s_name#12] parquet",
+    )
+    assert not pa.has_unbounded_broadcast(ok_agg)
+
+
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
+    """The whole registry carries no broadcast HINT on an SF-scaling
+    unbounded build side (the audit's BROADCAST_UNBOUNDED invariant,
+    pinned in CI): at 100 TB a hint is a commitment that OOMs, while
+    an unhinted small table still broadcasts via the size threshold."""
+    import tools.plan_audit as pa
+
+    for name in ("rel_q5_local_supplier", "rel_q7_volume_shipping",
+                 "rel_q9_product_profit", "rel_q14_promo_effect",
+                 "rel_q18_large_orders", "dq_expectations"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert not pa.has_unbounded_broadcast(logical), name
+        # and the threshold still picks broadcast at this SF
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name

@@ -521,8 +521,9 @@ def test_jsonl_corrupt_records_quarantined(spark):
 
 
 def test_jsonl_timestamps_roundtrip(spark):
-    """Epoch-ms JSON timestamps re-enter through ts_from_epoch and
-    equal the parquet timestamps row-for-row."""
+    """Epoch-micros JSON timestamps (jsonl.py's ts_us) re-enter
+    through ts_from_epoch and equal the parquet timestamps
+    row-for-row."""
     from lol_data_pipeline_spark.io import load_table
     from lol_data_pipeline_spark.sources.jsonl import read_events_jsonl
 
@@ -847,3 +848,44 @@ def test_asof_forward_null_timestamps(spark):
     }
     assert out[1] is None  # NULL left ts -> no match
     assert out[2] == 50    # NULL-ts right row (99) never matches
+
+
+def test_asof_backward_null_timestamps(spark):
+    """Backward twin of the NULL-ts regression: a NULL-ts reference
+    row must match nothing. Pre-fix, ASC NULLS FIRST sorted the NULL
+    reference row before everything, so a left row earlier than every
+    real reference row (and a NULL-ts left row) picked up its payload
+    instead of NULL."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+    from lol_data_pipeline_spark.operators.asof import asof_join_backward
+
+    t0 = dt.datetime(2024, 7, 1, 10, 0, 0)
+    t1 = dt.datetime(2024, 7, 2, 10, 0, 0)
+    schema_l = T.StructType([
+        T.StructField("click_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    schema_r = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("price_id", T.LongType()),
+    ])
+    clicks = spark.createDataFrame(
+        [(1, 5, t0), (2, 5, t1), (3, 5, None)], schema_l
+    )
+    prices = spark.createDataFrame(
+        [(5, t1, 50), (5, None, 99)], schema_r
+    )
+    out = {
+        r["click_id"]: r["asof_price_id"]
+        for r in asof_join_backward(
+            clicks, prices, on=["user_id"], left_ts="ts", right_ts="ts",
+            payload=["price_id"], tiebreak="price_id",
+        ).collect()
+    }
+    assert out[1] is None  # precedes every real reference row -> no match
+    assert out[2] == 50    # real row matches; NULL-ts row (99) never does
+    assert out[3] is None  # NULL left ts -> no match

@@ -15,6 +15,20 @@ Flags raised per query:
 - GLOBAL_WINDOW  an unpartitioned Window node (moves ALL input rows to
                  one partition — the single-task-sort scale-killer)
                  outside the bounded-input allowlist
+- SINGLE_PARTITION  an `Exchange SinglePartition` (or `Coalesce 1`)
+                 NOT fed by a partial aggregate / limit — i.e. one
+                 task receives data-sized input, not one-row-per-
+                 partition input. Scalar aggregates are fine (their
+                 single-partition exchange carries one partial row
+                 per upstream partition); a global sort or global
+                 window funneling raw rows is not.
+- BROADCAST_UNBOUNDED  a BroadcastExchange whose build subtree has no
+                 aggregate, no limit, no non-trivial filter, and
+                 scans a table that SCALES with data volume (anything
+                 but nation=25 / region=5 rows, which are fixed at
+                 every SF). A forced broadcast of an SF-scaling table
+                 works at sf0.1 and OOMs the driver at 100 TB; such
+                 joins must be threshold-decided, not hinted.
 
 Exit code 1 if any unexpected flag fires — usable as a CI gate.
 """
@@ -73,6 +87,24 @@ GLOBAL_WINDOW_OK = {
 # plan is not what executes
 SKIP = {name for name in REGISTRY if name.startswith("stream_")}
 
+# single-partition exchanges whose input is bounded by construction —
+# same rationale (and mostly the same members) as GLOBAL_WINDOW_OK
+SINGLE_PARTITION_OK = {
+    "sketch_kmv_setops",  # 64-row sketch union
+    "sketch_quantile_hist",  # 64 fixed bins
+    "stat_cusum_changepoint",  # day-grain series, calendar-bounded
+}
+
+# tables whose cardinality does NOT scale with data volume (TPC-H:
+# nation is fixed at 25 rows, region at 5, at every scale factor) —
+# the only parquet tables a forced broadcast may scan unfiltered
+FIXED_CARDINALITY_TABLES = ("nation", "region")
+
+# forced broadcasts of bounded-by-construction build sides that the
+# textual heuristic can't see through (each verified by reading the
+# plan: the build side is k rows / scalar / delta-sized, not data-sized)
+BROADCAST_OK = set()
+
 
 def _bracket_groups(s: str) -> list[str]:
     """Top-level ``[...]`` groups of a plan line (bracket-depth scan;
@@ -124,6 +156,112 @@ def has_global_window(plan: str) -> bool:
     return False
 
 
+def _node_depth(line: str) -> int:
+    """Character offset where a plan-tree line's node text begins
+    (past the ``+- `` / ``:- `` / ``:  `` drawing prefix); children
+    sit at strictly greater depth."""
+    m = re.match(r"^[\s:+\-]*", line)
+    return m.end()
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the subtree rooted at ``lines[i]`` (descendants only)."""
+    d = _node_depth(lines[i])
+    out = []
+    for j in range(i + 1, len(lines)):
+        if not lines[j].strip() or _node_depth(lines[j]) <= d:
+            break
+        out.append(lines[j])
+    return out
+
+
+def has_bad_single_partition(plan: str) -> bool:
+    """True if an ``Exchange SinglePartition`` funnels DATA-sized
+    input into one task. Fine: the exchange under a scalar aggregate
+    (child is a partial aggregate — one row per upstream partition)
+    or under a limit (child is LocalLimit/CollectLimit — k rows per
+    partition). Bad: anything else (global sort/window over raw
+    rows). ``Coalesce 1`` is always bad — it doesn't even shuffle, it
+    serializes the whole upstream onto one task."""
+    if re.search(r"\bCoalesce 1\b", plan):
+        return True
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        sub = _subtree(lines, i)
+        child = sub[0] if sub else ""
+        if re.search(r"\bpartial_", child):
+            continue  # final scalar agg over per-partition partials
+        if "LocalLimit" in child or "CollectLimit" in child or "TakeOrdered" in child:
+            continue  # k-bounded per partition
+        return True
+    return False
+
+
+def _children(lines: list[str], i: int) -> list[list[str]]:
+    """Direct child subtrees (as line blocks) of the node at lines[i]."""
+    d = _node_depth(lines[i])
+    sub = []
+    for j in range(i + 1, len(lines)):
+        if not lines[j].strip() or _node_depth(lines[j]) <= d:
+            break
+        sub.append(j)
+    if not sub:
+        return []
+    dmin = min(_node_depth(lines[j]) for j in sub)
+    starts = [j for j in sub if _node_depth(lines[j]) == dmin]
+    blocks = []
+    for k, sj in enumerate(starts):
+        ej = starts[k + 1] if k + 1 < len(starts) else sub[-1] + 1
+        blocks.append(lines[sj:ej])
+    return blocks
+
+
+def has_unbounded_broadcast(logical_plan: str) -> bool:
+    """True if a broadcast HINT (``F.broadcast`` / ``/*+ BROADCAST */``
+    in the optimized logical plan — ``leftHint=/rightHint=(strategy=
+    broadcast)`` on a Join node) commits a DATA-SIZED build side.
+
+    Only hints are audited: an unhinted join below
+    ``autoBroadcastJoinThreshold`` broadcasts today and re-decides
+    itself into a shuffle join at 100 TB; a hint is a hard design
+    commitment that OOMs the executors instead. A hinted side is
+    bounded if its subtree aggregates, limits, or filters beyond
+    isnotnull, or only touches fixed-cardinality inputs: nation (25
+    rows at every SF, columns ``n_*``), region (5 rows, ``r_*``),
+    LocalRelation / OneRowRelation literals, or ``Range`` (driven by
+    literal args, not data)."""
+    lines = logical_plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"\bJoin\b.*?(left|right)?Hint=\(strategy=broadcast", line)
+        if not m:
+            continue
+        kids = _children(lines, i)
+        if len(kids) != 2:
+            continue
+        sides = []
+        if "leftHint=(strategy=broadcast" in line:
+            sides.append(kids[0])
+        if "rightHint=(strategy=broadcast" in line:
+            sides.append(kids[1])
+        for block in sides:
+            text = "\n".join(block)
+            if re.search(r"\bAggregate\b|\bGlobalLimit\b|\bLocalLimit\b|\bDeduplicate\b", text):
+                continue
+            conds = " ".join(re.findall(r"\bFilter (.*)", text))
+            if re.sub(r"\b(?:isnotnull)\([^)]*\)|AND|\s|\(|\)", "", conds):
+                continue  # a real predicate bounds the side
+            scales = False
+            for cols in re.findall(r"\bRelation \[([^\]]*)\]", text):
+                first = cols.split(",")[0]
+                if not re.match(r"(n_|r_)", first):
+                    scales = True
+            if scales:
+                return True
+    return False
+
+
 def audit(spark, sf_dir: str) -> int:
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     bad = 0
@@ -133,6 +271,7 @@ def audit(spark, sf_dir: str) -> int:
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            logical = df._jdf.queryExecution().optimizedPlan().toString()
         except Exception as exc:  # pragma: no cover
             print(f"ERROR {name}: {exc}")
             bad += 1
@@ -152,6 +291,10 @@ def audit(spark, sf_dir: str) -> int:
             flags.append("PY_ROW_UDF")
         if has_global_window(plan) and name not in GLOBAL_WINDOW_OK:
             flags.append("GLOBAL_WINDOW")
+        if has_bad_single_partition(plan) and name not in SINGLE_PARTITION_OK:
+            flags.append("SINGLE_PARTITION")
+        if has_unbounded_broadcast(logical) and name not in BROADCAST_OK:
+            flags.append("BROADCAST_UNBOUNDED")
         status = " ".join(flags) if flags else "ok"
         print(f"{name:36s} {status}")
         if flags and flags != ["NO_PUSHDOWN?"]:
