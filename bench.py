@@ -65,6 +65,8 @@ HEADLINE = [
     "mm_extract_features",
     # corpus curation
     "corpus_pii_scrub",
+    "corpus_quality_filter",
+    "corpus_dedup_keep_first",
     "corpus_decontaminate",
     "corpus_pack_token_budget",
     "corpus_chunk_overlap",
@@ -116,7 +118,8 @@ HEADLINE = [
     "stream_user_topk",
     # r5: cross-batch state under multi-trigger replay. ONE
     # representative: all *_multibatch entries share the same
-    # replay_multibatch staging + 5-trigger cost profile (~8-10 s),
+    # replay_multibatch staging + multi-trigger cost profile (topk
+    # representative trimmed to 3 triggers in round 6: ~6 s),
     # and benching each would triple bench wall for no new signal.
     "stream_topk_multibatch",
 ]

@@ -49,6 +49,72 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, mode="update")
 
 
+TOTALS_MB_OUTPUT_DDL = "user_id bigint, n_events bigint, sum_cents bigint"
+TOTALS_MB_STATE_DDL = "n bigint, c bigint"
+
+
+def _update_totals_cents(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user (count, sum) state in EXACT INTEGER CENTS
+    (events.value is 2-dp): integer accumulation is associative, so
+    the running total is bit-identical no matter how the replay
+    slices the stream — float partial sums could drift at the final
+    rounding when the batch split changes the add order."""
+    n, c = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        c += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, c))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [c]})
+
+
+def running_user_totals_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals across a FOUR-micro-batch ordered
+    replay — the cross-batch twin of :func:`running_user_totals`.
+    The (count, cents) state must be restored at every trigger and
+    accumulated on top of: if a batch were lost or state reset, the
+    final per-key snapshot would carry only the last slice's counts
+    and the n_events parity row would fail — identity-dependence a
+    single-batch replay cannot provide. The memory sink keeps one
+    snapshot per key per batch it appeared in; n_events is strictly
+    increasing, so max_by(n_events) selects the final state."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.streaming.windows import (
+        replay_multibatch,
+        time_slices,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _update_totals_cents,
+            outputStructType=TOTALS_MB_OUTPUT_DDL,
+            stateStructType=TOTALS_MB_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    res = replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "update", f"totals_mb:{sf_dir}"
+    )
+    import pyspark.sql.functions as F
+
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_cents", "n_events").alias("c"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("c") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
 TOPK_OUTPUT_DDL = "user_id bigint, rnk int, value double, event_id bigint"
 
 _ROCKSDB_PROVIDER = (
@@ -130,8 +196,14 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
 def running_user_topk_multibatch(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
-    """Per-user running top-k over a FOUR-micro-batch time-ordered
+    """Per-user running top-k over a THREE-micro-batch time-ordered
     replay — the multi-batch twin of :func:`running_user_topk`.
+    Three triggers, not four: this entry is the bench's single
+    multibatch representative and micro-batch scheduling dominates
+    its cost (~1.9 s/trigger at sf0.1); two state round-trips already
+    prove serialize→restore→merge across batch boundaries, so the
+    fourth trigger bought wall-clock, not signal. The other
+    ``*_multibatch`` entries keep four slices.
 
     This is the entry that actually exercises GroupState round-trips:
     a user's rows arrive in several micro-batches, so the top-k list
@@ -166,7 +238,7 @@ def running_user_topk_multibatch(
         )
 
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 4), build, "update", f"topk_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 3), build, "update", f"topk_mb:{sf_dir}"
     )
     import pyspark.sql.functions as F
 

@@ -504,6 +504,34 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(dd, mode="append")
 
 
+def streaming_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates across a FOUR-micro-batch ordered
+    replay — the cross-batch twin of :func:`streaming_dedup`. The
+    seen-keys state must survive batch boundaries: a (user_id,
+    event_type) pair first seen in slice 0 recurs in later slices
+    (the events table repeats pairs over time), so if the state store
+    were lost or not restored between triggers those duplicates would
+    RE-EMIT and the row count would exceed the batch DISTINCT oracle
+    — the result is identity-dependent on cross-batch state, which a
+    single-batch replay cannot check. Append mode: dropDuplicates
+    emits survivors immediately (no watermark wait); the watermark
+    exists to bound state at scale."""
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "append", f"dedup_mb:{sf_dir}"
+    )
+
+
 def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases within 30 minutes of a
     click by the same user. Both sides carry watermarks and the join

@@ -80,3 +80,19 @@ def test_inline_snap_occurrences_match_canonical_shape():
             )
             found += 1
     assert found >= 10, f"expected the snap sites to be visible, found {found}"
+
+
+def test_e2e_component_stages_stay_benched():
+    """corpus_pipeline_e2e is excluded from bench by documented
+    policy (it composes three already-benched stages and costs their
+    sum). The exclusion is only honest while those three component
+    stages remain in the headline set — this pin makes silently
+    dropping one a CI failure."""
+    import bench
+
+    for stage in ("corpus_quality_filter", "corpus_dedup_keep_first",
+                  "corpus_decontaminate"):
+        assert stage in bench.HEADLINE, (
+            f"e2e component {stage} missing from bench.HEADLINE"
+        )
+    assert "corpus_pipeline_e2e" not in bench.HEADLINE  # the documented policy

@@ -366,3 +366,43 @@ def test_alert_transitions_alternate_per_user(spark):
         assert seq[0] == "on", (u, seq[:3])
         for a, b in zip(seq, seq[1:]):
             assert a != b, (u, seq)
+
+
+def test_dedup_multibatch_state_crosses_batches(spark, sf_dir):
+    """The multibatch dedup twin is identity-dependent on cross-batch
+    state: deduping each slice INDEPENDENTLY (= what a state-store
+    loss at a trigger boundary degrades to) yields strictly more rows
+    than the batch DISTINCT, while the streaming replay matches it
+    exactly — so a broken state restore cannot pass the oracle."""
+    from lol_data_pipeline_spark.streaming.windows import (
+        streaming_dedup_multibatch,
+        time_slices,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    distinct = ev.select("user_id", "event_type").distinct().count()
+    independent = sum(
+        p.select("user_id", "event_type").distinct().count()
+        for p in time_slices(ev, "ts", 4)
+    )
+    assert independent > distinct  # pairs DO recur across slices
+    assert streaming_dedup_multibatch(spark, sf_dir).count() == distinct
+
+
+def test_totals_multibatch_state_accumulates(spark, sf_dir):
+    """The multibatch totals twin must carry (count, cents) state
+    across triggers: the final snapshot equals the batch aggregate,
+    and the last slice alone (= state reset at the final trigger)
+    undercounts — so the oracle discriminates lost state."""
+    from lol_data_pipeline_spark.streaming.stateful import (
+        running_user_totals_multibatch,
+    )
+    from lol_data_pipeline_spark.streaming.windows import time_slices
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = running_user_totals_multibatch(spark, sf_dir)
+    batch = ev.groupBy("user_id").agg(F.count("*").alias("bn"))
+    joined = out.join(batch, "user_id")
+    assert joined.filter(F.col("n_events") != F.col("bn")).count() == 0
+    last_slice = time_slices(ev, "ts", 4)[-1]
+    assert last_slice.count() < ev.count()  # a reset would undercount
