@@ -341,9 +341,13 @@ def stream_late_data_drop(spark, sf_dir):
     return sw.late_data_drop(spark, sf_dir)
 
 
-@query(
-    "stream_join_left_outer",
-    sql="""
+# shared by stream_join_left_outer and its multibatch twin: under a
+# time-ordered replay the final query watermark is the same global
+# least(max click ts, max purchase ts) − 1 h, and ordered arrival
+# means a matching purchase (≤ click + 30 min) always lands before
+# the watermark (lagging 1 h) can evict its click — so the outer
+# result set is batch-count invariant and ONE oracle serves both.
+_LEFT_OUTER_SQL = """
     WITH scal AS (
       SELECT least(
                (SELECT max(ts) FROM events WHERE event_type = 'click'),
@@ -378,8 +382,10 @@ def stream_late_data_drop(spark, sf_dir):
       AND c.click_ts + INTERVAL 30 MINUTE < s.wm
     )
     SELECT * FROM matched UNION ALL SELECT * FROM unmatched
-    """,
-)
+"""
+
+
+@query("stream_join_left_outer", sql=_LEFT_OUTER_SQL)
 def stream_join_left_outer(spark, sf_dir):
     """Watermarked stream-stream LEFT OUTER join (clicks left): null
     extension happens at state EVICTION — when the query watermark
@@ -395,6 +401,20 @@ def stream_join_left_outer(spark, sf_dir):
     precedes the latest purchase by hours: modeling wm from
     max(all ts) over-evicts by exactly that gap.)"""
     return sw.click_purchase_left_join(spark, sf_dir)
+
+
+@query("stream_join_left_outer_multibatch", sql=_LEFT_OUTER_SQL)
+def stream_join_left_outer_multibatch(spark, sf_dir):
+    """LEFT OUTER stream-stream join over a four-batch time-ordered
+    replay — the hardest eviction shape: a click buffered across
+    batch boundaries must null-extend exactly once, when the
+    cross-batch watermark finally passes its match window, and must
+    NOT null-extend early (a duplicate null row beside a later match
+    would break the oracle's UNION ALL row count). Ordered arrival +
+    the 1 h watermark dominating the 30 min window make the final
+    result equal the single-batch entry's, so the same
+    cutoff-modeling oracle gates both (see _LEFT_OUTER_SQL)."""
+    return sw.click_purchase_left_join_multibatch(spark, sf_dir)
 
 
 @query(

@@ -618,6 +618,65 @@ def click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(j, mode="append")
 
 
+def click_purchase_left_join_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER click↔purchase join over a four-micro-batch
+    time-ordered replay. Cross-batch obligations beyond the inner
+    twin (:func:`click_purchase_join_multibatch`): (1) a click
+    buffered over a batch boundary must still match a purchase
+    arriving batches later; (2) null extension must fire exactly
+    once per unmatched click, at the trigger where the min-of-sides
+    watermark passes click_ts + 30 min — emitting the null early
+    (then matching later) or re-emitting it after a restore would
+    add rows over the oracle. Ordered slices + the 1 h watermark
+    dominating the 30 min window guarantee no legitimate match is
+    ever evicted first, so the final set equals the single-batch
+    entry's (shared oracle)."""
+    from lol_data_pipeline_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id", "value"
+    )
+    parts = time_slices(ev, "ts", 4)
+
+    def build(stream):
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("value"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.round("value", 2).alias("purchase_value"),
+        )
+
+    return replay_multibatch(spark, parts, build, "append", f"ljoin_mb:{sf_dir}")
+
+
 def sliding_counts_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1h/30m windows over a FOUR-micro-batch time-ordered
     replay (plus sentinel), append mode — the overlapping-window
