@@ -38,6 +38,7 @@ HEADLINE = [
     "ref_epoch_ms_to_date",
     "ref_flatten_struct",
     "ref_ingest_pipeline",
+    "ref_schema_evolution_scan",
     # relational
     "rel_q1_pricing",
     "rel_q3_shipping",

@@ -46,9 +46,13 @@ _DRIVER_SAMPLE_PRIORITY = [
     "rel_rolling_wau", "rel_interval_overlap", "dq_anomaly", "rel_funnel_steps",
 ]
 
-# Names green in at least one CORRECTNESS_r0N.json through round 5. Used only
-# to order the tail: remaining never-sampled entries come before these, so
-# future rotations keep reaching fresh entries first.
+# Names green in at least one CORRECTNESS_r0N.json through round 5 — the
+# STATIC FALLBACK when the recorded files can't be read at import time.
+# _driver_green_entries() below supersedes this by reading the actual
+# CORRECTNESS_r*.json records, so the rotation is self-updating: once a
+# round's sample lands and its entries are recorded green, they move to the
+# back automatically and the next never-checked block rises into the
+# sampled window without a manual reorder.
 _DRIVER_CHECKED_THROUGH_R5 = {
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
     "ann_sq_topk", "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
@@ -70,14 +74,55 @@ _DRIVER_CHECKED_THROUGH_R5 = {
 }
 
 
+def _driver_green_entries() -> set[str]:
+    """Entry names recorded GREEN (rows+schema+values matched, no
+    error) in any CORRECTNESS_r*.json at the repo root. A FAILED row
+    deliberately does NOT count — a red entry must stay in the
+    sampled window until a green record displaces it. Falls back to
+    the static round-5 set when no records are readable (e.g. the
+    package imported outside the repo)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    green: set[str] = set()
+    found = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        found = True
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False  # None = rows-only check
+            )
+            if ok:
+                green.add(name)
+    return green if found else set(_DRIVER_CHECKED_THROUGH_R5)
+
+
 def _rotate_registry() -> None:
     items = dict(REGISTRY)
-    prio = [n for n in _DRIVER_SAMPLE_PRIORITY if n in items]
+    seen_green = _driver_green_entries()
+    # fresh = never recorded green by the driver; the hand-ordered
+    # priority list breaks ties so the sampled window mixes families
+    prio = [n for n in _DRIVER_SAMPLE_PRIORITY if n in items and n not in seen_green]
     rest_fresh = [
-        n for n in items
-        if n not in set(prio) and n not in _DRIVER_CHECKED_THROUGH_R5
+        n for n in items if n not in set(prio) and n not in seen_green
     ]
-    rest_seen = [n for n in items if n in _DRIVER_CHECKED_THROUGH_R5]
+    rest_seen = [n for n in items if n in seen_green]
     # clear + reinsert keeps the shared dict object (modules hold references)
     REGISTRY.clear()
     for n in prio + rest_fresh + rest_seen:

@@ -1041,6 +1041,53 @@ def ref_json_lines_scan(spark, sf_dir):
     )
 
 
+@query(
+    "ref_schema_evolution_scan",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_new_era,
+           CAST(count(DISTINCT CASE WHEN event_id % 2 = 0
+                                    THEN event_id % 16 END) AS BIGINT) AS n_buckets,
+           round(sum(CASE WHEN event_id % 2 = 1 THEN value ELSE 0 END), 2)
+             AS old_era_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ref_schema_evolution_scan(spark, sf_dir):
+    """Schema-evolution landing-zone read: the events table staged as
+    TWO parquet eras with different write-time schemas (era v1 = odd
+    event_ids, original columns; era v2 = even event_ids plus an
+    added ``src_bucket``), read back in ONE ``mergeSchema`` scan
+    where v1 rows surface NULL src_bucket — the long-lived-pipeline
+    capability of querying across a producer upgrade without a
+    backfill. The aggregate proves all three era behaviors at once:
+    total counts span both eras, ``count(src_bucket)`` counts only
+    the new era (NULL-fill correct), and the old-era value sum shows
+    v1 rows kept their data columns.
+
+    Reference parity: the reference hard-codes a 14-field projection
+    (`/root/reference/src/api/utils/utils.py:25-153`) and has no
+    story for a payload-shape change; this surface makes the upgrade
+    path explicit. Scale: mergeSchema unions FOOTER schemas at
+    planning time (per-file footer read, no data scan) and pruning/
+    pushdown still reach each file — plan-checked in
+    tests/test_queries.py."""
+    from lol_data_pipeline_spark.sources.evolution import read_events_merged
+
+    merged = read_events_merged(spark, sf_dir)
+    return merged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("src_bucket").cast("long").alias("n_new_era"),
+        F.countDistinct("src_bucket").cast("long").alias("n_buckets"),
+        F.round(
+            F.sum(F.when(F.col("src_bucket").isNull(), F.col("value")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("old_era_value"),
+    )
+
+
 _ASOF_TOLERANCE_MS = 30 * 60 * 1000
 
 

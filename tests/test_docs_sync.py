@@ -96,3 +96,24 @@ def test_e2e_component_stages_stay_benched():
             f"e2e component {stage} missing from bench.HEADLINE"
         )
     assert "corpus_pipeline_e2e" not in bench.HEADLINE  # the documented policy
+
+
+def test_registry_rotation_invariants():
+    """The self-updating driver-sample rotation must (1) lose no
+    entries, (2) put only never-green-checked entries in the sampled
+    first-50 window while any remain, and (3) not count a no_oracle
+    or failed record as checked."""
+    import lol_data_pipeline_spark.plans as plans
+
+    names = list(plans.REGISTRY)
+    assert len(names) == len(set(names))  # no loss, no duplication
+    green = plans._driver_green_entries()
+    fresh_total = sum(1 for n in names if n not in green)
+    window = names[:50]
+    expect_fresh = min(50, fresh_total)
+    assert sum(1 for n in window if n not in green) == expect_fresh
+    # r1 sampled these three before they had oracles (err=no_oracle);
+    # they must NOT count as green-checked
+    for n in ("mm_extract_features", "mm_frame_sample", "ref_ingest_pipeline"):
+        if n in names:
+            assert n not in green, n

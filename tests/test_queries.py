@@ -42,3 +42,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert {(r.n_name, r["count"]) for r in salted.collect()} == {
         (r.n_name, r["count"]) for r in plain.collect()
     }
+
+
+def test_schema_evolution_merged_read(spark, sf_dir):
+    """mergeSchema contract: v1-era rows surface NULL in the
+    v2-added column while keeping their own columns, and filter
+    pushdown still reaches the per-file scans of the merged read."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.sources.evolution import read_events_merged
+
+    merged = read_events_merged(spark, sf_dir)
+    assert "src_bucket" in merged.columns and "era" in merged.columns
+    v1 = merged.filter(F.col("era") == "v1")
+    assert v1.filter(F.col("src_bucket").isNotNull()).count() == 0
+    assert v1.filter(F.col("value").isNull()).count() == 0
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert merged.count() == n_total  # no row lost across eras
+    # pushdown: a data filter must reach the parquet scan
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = (
+        merged.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(event_type,click)" in plan
+    # era is a partition column: filtering on it prunes partitions,
+    # visible as a PartitionFilters entry rather than a data filter
+    plan2 = (
+        merged.filter(F.col("era") == "v2")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan2 and "era" in plan2
