@@ -108,7 +108,10 @@ HEADLINE = [
     # corpus_pipeline_e2e is NOT benched: it composes three already-
     # benched stages (quality, keep-first dedup, decontaminate) and
     # costs their sum (~41 s at sf0.1) — no new signal for 2 min of
-    # bench wall; same policy as the single multibatch representative
+    # bench wall; same policy as the single multibatch representative.
+    # corpus_leakage_safe_split is NOT benched for the same reason:
+    # its cost IS the pair-graph + label propagation already carried
+    # by corpus_dedup_keep_first (28.9 s), plus one cheap left join.
     "sketch_hll_rolling",
     "rel_asof_tolerance",
     "rel_asof_forward",

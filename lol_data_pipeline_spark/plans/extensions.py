@@ -727,10 +727,12 @@ def ref_ingest_pipeline(spark, sf_dir):
     return riot.flatten_matches(riot.parse_responses(responses), puuid="puuid_1")
 
 
-def _sql_components(iters: int = 4) -> str:
-    """Min-label propagation oracle, unrolled ``iters`` rounds over
-    the exact capped-Jaccard pair graph (the same pair CTE as
-    dedup_ngram_jaccard — proven hash-equal to the Spark side)."""
+def _sql_components_cte(iters: int = 4) -> tuple[str, str]:
+    """Shared WITH-clause for the min-label propagation oracles
+    (dedup_components, corpus_leakage_safe_split): the exact
+    capped-Jaccard pair graph (same pair CTE as dedup_ngram_jaccard,
+    proven hash-equal to the Spark side) plus ``iters`` unrolled
+    label rounds. Returns (with_clause, final_label_cte_name)."""
     rounds = []
     prev = "l0"
     for i in range(1, iters + 1):
@@ -744,14 +746,23 @@ def _sql_components(iters: int = 4) -> str:
   ) m ON m.nv = l.v
 )""")
         prev = cur
-    return f"""
+    with_clause = f"""
 WITH pairs AS ({_sql_jaccard_pairs(0.8, max_df=500)}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ),
-l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges){''.join(rounds)},
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges){''.join(rounds)}"""
+    return with_clause, prev
+
+
+def _sql_components(iters: int = 4) -> str:
+    """Min-label propagation oracle, unrolled ``iters`` rounds over
+    the exact capped-Jaccard pair graph (the same pair CTE as
+    dedup_ngram_jaccard — proven hash-equal to the Spark side)."""
+    with_clause, prev = _sql_components_cte(iters)
+    return f"""{with_clause},
 sizes AS (SELECT label AS component, CAST(count(*) AS BIGINT) AS group_size
           FROM {prev} GROUP BY 1)
 SELECT CAST(l.v AS BIGINT) AS doc_id,
@@ -759,6 +770,24 @@ SELECT CAST(l.v AS BIGINT) AS doc_id,
        s.group_size,
        (l.v != l.label) AS drop
 FROM {prev} l JOIN sizes s ON s.component = l.label
+"""
+
+
+def _sql_leakage_split(iters: int = 4, eval_pct: int = 10) -> str:
+    """Leakage-safe split oracle: every document's split is decided
+    by a hash of its near-dup COMPONENT representative (singletons
+    are their own component), so near-duplicates can never straddle
+    train/eval."""
+    with_clause, prev = _sql_components_cte(iters)
+    comp = "CAST(coalesce(l.label, d.doc_id) AS BIGINT)"
+    h = SQL_MD5_LONG.format(
+        expr=f"concat('split:', CAST({comp} AS VARCHAR))"
+    )
+    return f"""{with_clause}
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       {comp} AS component,
+       CASE WHEN {h} % 100 < {eval_pct} THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN {prev} l ON l.v = d.doc_id
 """
 
 
@@ -776,6 +805,52 @@ def dedup_components(spark, sf_dir):
         T(spark, sf_dir, "documents"), n=3, threshold=0.8, max_shingle_df=500
     )
     return g.dedup_groups(pairs, iters=4)
+
+
+@query("corpus_leakage_safe_split", sql=_sql_leakage_split(4, eval_pct=10))
+def corpus_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split — the holdout step a training
+    pipeline must run AFTER near-dup detection: splitting by document
+    id leaks whenever two near-duplicates land on opposite sides (the
+    eval set silently contains paraphrases of training docs), so the
+    split key is the near-dup COMPONENT representative instead — a
+    doc and all its transitive near-duplicates hash to the same side
+    by construction. Singletons (docs in no near-dup pair) are their
+    own component. The per-component hash is the same deterministic,
+    partitioning-independent md5 decision used by
+    corpus_sample_stratified — the same corpus splits identically on
+    1 executor or 1000, and re-running after appending new documents
+    never reassigns an existing component (stable holdout).
+
+    Scale: reuses the bucketed pair generation and 4-round min-label
+    propagation of dedup_components (Σ(block²) candidates, never
+    all-pairs), then one LEFT join documents↔labels on doc_id and a
+    pure projection — no new shuffle class. The no-straddle property
+    is asserted in tests/test_corpus.py."""
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+    from lol_data_pipeline_spark.operators import graph as g
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, n=3, threshold=0.8, max_shingle_df=500)
+    cc = g.connected_components(pairs, iters=4).withColumnRenamed(
+        "component", "cc_label"
+    )
+    comp = F.coalesce(F.col("cc_label"), F.col("doc_id"))
+    split = F.when(
+        F.pmod(
+            md5_long(F.concat(F.lit("split:"), comp.cast("string"))), F.lit(100)
+        )
+        < 10,
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return (
+        d.join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            split.alias("split"),
+        )
+    )
 
 
 def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:

@@ -85,3 +85,34 @@ def test_decontaminate_excludes_benchmark_sources(spark, sf_dir):
     for r in rows:
         assert r.doc_id not in bench_ids
         assert r.contaminated == (r.n_shared >= 3)
+
+
+def test_leakage_safe_split_no_component_straddles(spark, sf_dir):
+    """The defining property: no near-dup component has members on
+    both sides of the split — and the property is non-vacuous (at
+    least one multi-doc component exists, and both splits are
+    non-empty)."""
+    out = REGISTRY["corpus_leakage_safe_split"].fn(spark, sf_dir)
+    per_comp = out.groupBy("component").agg(
+        F.countDistinct("split").alias("n_sides"),
+        F.count("*").alias("n_docs"),
+    )
+    assert per_comp.filter(F.col("n_sides") > 1).count() == 0
+    assert per_comp.filter(F.col("n_docs") > 1).count() > 0
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "eval"}
+    # doc-id-hash splitting WOULD leak on this corpus: some multi-doc
+    # component contains ids that hash to different sides
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    naive = out.withColumn(
+        "naive_side",
+        F.pmod(md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100)) < 10,
+    )
+    leaky = (
+        naive.groupBy("component")
+        .agg(F.countDistinct("naive_side").alias("n"), F.count("*").alias("sz"))
+        .filter((F.col("n") > 1) & (F.col("sz") > 1))
+        .count()
+    )
+    assert leaky > 0  # the component-keyed split is doing real work
