@@ -196,6 +196,68 @@ def corpus_quality_filter(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_quality_adaptive",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    scores AS (
+      SELECT doc_id,
+             (len(list_distinct(t)) * 10000) // len(t) AS score
+      FROM tok WHERE len(t) > 0
+    ),
+    hist AS (SELECT score, count(*) AS c FROM scores GROUP BY 1),
+    cum AS (SELECT score, sum(c) OVER (ORDER BY score) AS cum FROM hist),
+    total AS (SELECT count(*) AS n FROM scores),
+    cut AS (SELECT min(score) AS cutoff FROM cum, total WHERE cum > n // 4)
+    SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+           CAST(s.score AS BIGINT) AS score,
+           (s.score >= c.cutoff) AS kept
+    FROM scores s CROSS JOIN cut c
+    """,
+)
+def corpus_quality_adaptive(spark, sf_dir):
+    """Adaptive quality gate: keep everything at or above the
+    corpus's own 25th-percentile lexical-diversity score, instead of
+    a hand-picked absolute threshold (what production curation does —
+    "drop the worst quartile" survives corpus drift; a fixed 0.3
+    cutoff does not). The score is PURE INTEGER fixed-point
+    ((distinct·10⁴) div total — no float anywhere, so both engines
+    agree bit-for-bit), and the percentile is EXACT without a global
+    sort: scores live in the bounded domain [0, 10000], so a
+    histogram aggregate (≤10001 groups, one shuffle with map-side
+    combine), a running sum over that BOUNDED histogram, and a 1-row
+    cutoff broadcast back onto the scores replace any data-sized
+    ranking. At 100 TB the histogram is still ≤10001 rows — the same
+    bounded-domain exact-quantile shape as sketch_quantile_hist, and
+    the reason this plan's unpartitioned window is allowlisted in
+    tools/plan_audit.py."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens("text").alias("t")
+    )
+    n = F.size("t")
+    scores = tok.filter(n > 0).select(
+        "doc_id",
+        (F.size(F.array_distinct("t")).cast("long") * 10000)
+        .cast("long")
+        .alias("__num"),
+        n.cast("long").alias("__den"),
+    ).select(
+        "doc_id", F.expr("__num div __den").alias("score")
+    )
+    hist = scores.groupBy("score").agg(F.count("*").alias("c"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("score", F.sum("c").over(w).alias("cum"))
+    total = scores.agg(F.count("*").alias("n"))
+    cut = (
+        cum.join(F.broadcast(total))
+        .filter(F.col("cum") > F.expr("n div 4"))
+        .agg(F.min("score").alias("cutoff"))
+    )
+    return scores.join(F.broadcast(cut)).select(
+        "doc_id", "score", (F.col("score") >= F.col("cutoff")).alias("kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling.
 # ---------------------------------------------------------------------------

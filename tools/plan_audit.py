@@ -82,6 +82,8 @@ GLOBAL_WINDOW_OK = {
     "sketch_quantile_hist",  # running sum over 64 fixed bins
     "stat_cusum_changepoint",  # running sum over the DAY-grain series —
     # bounded by the calendar (36.5k rows/century), never by event volume
+    "corpus_quality_adaptive",  # running sum over the score histogram —
+    # bounded by the integer score domain (≤10001 rows at any data size)
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
@@ -93,6 +95,7 @@ SINGLE_PARTITION_OK = {
     "sketch_kmv_setops",  # 64-row sketch union
     "sketch_quantile_hist",  # 64 fixed bins
     "stat_cusum_changepoint",  # day-grain series, calendar-bounded
+    "corpus_quality_adaptive",  # score histogram, ≤10001 rows by domain
 }
 
 # tables whose cardinality does NOT scale with data volume (TPC-H:
