@@ -71,6 +71,7 @@ CROSS_OK = {
     "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
     "stat_cusum_changepoint",  # three 1-row scalar broadcasts (totals, max, peak day)
+    "corpus_quality_adaptive",  # 1-row percentile-cutoff broadcast onto scores
     "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
     # and frontier-candidates x candidates dominance anti-join — all
     # bounded by construction (band count / staircase size), never data x data
