@@ -62,13 +62,22 @@ def connected_components(
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = tracked_persist(
-            labels.join(nbr_min, labels.v == F.col("nv"), "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-        )
+        # localCheckpoint, not just persist: persist caches DATA but
+        # keeps the full logical plan, and each round's plan embeds
+        # the previous round's TWICE (join left side + nbr_min) —
+        # after k rounds the plan TREE is O(2^k) copies of the whole
+        # pair pipeline. That tree is re-stringified by AQE events
+        # and blew a default-1g driver heap in generateTreeString
+        # (found simulating the external verifier's plain session;
+        # invisible on the 16g get_spark session). Truncating lineage
+        # per round is the standard posture for iterative Spark
+        # algorithms (GraphX checkpoints for exactly this reason); on
+        # a cluster with executor churn this would be a reliable
+        # checkpoint dir instead of localCheckpoint.
+        labels = labels.join(nbr_min, labels.v == F.col("nv"), "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        ).localCheckpoint(eager=False)
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
     )
@@ -145,15 +154,17 @@ def pagerank(
                 ).alias("s")
             )
         )
-        ranks = tracked_persist(
-            base.join(contrib, base.v == contrib.dst, "left").select(
-                "v",
-                "n",
-                F.expr(
-                    f"CAST((150 * {_PR_SCALE}) DIV (1000 * n) + coalesce(s, 0) AS BIGINT)"
-                ).alias("r"),
-            )
-        )
+        # lineage truncation per round (same rationale as the
+        # connected_components loop: each round's plan embeds the
+        # previous one and the tree re-stringification blows small
+        # driver heaps; persist alone does not shrink the plan)
+        ranks = base.join(contrib, base.v == contrib.dst, "left").select(
+            "v",
+            "n",
+            F.expr(
+                f"CAST((150 * {_PR_SCALE}) DIV (1000 * n) + coalesce(s, 0) AS BIGINT)"
+            ).alias("r"),
+        ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("v").alias("node"),
         F.col("r").alias("rank_micro"),
