@@ -621,7 +621,7 @@ def corpus_mixture_sample(spark, sf_dir):
     )
     SELECT shard,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(sort_key) AS first_key,
            max(sort_key) AS last_key,
            min_by(doc_id, sort_key) AS first_doc

@@ -1961,7 +1961,7 @@ _ULM_VOCAB_K = 512
     )
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           sum(coalesce(l.lp, o.lp_oov)) AS sum_lp_e6,
+           CAST(sum(coalesce(l.lp, o.lp_oov)) AS BIGINT) AS sum_lp_e6,
            CAST(floor((CAST(sum(coalesce(l.lp, o.lp_oov)) AS DOUBLE) / count(*) / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_lp
     FROM tok t LEFT JOIN lp l ON t.term = l.term CROSS JOIN oov o
     GROUP BY 1

@@ -15,7 +15,7 @@ from lol_data_pipeline_spark.streaming import windows as sw
 @query(
     "stream_tumbling_window",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
@@ -31,7 +31,7 @@ def stream_tumbling_window(spark, sf_dir):
 @query(
     "stream_sliding_window",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) AS window_start,
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * 1000000) AS window_start,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
     FROM events, (VALUES (0), (1)) offs(k)
@@ -223,7 +223,7 @@ def stream_user_topk(spark, sf_dir):
 @query(
     "stream_tumbling_multibatch",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
@@ -325,7 +325,7 @@ def stream_join_multibatch(spark, sf_dir):
 @query(
     "stream_late_data_drop",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000) AS window_start,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
     FROM events
@@ -442,7 +442,7 @@ def stream_incremental_view(spark, sf_dir):
 @query(
     "stream_sliding_multibatch",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) AS window_start,
+    SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * 1000000) AS window_start,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS sum_value
     FROM events, (VALUES (0), (1)) offs(k)

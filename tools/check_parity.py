@@ -23,9 +23,32 @@ from lol_data_pipeline_spark.session import get_spark  # noqa: E402
 from lol_data_pipeline_spark.plans import REGISTRY  # noqa: E402
 
 
+# DuckDB output types that the driver's fetch path renders differently
+# from Spark's (HUGEINT -> float64 via pandas; TIMESTAMPTZ vs naive;
+# DECIMAL vs double). An oracle whose OUTPUT schema contains one of
+# these will hash-mismatch in CORRECTNESS_rN even when values agree —
+# round 6 lost 4 driver rows to exactly this, so the audit is a gate.
+BAD_ORACLE_TYPES = ("HUGEINT", "TIMESTAMP WITH TIME ZONE", "DECIMAL")
+
+
+def audit_oracle_types(con, sql):
+    """Return [(col, type)] oracle output columns whose DuckDB type the
+    driver's comparator renders differently from Spark's (drift-prone)."""
+    res = con.execute(f"DESCRIBE {sql}")
+    flagged = []
+    for row in res.fetchall():
+        col, typ = row[0], row[1]
+        if any(b in typ.upper() for b in BAD_ORACLE_TYPES):
+            flagged.append((col, typ))
+    return flagged
+
+
 def norm(v):
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Deliberately do NOT strip tzinfo: an aware oracle timestamp vs
+        # Spark's naive one is a real driver hash-mismatch and must FAIL
+        # here (round 6: to_timestamp() TIMESTAMPTZ oracles went red).
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, float):
@@ -104,6 +127,7 @@ def main():
             n_fail += 1
             continue
         try:
+            type_flags = audit_oracle_types(con, spec.sql)
             res = con.execute(spec.sql)
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
@@ -112,6 +136,8 @@ def main():
             n_fail += 1
             continue
         issues = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        if type_flags:
+            issues.append(f"ORACLE-TYPE {type_flags}")
         if issues:
             print(f"✗ {name}: " + " | ".join(issues))
             n_fail += 1
