@@ -52,15 +52,17 @@ _DRIVER_SAMPLE_PRIORITY = [
 # CORRECTNESS_r*.json records, so the rotation is self-updating: once a
 # round's sample lands and its entries are recorded green, they move to the
 # back automatically and the next never-checked block rises into the
-# sampled window without a manual reorder.
+# sampled window without a manual reorder. (mm_extract_features,
+# mm_frame_sample, ref_ingest_pipeline are deliberately NOT here: r1
+# sampled them before they had oracles — err=no_oracle, never green.)
 _DRIVER_CHECKED_THROUGH_R5 = {
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
     "ann_sq_topk", "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash", "mm_binary_meta",
-    "mm_extract_features", "mm_frame_sample", "ref_antijoin",
+    "ref_antijoin",
     "ref_array_position", "ref_conditional_units", "ref_counts_observability",
     "ref_dedup_distinct", "ref_epoch_ms_to_date", "ref_filter_status",
-    "ref_flatten_struct", "ref_ingest_pipeline", "ref_json_extract",
+    "ref_flatten_struct", "ref_json_extract",
     "ref_json_lines_scan", "ref_limit_topk", "ref_map_lookup",
     "ref_projection_rename", "ref_semijoin", "ref_union_scans", "rel_agg_cube",
     "rel_agg_distinct", "rel_agg_rollup", "rel_agg_salted", "rel_asof_forward",
@@ -72,6 +74,51 @@ _DRIVER_CHECKED_THROUGH_R5 = {
     "rel_window_running", "rel_window_topk", "text_fingerprint",
     "text_lang_id", "text_quality", "text_token_bpe", "text_token_stats",
 }
+
+
+def entry_fingerprint(spec) -> str:
+    """Content fingerprint of one registry entry: the plan function's
+    source plus its oracle SQL. Used to decide whether a driver-green
+    record still describes the CURRENT implementation — if either side
+    changed since the record was written, the entry must be treated as
+    never-verified again and rotate back into the sampled window.
+
+    Granularity note: this hashes the registered function's own source,
+    not helpers it calls in other modules, so a helper-only change can
+    escape freshness detection. That is a deliberate trade-off: hashing
+    whole modules would mark every entry in a file fresh on any edit
+    and flood the 50-entry window, displacing never-checked entries.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = repr(spec.fn)
+    return hashlib.md5(
+        (src + "\0" + (spec.sql or "")).encode()
+    ).hexdigest()
+
+
+def _green_fingerprint_stamps() -> dict[str, str]:
+    """Stamps recorded by tools/update_fingerprints.py: entry name →
+    fingerprint at the time of its most recent driver-green record.
+    Empty dict when unreadable (back-compat: greenness then counts
+    regardless of subsequent edits)."""
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(root, "tools", "green_fingerprints.json")
+    try:
+        with open(path) as f:
+            stamps = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return stamps if isinstance(stamps, dict) else {}
 
 
 def _driver_green_entries() -> set[str]:
@@ -113,11 +160,30 @@ def _driver_green_entries() -> set[str]:
     return green if found else set(_DRIVER_CHECKED_THROUGH_R5)
 
 
+def _effective_seen_green(items=None) -> set[str]:
+    """Recorded green AND unchanged since the record: a stamped
+    fingerprint that no longer matches means the plan or oracle was
+    edited after its last green round, so external re-verification is
+    required and the entry is treated as fresh. Green-but-unstamped
+    stays seen (back-compat until the stamp tool has covered it)."""
+    if items is None:
+        items = dict(REGISTRY)
+    recorded_green = _driver_green_entries()
+    stamps = _green_fingerprint_stamps()
+    return {
+        n
+        for n in recorded_green
+        if n in items
+        and (n not in stamps or stamps[n] == entry_fingerprint(items[n]))
+    }
+
+
 def _rotate_registry() -> None:
     items = dict(REGISTRY)
-    seen_green = _driver_green_entries()
-    # fresh = never recorded green by the driver; the hand-ordered
-    # priority list breaks ties so the sampled window mixes families
+    seen_green = _effective_seen_green(items)
+    # fresh = never recorded green by the driver (or changed since);
+    # the hand-ordered priority list breaks ties so the sampled window
+    # mixes families
     prio = [n for n in _DRIVER_SAMPLE_PRIORITY if n in items and n not in seen_green]
     rest_fresh = [
         n for n in items if n not in set(prio) and n not in seen_green

@@ -107,13 +107,23 @@ def test_registry_rotation_invariants():
 
     names = list(plans.REGISTRY)
     assert len(names) == len(set(names))  # no loss, no duplication
-    green = plans._driver_green_entries()
-    fresh_total = sum(1 for n in names if n not in green)
+    # effective seen = recorded green AND fingerprint-unchanged since
+    # that record; anything else (never green, or edited after its
+    # green round) must fill the sampled window first
+    seen = plans._effective_seen_green()
+    fresh_total = sum(1 for n in names if n not in seen)
     window = names[:50]
     expect_fresh = min(50, fresh_total)
-    assert sum(1 for n in window if n not in green) == expect_fresh
+    assert sum(1 for n in window if n not in seen) == expect_fresh
     # r1 sampled these three before they had oracles (err=no_oracle);
     # they must NOT count as green-checked
     for n in ("mm_extract_features", "mm_frame_sample", "ref_ingest_pipeline"):
         if n in names:
-            assert n not in green, n
+            assert n not in plans._driver_green_entries(), n
+            assert n not in seen, n
+    # every recorded-green entry must carry a fingerprint stamp, so a
+    # future edit to it is guaranteed to trigger external re-sampling
+    stamps = plans._green_fingerprint_stamps()
+    green = plans._driver_green_entries()
+    unstamped = [n for n in green if n in names and n not in stamps]
+    assert not unstamped, f"green entries missing fingerprint stamps: {unstamped}"
