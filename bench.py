@@ -203,7 +203,20 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
     line = json.dumps(summary)
-    assert len(line) < 1900, f"stdout bench line {len(line)}B risks the 2000B tail window"
+    if len(line) >= 1900:
+        # the driver tails only the LAST 2000 bytes of stdout — an
+        # oversized line loses the perf score (round 5 did). Never
+        # abort (that also loses it): shed the bulkiest optional key
+        # and shout on stderr.
+        print(
+            f"WARNING: bench stdout line {len(line)}B approaches the "
+            "2000B tail window; dropping per-query map from stdout "
+            "(full map stays in BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
+        slim = dict(summary)
+        slim.pop("queries", None)
+        line = json.dumps(slim)
     print(line)
 
 

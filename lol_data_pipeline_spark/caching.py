@@ -23,17 +23,53 @@ Discipline implemented here:
 from __future__ import annotations
 
 import contextlib
-from typing import Iterator
+from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# anything with a zero-arg .unpersist(): DataFrames from
+# tracked_persist, and JVM RDD handles from truncate_lineage's
+# localCheckpoint branch (their MEMORY_AND_DISK blocks are otherwise
+# reclaimed only when the JVM ContextCleaner GCs the RDD)
+_TRACKED: list[Any] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() that registers the handle for later release."""
     out = df.persist()
     _TRACKED.append(out)
+    return out
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint ``df`` to cut its logical plan — the per-round step
+    of iterative kernels (connected components, PageRank), whose plan
+    otherwise embeds the previous round's plan twice and grows
+    O(2^rounds) (plain persist caches data but keeps the full tree;
+    the tree's re-stringification alone OOMs a default-1g driver).
+
+    Two tiers:
+    - a checkpoint dir is set (``sc.setCheckpointDir``): RELIABLE
+      ``checkpoint()`` — blocks live on the fault-tolerant store, so
+      an executor loss mid-iteration recomputes nothing from scratch.
+      This is the 100 TB-cluster posture.
+    - no checkpoint dir (default local session): ``localCheckpoint()``
+      — executor-local MEMORY_AND_DISK blocks; fast, but an executor
+      loss kills the lineage. The freshly persisted RDD handle is
+      registered so ``release_caches()`` frees its blocks
+      deterministically instead of waiting for JVM GC.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    jsc = sc._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=False)
+    # rdd.localCheckpoint() marks its RDD persisted immediately (even
+    # with eager=False), so the new handle is visible right away
+    pers = jsc.getPersistentRDDs()
+    for rid in set(pers.keySet().toArray()) - before:
+        _TRACKED.append(pers.get(rid))
     return out
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lol_data_pipeline_spark.caching import tracked_persist
+from lol_data_pipeline_spark.caching import tracked_persist, truncate_lineage
 
 
 def connected_components(
@@ -62,7 +62,7 @@ def connected_components(
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # localCheckpoint, not just persist: persist caches DATA but
+        # truncate_lineage, not just persist: persist caches DATA but
         # keeps the full logical plan, and each round's plan embeds
         # the previous round's TWICE (join left side + nbr_min) —
         # after k rounds the plan TREE is O(2^k) copies of the whole
@@ -71,13 +71,14 @@ def connected_components(
         # (found simulating the external verifier's plain session;
         # invisible on the 16g get_spark session). Truncating lineage
         # per round is the standard posture for iterative Spark
-        # algorithms (GraphX checkpoints for exactly this reason); on
-        # a cluster with executor churn this would be a reliable
-        # checkpoint dir instead of localCheckpoint.
+        # algorithms (GraphX checkpoints for exactly this reason);
+        # with sc.setCheckpointDir set this uses the RELIABLE
+        # checkpoint (executor-loss-safe — the cluster posture).
         labels = labels.join(nbr_min, labels.v == F.col("nv"), "left").select(
             "v",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-        ).localCheckpoint(eager=False)
+        )
+        labels = truncate_lineage(labels)
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
     )
@@ -164,7 +165,8 @@ def pagerank(
             F.expr(
                 f"CAST((150 * {_PR_SCALE}) DIV (1000 * n) + coalesce(s, 0) AS BIGINT)"
             ).alias("r"),
-        ).localCheckpoint(eager=False)
+        )
+        ranks = truncate_lineage(ranks)
     return ranks.select(
         F.col("v").alias("node"),
         F.col("r").alias("rank_micro"),

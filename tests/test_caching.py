@@ -50,3 +50,54 @@ def test_registry_entries_release_previous_caches(spark, sf_dir):
     REGISTRY["dedup_exact"].fn(spark, sf_dir).count()
     assert _cache_empty(spark)
     release_caches()
+
+
+def _cc_pairs(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "id_a long, id_b long"
+    )
+
+
+def test_truncate_lineage_blocks_released(spark):
+    """The iterative kernels' localCheckpoint blocks (MEMORY_AND_DISK
+    RDDs outside the CacheManager) must be freed by release_caches(),
+    not left to JVM ContextCleaner GC."""
+    from lol_data_pipeline_spark.operators.graph import connected_components
+
+    release_caches()
+    cc = connected_components(_cc_pairs(spark))
+    got = sorted(tuple(r) for r in cc.collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7)]
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() > 0  # checkpoint blocks live
+    release_caches()
+    assert jsc.getPersistentRDDs().size() == 0  # all reclaimed
+
+
+def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With sc.setCheckpointDir (the cluster posture), per-round
+    truncation must write RELIABLE checkpoints — executor-loss-safe —
+    and still produce identical components."""
+    import glob
+    import os
+
+    from lol_data_pipeline_spark.operators.graph import connected_components
+
+    release_caches()
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        cc = connected_components(_cc_pairs(spark))
+        got = sorted(tuple(r) for r in cc.collect())
+        assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7)]
+        files = glob.glob(str(tmp_path / "ckpt" / "**" / "*"), recursive=True)
+        assert any(os.path.isfile(f) for f in files)  # checkpoints written
+    finally:
+        # no public unset API; directly clear so later tests take the
+        # localCheckpoint branch again
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        release_caches()
+    assert sc.getCheckpointDir() is None

@@ -101,8 +101,12 @@ SINGLE_PARTITION_OK = {
 
 # tables whose cardinality does NOT scale with data volume (TPC-H:
 # nation is fixed at 25 rows, region at 5, at every scale factor) —
-# the only parquet tables a forced broadcast may scan unfiltered
-FIXED_CARDINALITY_TABLES = ("nation", "region")
+# the only parquet tables a forced broadcast may scan unfiltered.
+# Keyed by the table's LEADING column as it appears in Relation
+# nodes of the optimized logical plan (full name, not a prefix —
+# a future table whose first column merely starts with n_/r_ must
+# NOT slip past the BROADCAST_UNBOUNDED check).
+FIXED_CARDINALITY_LEAD_COLS = {"n_nationkey", "r_regionkey"}
 
 # forced broadcasts of bounded-by-construction build sides that the
 # textual heuristic can't see through (each verified by reading the
@@ -233,7 +237,8 @@ def has_unbounded_broadcast(logical_plan: str) -> bool:
     commitment that OOMs the executors instead. A hinted side is
     bounded if its subtree aggregates, limits, or filters beyond
     isnotnull, or only touches fixed-cardinality inputs: nation (25
-    rows at every SF, columns ``n_*``), region (5 rows, ``r_*``),
+    rows at every SF, lead column ``n_nationkey``), region (5
+    rows, ``r_regionkey``),
     LocalRelation / OneRowRelation literals, or ``Range`` (driven by
     literal args, not data)."""
     lines = logical_plan.splitlines()
@@ -258,8 +263,9 @@ def has_unbounded_broadcast(logical_plan: str) -> bool:
                 continue  # a real predicate bounds the side
             scales = False
             for cols in re.findall(r"\bRelation \[([^\]]*)\]", text):
-                first = cols.split(",")[0]
-                if not re.match(r"(n_|r_)", first):
+                # strip the expr-id suffix (n_nationkey#123L -> n_nationkey)
+                first = cols.split(",")[0].split("#")[0].strip()
+                if first not in FIXED_CARDINALITY_LEAD_COLS:
                     scales = True
             if scales:
                 return True
