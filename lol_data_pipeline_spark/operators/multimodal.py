@@ -272,6 +272,42 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=MEDIA_FEATURES_DDL)
 
 
+def synthesize_and_extract(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synthesize→header-decode in ONE mapInPandas stage.
+
+    ``synthesize_media`` + ``extract_media_features`` chained are two
+    Python evals — every row crosses the JVM↔Python Arrow boundary
+    twice (payload bytes serialized out and straight back in). For
+    the features-only consumer the payload never needs to surface to
+    the JVM at all, so fusing the two batch functions halves the
+    Arrow crossings and skips materializing the binary column —
+    the dominant cost of this Python-bound path (the decode itself
+    is microseconds per row).
+    """
+    def gen_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for i in pdf[id_col]:
+                p, _m = synthesize_payload(int(i))
+                payloads.append(p)
+                mimes.append(_m)
+            feats = [parse_media_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "mime": mimes,
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": pd.array([f["width"] for f in feats], dtype="Int32"),
+                    "height": pd.array([f["height"] for f in feats], dtype="Int32"),
+                    "n_frames": pd.array([f["n_frames"] for f in feats], dtype="Int32"),
+                    "sample_rate": pd.array([f["sample_rate"] for f in feats], dtype="Int32"),
+                    "duration_ms": pd.array([f["duration_ms"] for f in feats], dtype="Int64"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(gen_decode, schema=MEDIA_FEATURES_DDL)
+
+
 def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling plan over extracted features: one row per
     sampled frame index — pure sequence/explode, no Python."""

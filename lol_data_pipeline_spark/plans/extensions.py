@@ -623,11 +623,13 @@ def mm_extract_features(spark, sf_dir):
     spec-conforming PNG/BMP/WAV bytes and parse_media_header reads
     width/height/sample-rate/duration back out of them (struct
     unpacking per the container specs — no codec library). The
-    oracle cross-checks the round trip arithmetically."""
+    oracle cross-checks the round trip arithmetically. Fused
+    synthesize+decode in ONE mapInPandas (r7): the chained form
+    crossed the Arrow boundary twice per row just to hand the payload
+    bytes back to Python."""
     from lol_data_pipeline_spark.operators import multimodal as mm
 
-    media = mm.synthesize_media(T(spark, sf_dir, "documents"))
-    return mm.extract_media_features(media)
+    return mm.synthesize_and_extract(T(spark, sf_dir, "documents"))
 
 
 @query(

@@ -3,7 +3,7 @@ the heavy hitters' observed scaling factor (verdict r5 #5 — every
 O()-claim in SCALE.md rested on ONE scale point plus argument; this
 turns the biggest claims into measured curves).
 
-Usage: python tools/scale_probe.py [K=8] [out_dir=/tmp/sf_scaled]
+Usage: python tools/scale_probe.py [K=8] [out_dir=/tmp/sf_scaled] [q1,q2,...]
 
 Synthesis = union of K key-shifted copies of the sf0.1 tables the
 probe queries read, with content perturbed so the workload SHAPE is
@@ -54,6 +54,11 @@ PROBE_QUERIES = [
     "emb_knn_graph",
     "graph_triangles",
     "sketch_hll_rolling",
+    # iterative kernels (added r7): their scaling changed most with the
+    # per-round lineage truncation, and the r6 8x table predates it
+    "dedup_components",
+    "corpus_dedup_keep_first",
+    "graph_pagerank",
 ]
 
 # key-shift offsets comfortably above each table's sf0.1 max id
@@ -77,6 +82,15 @@ def synthesize(spark, k: int, out_dir: str) -> None:
         .withColumn("l_suppkey", F.col("l_suppkey") + i * OFF)
         .withColumn("l_partkey", F.col("l_partkey") + i * OFF),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+    # orders rides along with lineitem's key shift so graph_pagerank's
+    # lineitem@orders join stays within-copy -> K disjoint graphs
+    orders = load_table(spark, BASE, "orders")
+    copies(
+        orders,
+        lambda df, i: df.withColumn("o_orderkey", F.col("o_orderkey") + i * OFF)
+        .withColumn("o_custkey", F.col("o_custkey") + i * OFF),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
 
     ev = load_table(spark, BASE, "events")
     copies(
@@ -131,13 +145,14 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     spark = get_spark("scale_probe")
     synthesize(spark, k, out_dir)
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         n = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet")).count()
         print(json.dumps({"table": t, "rows_scaled": n}))
     results = {}
-    for name in PROBE_QUERIES:
+    for name in PROBE_QUERIES if only is None else only:
         tb, rb = time_query(spark, name, BASE)
         ts_, rs = time_query(spark, name, out_dir)
         results[name] = {
