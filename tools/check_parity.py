@@ -28,7 +28,18 @@ from lol_data_pipeline_spark.plans import REGISTRY  # noqa: E402
 # DECIMAL vs double). An oracle whose OUTPUT schema contains one of
 # these will hash-mismatch in CORRECTNESS_rN even when values agree —
 # round 6 lost 4 driver rows to exactly this, so the audit is a gate.
-BAD_ORACLE_TYPES = ("HUGEINT", "TIMESTAMP WITH TIME ZONE", "DECIMAL")
+BAD_ORACLE_TYPES = (
+    "HUGEINT",  # also matches UHUGEINT via substring
+    "TIMESTAMP WITH TIME ZONE",
+    "DECIMAL",
+    # Spark has no unsigned integers — an oracle producing one (some
+    # DuckDB builtins do) must cast, or the driver's pandas fetch
+    # renders a dtype Spark can't match
+    "UINTEGER",
+    "UBIGINT",
+    "UTINYINT",
+    "USMALLINT",
+)
 
 
 def audit_oracle_types(con, sql):
