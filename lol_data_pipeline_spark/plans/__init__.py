@@ -8,6 +8,7 @@ import lol_data_pipeline_spark.plans.tpch  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.sketches  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.corpus  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.behavior  # noqa: E402,F401
+import lol_data_pipeline_spark.plans.curation  # noqa: E402,F401  (must stay LAST: its fresh entries queue behind the never-driver-verified backlog)
 
 # ---------------------------------------------------------------------------
 # Driver-sample rotation. The external correctness gate samples the FIRST 50

@@ -116,3 +116,71 @@ def test_leakage_safe_split_no_component_straddles(spark, sf_dir):
         .count()
     )
     assert leaky > 0  # the component-keyed split is doing real work
+
+
+def test_length_buckets_invariants(spark, sf_dir):
+    """Per-bucket token accounting must balance exactly: kept +
+    truncated == raw mass, padding == capacity minus kept, pad_bp is
+    the exact integer-division basis-point ratio, and every doc lands
+    in exactly one ladder bucket."""
+    from lol_data_pipeline_spark.plans.queries import T
+
+    rows = REGISTRY["corpus_length_buckets"].fn(spark, sf_dir).collect()
+    caps = {r.bucket_cap for r in rows}
+    assert caps <= {16, 32, 64, 96} and len(rows) == len(caps)
+    n_docs_total = T(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.kept_tokens + r.trunc_tokens == r.sum_tokens, r
+        assert r.pad_tokens == r.bucket_cap * r.n_docs - r.kept_tokens, r
+        assert r.pad_bp == (10000 * r.pad_tokens) // (r.n_docs * r.bucket_cap), r
+        if r.bucket_cap != 96:
+            assert r.trunc_tokens == 0, r  # only the top cap truncates
+
+
+def test_length_buckets_single_fixed_cardinality_shuffle(spark, sf_dir):
+    """Scan-speed posture: one hash shuffle for the ≤4-group
+    aggregate and nothing else (no join, no window, no sort)."""
+    plan = physical_plan(spark, sf_dir, "corpus_length_buckets")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_keep_best_representative_is_max_chars_min_id(spark, sf_dir):
+    """For every multi-member duplicate group the survivor must be
+    the member with the most characters (minimum doc_id on ties) —
+    the defining difference from corpus_dedup_keep_first, and the
+    two entries must agree on survivor COUNT (one per component)."""
+    from lol_data_pipeline_spark.operators import dedup as dd
+    from lol_data_pipeline_spark.operators import graph as g
+    from lol_data_pipeline_spark.plans.queries import T
+
+    docs = T(spark, sf_dir, "documents")
+    members = g.connected_components(
+        dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_shingle_df=500),
+        iters=4,
+    )
+    mdocs = {
+        r.doc_id: (r.component, r.n_chars)
+        for r in members.join(docs.select("doc_id", "n_chars"), "doc_id").collect()
+    }
+    by_comp: dict = {}
+    for doc_id, (comp, n_chars) in mdocs.items():
+        by_comp.setdefault(comp, []).append((n_chars, doc_id))
+    expected_reps = {
+        max(ms, key=lambda t: (t[0], -t[1]))[1] for ms in by_comp.values()
+    }
+    survivors = {
+        r.doc_id for r in REGISTRY["corpus_dedup_keep_best"].fn(spark, sf_dir).collect()
+    }
+    # every group member that is NOT the expected rep was dropped;
+    # every expected rep survived
+    for comp, ms in by_comp.items():
+        rep = max(ms, key=lambda t: (t[0], -t[1]))[1]
+        assert rep in survivors
+        for _, doc_id in ms:
+            if doc_id != rep:
+                assert doc_id not in survivors
+    kf = REGISTRY["corpus_dedup_keep_first"].fn(spark, sf_dir).count()
+    assert len(survivors) == kf  # same one-per-component cardinality
+    assert expected_reps <= survivors
