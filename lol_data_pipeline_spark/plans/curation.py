@@ -181,3 +181,264 @@ def corpus_dedup_keep_best(spark, sf_dir):
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality freshness: the "is the feed still alive" check every
+# ingestion pipeline runs. Lag is measured against a FIXED cutoff
+# (the day after the dataset's last event) in exact integer
+# microseconds→minutes, so both engines agree bit-for-bit; a feed
+# whose newest event is ≥30 min stale is flagged. (Which feeds land
+# on which side of the threshold depends on the generated testdata —
+# with the current sf0.01 generation the five event types split
+# error/purchase stale vs view/click/signup fresh.)
+# ---------------------------------------------------------------------------
+
+_FRESH_CUTOFF = "2024-01-31 00:00:00"  # testdata spans January 2024
+_FRESH_STALE_MIN = 30
+
+
+@query(
+    "dq_freshness",
+    sql=f"""
+    SELECT event_type,
+           max(ts) AS last_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(TIMESTAMP '{_FRESH_CUTOFF}') - epoch_us(max(ts)))
+                // 60000000 AS BIGINT) AS lag_min,
+           ((epoch_us(TIMESTAMP '{_FRESH_CUTOFF}') - epoch_us(max(ts)))
+                // 60000000) >= {_FRESH_STALE_MIN} AS stale
+    FROM events GROUP BY 1
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Per-feed freshness monitor: newest event timestamp, event
+    count, staleness lag in whole minutes against a fixed reference
+    cutoff, and a stale flag at the 30-minute threshold — the
+    liveness check a pipeline pages on (complements dq_anomaly's
+    value checks and dq_expectations' schema checks with a TIME
+    dimension). The lag is exact integer arithmetic (microsecond
+    difference, integer-divided to minutes; the cutoff postdates
+    every event so floor == truncate in both engines). One
+    fixed-cardinality aggregate (one group per feed) with constant
+    state — scan speed at any event volume."""
+    cutoff_us = F.expr(f"unix_micros(timestamp'{_FRESH_CUTOFF}')")
+    lag_min = F.expr(
+        f"(unix_micros(timestamp'{_FRESH_CUTOFF}') - unix_micros(last_ts))"
+        " DIV 60000000"
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "last_ts",
+            "n_events",
+            lag_min.cast("long").alias("lag_min"),
+            (lag_min >= _FRESH_STALE_MIN).alias("stale"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate DOWN-WEIGHTING (soft dedup): instead of dropping exact
+# duplicates, give every member of a normalized-text duplicate group
+# sampling weight 1/group_size — the repetition-aware alternative to
+# removal (total group mass stays ~1 doc, so frequent boilerplate
+# stops dominating the training mix without discarding provenance).
+# ---------------------------------------------------------------------------
+
+_SQL_NORM_KEY = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text),"
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+
+@query(
+    "corpus_dedup_softweight",
+    sql=f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM_KEY} AS k FROM documents),
+    sizes AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS group_size,
+             min(doc_id) AS canonical_id
+      FROM n GROUP BY 1
+    )
+    SELECT n.doc_id,
+           s.group_size,
+           CAST(10000 // s.group_size AS BIGINT) AS weight_bp,
+           n.doc_id = s.canonical_id AS is_canonical
+    FROM n JOIN sizes s ON s.k = n.k
+    """,
+)
+def corpus_dedup_softweight(spark, sf_dir):
+    """Soft dedup: every document keeps a row, but members of the
+    same normalized-text group (case/punctuation/whitespace folded —
+    corpus_normalize's canonical form, md5-keyed) share sampling
+    mass: weight_bp = 10000/group_size in exact integer basis
+    points, plus the group's canonical (minimum-id) member flag.
+    Down-weighting instead of dropping is what a mixture builder
+    wants when duplicates carry provenance (same text from many
+    sources) — dedup_exact's removal is the special case weight=0
+    for non-canonicals.
+
+    Sizes come from a groupBy (map-side partial aggregation — a
+    million-way boilerplate group collapses to one row per map task,
+    where a count-over-window would funnel the whole group through
+    one reducer), then join back on the content key; AQE handles the
+    join's skew/broadcast choice. Two narrow integer columns beside
+    the key — no text is shuffled twice."""
+    docs = T(spark, sf_dir, "documents")
+    k = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+    )
+    n = docs.select("doc_id", k.alias("k"))
+    sizes = n.groupBy("k").agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return n.join(sizes, "k").select(
+        "doc_id",
+        "group_size",
+        F.expr("CAST(10000 DIV group_size AS BIGINT)").alias("weight_bp"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical candidates fused with embedding
+# cosine via Reciprocal Rank Fusion — the two-tower search pattern
+# (keyword recall + semantic precision). RRF works on RANKS, not
+# scores, so the fusion is exact integer-rational arithmetic and
+# needs no score normalization.
+# ---------------------------------------------------------------------------
+
+_HYBRID_CANDIDATES = 50  # lexical pool size
+_HYBRID_K = 10  # final results
+_HYBRID_QUERY_VEC_ID = 0  # query embedding: vector of doc 0
+_RRF_C = 60  # standard RRF constant
+
+
+def _sql_hybrid() -> str:
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _sql_bm25,
+    )
+
+    lex = _sql_bm25(_BM25_TERMS, _HYBRID_CANDIDATES, _BM25_K1, _BM25_B)
+    return f"""
+    WITH lex AS (SELECT doc_id, rank AS rank_lex FROM ({lex})),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS qn
+      FROM embeddings WHERE vec_id = {_HYBRID_QUERY_VEC_ID}
+    ),
+    sem AS (
+      SELECT l.doc_id, l.rank_lex,
+             round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                   / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * q.qn), 6) AS cos_sim
+      FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT doc_id, rank_lex, cos_sim,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+                 AS rank_sem
+      FROM sem
+    ),
+    fused AS (
+      SELECT doc_id, rank_lex, rank_sem, cos_sim,
+             CAST(round(1000000 * (1.0 / ({_RRF_C} + rank_lex)
+                                   + 1.0 / ({_RRF_C} + rank_sem))) AS BIGINT)
+                 AS rrf_e6
+      FROM ranked
+    )
+    SELECT doc_id, rank_lex, rank_sem, cos_sim, rrf_e6,
+           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+               AS final_rank
+    FROM fused
+    QUALIFY final_rank <= {_HYBRID_K}
+    """
+
+
+@query("ann_hybrid_rerank", sql=_sql_hybrid())
+def ann_hybrid_rerank(spark, sf_dir):
+    """Hybrid search: top-{50} BM25 lexical candidates for the fixed
+    3-term query, semantically re-ranked against a query embedding
+    (doc 0's vector), fused by Reciprocal Rank Fusion
+    (Σ 1/(60+rank)) and cut to the final top-10. RRF fuses RANKS —
+    small exact integers — so no cross-engine score normalization is
+    needed; the only floats are the cosine (the proven bit-equal
+    double fold of dedup_embedding_cosine, frozen at 6 dp) and the
+    RRF rational, a deterministic function of two integer ranks.
+
+    Scale shape: the BM25 stage builds postings only for the query's
+    terms and broadcasts 1-row corpus stats (operators/search.py);
+    everything after operates on a candidate set BOUNDED at 50 rows
+    by construction — the embedding join probes 50 keys, and both
+    row_number windows sort ≤50 rows, so the single-partition
+    exchanges are constant-size at any corpus scale."""
+    from lol_data_pipeline_spark.operators import search as srch
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    lex = srch.bm25_topk(
+        docs, _BM25_TERMS, k=_HYBRID_CANDIDATES, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.col("rank").alias("rank_lex"))
+    q = (
+        emb.filter(F.col("vec_id") == _HYBRID_QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qe"),
+            sim.norm(F.col("embedding")).alias("qn"),
+        )
+    )
+    sem = (
+        lex.join(emb, lex.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "rank_lex",
+            F.round(
+                sim.dot(F.col("embedding"), F.col("qe"))
+                / (sim.norm(F.col("embedding")) * F.col("qn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w_sem = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    ranked = sem.withColumn(
+        "rank_sem", F.row_number().over(w_sem).cast("long")
+    )
+    fused = ranked.withColumn(
+        "rrf_e6",
+        F.expr(
+            f"CAST(round(1000000 * (1.0 / ({_RRF_C} + rank_lex)"
+            f" + 1.0 / ({_RRF_C} + rank_sem))) AS BIGINT)"
+        ),
+    )
+    w_fin = Window.orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("final_rank", F.row_number().over(w_fin).cast("long"))
+        .filter(F.col("final_rank") <= _HYBRID_K)
+        .select(
+            "doc_id", "rank_lex", "rank_sem", "cos_sim", "rrf_e6", "final_rank"
+        )
+    )

@@ -184,3 +184,80 @@ def test_keep_best_representative_is_max_chars_min_id(spark, sf_dir):
     kf = REGISTRY["corpus_dedup_keep_first"].fn(spark, sf_dir).count()
     assert len(survivors) == kf  # same one-per-component cardinality
     assert expected_reps <= survivors
+
+
+def test_dq_freshness_lag_and_flag_consistent(spark, sf_dir):
+    """lag_min must equal the exact integer minute difference between
+    the fixed cutoff and the newest event per feed, and the stale
+    flag must mirror the 30-minute threshold. (Which side of the
+    threshold each feed lands on depends on the generated testdata,
+    so the test checks flag/lag CONSISTENCY, not a particular
+    split.)"""
+    from lol_data_pipeline_spark.plans.curation import (
+        _FRESH_CUTOFF,
+        _FRESH_STALE_MIN,
+    )
+    import datetime as dt
+
+    cutoff = dt.datetime.fromisoformat(_FRESH_CUTOFF)
+    rows = REGISTRY["dq_freshness"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # one row per event_type
+    for r in rows:
+        expected_lag = int((cutoff - r.last_ts).total_seconds() * 1_000_000) // 60_000_000
+        assert r.lag_min == expected_lag, r
+        assert r.stale == (r.lag_min >= _FRESH_STALE_MIN), r
+        assert r.lag_min >= 0  # cutoff postdates every event
+    assert len({r.lag_min for r in rows}) > 1  # feeds genuinely differ
+
+
+def test_softweight_conserves_group_mass(spark):
+    """Every duplicate-group's members share one canonical flag and
+    identical weights; weight_bp is the exact integer 10000/size; and
+    canonical count equals group count. Runs at sf0.1 — the only
+    generated scale with actual exact-duplicate groups (the smaller
+    corpora are all-unique, like dedup_exact's n_copies there)."""
+    rows = (
+        REGISTRY["corpus_dedup_softweight"].fn(spark, "/root/testdata/sf0.1").collect()
+    )
+    by_size: dict = {}
+    n_canonical = 0
+    for r in rows:
+        assert r.weight_bp == 10000 // r.group_size, r
+        n_canonical += bool(r.is_canonical)
+        by_size[r.group_size] = by_size.get(r.group_size, 0) + 1
+    # member counts must be divisible by group size, and canonical
+    # count equals the number of groups
+    n_groups = 0
+    for size, members in by_size.items():
+        assert members % size == 0, (size, members)
+        n_groups += members // size
+    assert n_canonical == n_groups
+    assert max(by_size) > 1  # the corpus really has exact-normalized dups
+
+
+def test_hybrid_rerank_rrf_is_rank_fusion(spark, sf_dir):
+    """final top-10 must be ordered by the RRF of the two ranks, the
+    RRF must recompute exactly from (rank_lex, rank_sem), and both
+    rank columns must be valid 1-based ranks within the 50-candidate
+    pool."""
+    from lol_data_pipeline_spark.plans.curation import (
+        _HYBRID_CANDIDATES,
+        _HYBRID_K,
+        _RRF_C,
+    )
+
+    rows = REGISTRY["ann_hybrid_rerank"].fn(spark, sf_dir).collect()
+    assert [r.final_rank for r in sorted(rows, key=lambda r: r.final_rank)] == list(
+        range(1, _HYBRID_K + 1)
+    )
+    for r in rows:
+        assert 1 <= r.rank_lex <= _HYBRID_CANDIDATES
+        assert 1 <= r.rank_sem <= _HYBRID_CANDIDATES
+        expected = round(
+            1_000_000 * (1.0 / (_RRF_C + r.rank_lex) + 1.0 / (_RRF_C + r.rank_sem))
+        )
+        assert r.rrf_e6 == expected, r
+        assert -1.0 <= r.cos_sim <= 1.0
+    # fusion order: rrf descending, doc_id ascending on ties
+    ordered = sorted(rows, key=lambda r: (-r.rrf_e6, r.doc_id))
+    assert [r.final_rank for r in ordered] == list(range(1, _HYBRID_K + 1))

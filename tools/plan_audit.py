@@ -59,6 +59,7 @@ CROSS_OK = {
     "text_ngram_topk",  # global_topk_ranked: k×k broadcast rank (k=20)
     "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
     "graph_pagerank",  # node-count scalar broadcast (1 row)
+    "ann_hybrid_rerank",  # query-embedding scalar broadcast (1 row)
     "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
     "sketch_quantile_hist",  # 1-row bounds broadcast + 3 quantiles x 64 bins
     "emb_knn_graph",  # LSH plane assignment: n_planes-row broadcast cross join
@@ -85,6 +86,8 @@ GLOBAL_WINDOW_OK = {
     # bounded by the calendar (36.5k rows/century), never by event volume
     "corpus_quality_adaptive",  # running sum over the score histogram —
     # bounded by the integer score domain (≤10001 rows at any data size)
+    "ann_hybrid_rerank",  # rank windows over the BM25 candidate set —
+    # bounded at 50 rows by the lexical top-k, never by corpus size
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
@@ -97,6 +100,7 @@ SINGLE_PARTITION_OK = {
     "sketch_quantile_hist",  # 64 fixed bins
     "stat_cusum_changepoint",  # day-grain series, calendar-bounded
     "corpus_quality_adaptive",  # score histogram, ≤10001 rows by domain
+    "ann_hybrid_rerank",  # ≤50 BM25 candidates by construction
 }
 
 # tables whose cardinality does NOT scale with data volume (TPC-H:
