@@ -115,6 +115,13 @@ HEADLINE = [
     "sketch_hll_rolling",
     "rel_asof_tolerance",
     "rel_asof_forward",
+    # r7 additions. corpus_dedup_keep_best is NOT benched: like
+    # leakage_safe_split, its cost IS the keep-first pair-graph +
+    # label-propagation kernel plus two small member-list aggregates.
+    "corpus_length_buckets",
+    "corpus_dedup_softweight",
+    "dq_freshness",
+    "ann_hybrid_rerank",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
