@@ -59,6 +59,13 @@ PROBE_QUERIES = [
     "dedup_components",
     "corpus_dedup_keep_first",
     "graph_pagerank",
+    # r7 additions: length_buckets/softweight claim scan-speed
+    # (expect ~linear wall vs 8x rows with fixed agg state);
+    # hybrid_rerank claims its post-lexical cost is BOUNDED at 50
+    # candidates (expect growth only from the BM25 scan stage)
+    "corpus_length_buckets",
+    "corpus_dedup_softweight",
+    "ann_hybrid_rerank",
 ]
 
 # key-shift offsets comfortably above each table's sf0.1 max id
