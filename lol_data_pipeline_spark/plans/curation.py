@@ -442,3 +442,76 @@ def ann_hybrid_rerank(spark, sf_dir):
             "doc_id", "rank_lex", "rank_sem", "cos_sim", "rrf_e6", "final_rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV landing-zone scan. Registered here (not plans/queries.py with
+# the other ref_ entries) so it queues behind the never-driver-
+# verified backlog like every round-7 addition — see module
+# docstring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ref_csv_scan",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           max(CAST(ts AS DATE)) AS last_day
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ref_csv_scan(spark, sf_dir):
+    """Schema-enforced CSV landing-zone source: the events table
+    staged as headerless CSV, read back under a DECLARED schema in
+    PERMISSIVE mode with three injected malformed rows (type
+    violation, short row, stray header line) quarantined by a
+    required-fields filter (see inline comment for why NOT the
+    `_corrupt_record` column: CSV corrupt-marking is relative to the
+    pruned parse set) — then aggregated.
+    Parity against the parquet table proves the CSV round trip is
+    lossless (epoch-micros timestamps via the shared ts_from_epoch
+    chokepoint; doubles via Java shortest-round-trip text) AND that
+    the corrupt lines contaminated nothing.
+
+    The CSV parser path (line splitting, quote/escape handling,
+    column-count checks) and its failure modes are disjoint from the
+    JSONL twin's (`ref_json_lines_scan`, sources/jsonl.py) — this is
+    the other half of the landing-zone format matrix. Reference
+    analog: the blind `response.json()` ingestion surface
+    (`/root/reference/src/api/pipeline.py:67-74`), re-expressed as
+    declared-schema scans with an explicit malformed-row policy."""
+    from lol_data_pipeline_spark.sources.csv import read_events_csv
+
+    raw = read_events_csv(spark, sf_dir)
+    # Quarantine = REQUIRED-FIELDS policy, not the corrupt column:
+    # Spark's CSV parser marks a row corrupt only w.r.t. the columns
+    # the final (pruned) query actually parses, so a filter on
+    # _corrupt_record alone changes meaning under composition — the
+    # injected SHORT row ("12345,98765") leaks an all-null group in
+    # any downstream query that prunes the tail columns, and Spark
+    # outright rejects corrupt-only queries
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Requiring every declared
+    # field non-null is pruning-INDEPENDENT (missing tokens and
+    # failed casts are null under every parse), rejects all three
+    # injected shapes, forces the full row into the parse set, and
+    # is the policy a landing zone actually wants: a row missing a
+    # required field is quarantined whether or not the parser called
+    # it corrupt. (The JSONL twin can filter _corrupt_record
+    # directly: JSON tokenizes the full line regardless of pruning.)
+    valid = raw.filter(
+        F.col("event_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return valid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )

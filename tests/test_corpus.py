@@ -261,3 +261,40 @@ def test_hybrid_rerank_rrf_is_rank_fusion(spark, sf_dir):
     # fusion order: rrf descending, doc_id ascending on ties
     ordered = sorted(rows, key=lambda r: (-r.rrf_e6, r.doc_id))
     assert [r.final_rank for r in ordered] == list(range(1, _HYBRID_K + 1))
+
+
+def test_csv_scan_quarantines_all_injected(spark, sf_dir):
+    """The three injected malformed CSV rows (type violation, short
+    row, stray header) must all carry _corrupt_record under a FULL
+    parse, valid rows must equal the parquet row count, and the
+    entry's own aggregate input (which references event_id precisely
+    to defeat CSV column pruning) must quarantine the short row too
+    — the pruned-parse leak this entry's filter exists to prevent."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.sources.csv import CORRUPT_ROWS, read_events_csv
+
+    raw = read_events_csv(spark, sf_dir)
+    # Spark disallows queries whose referenced columns are ONLY the
+    # corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — select a
+    # data column alongside it; this also forces the full parse.
+    # ...and the SHORT row is only corrupt when a column past its
+    # last token is in the parse set — select every column so the
+    # parse is the full row (the entry achieves this via event_id +
+    # its aggregate columns, which together span the schema).
+    corrupt = raw.select(*raw.columns).filter(
+        F.col("_corrupt_record").isNotNull()
+    )
+    got = [r._corrupt_record for r in corrupt.collect()]
+    assert len(got) == len(CORRUPT_ROWS)
+    assert set(got) == set(CORRUPT_ROWS)
+    n_parquet = load_table(spark, sf_dir, "events").count()
+    # .count() would prune every column back out and re-trigger the
+    # corrupt-only restriction / the short-row leak; collect the full
+    # projection instead (1k rows at the test SF).
+    n_valid = len(
+        raw.select(*raw.columns).filter(F.col("_corrupt_record").isNull()).collect()
+    )
+    assert n_valid == n_parquet
+    # the entry's aggregate: no NULL event_type group may leak
+    out = REGISTRY["ref_csv_scan"].fn(spark, sf_dir)
+    assert out.filter(F.col("event_type").isNull()).count() == 0
