@@ -118,6 +118,9 @@ HEADLINE = [
     # r7 additions. corpus_dedup_keep_best is NOT benched: like
     # leakage_safe_split, its cost IS the keep-first pair-graph +
     # label-propagation kernel plus two small member-list aggregates.
+    # ref_csv_scan is NOT benched either: like its JSONL twin
+    # (ref_json_lines_scan, also unbenched), its wall is dominated by
+    # one-time landing-zone staging, not query execution.
     "corpus_length_buckets",
     "corpus_dedup_softweight",
     "dq_freshness",

@@ -9,7 +9,7 @@ existing never-driver-verified backlog instead of displacing it from
 the sampled window.
 
 Scale notes (100 TB):
-- length_buckets is a per-row projection plus a ≤5-group aggregate
+- length_buckets is a per-row projection plus a ≤4-group aggregate
   with constant state — scan speed on any cluster, no skew possible
   (bucket cardinality is fixed by the ladder, not the data).
 - dedup_keep_best reuses the bucketed capped-Jaccard pair graph and

@@ -210,15 +210,17 @@ def test_dq_freshness_lag_and_flag_consistent(spark, sf_dir):
     assert len({r.lag_min for r in rows}) > 1  # feeds genuinely differ
 
 
-def test_softweight_conserves_group_mass(spark):
+def test_softweight_conserves_group_mass(spark, sf_dir):
     """Every duplicate-group's members share one canonical flag and
     identical weights; weight_bp is the exact integer 10000/size; and
-    canonical count equals group count. Runs at sf0.1 — the only
+    canonical count equals group count. Runs at sf0.1 (derived from
+    the configured testdata root, not hardcoded) — the only
     generated scale with actual exact-duplicate groups (the smaller
     corpora are all-unique, like dedup_exact's n_copies there)."""
-    rows = (
-        REGISTRY["corpus_dedup_softweight"].fn(spark, "/root/testdata/sf0.1").collect()
-    )
+    import os
+
+    sf01_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.1")
+    rows = REGISTRY["corpus_dedup_softweight"].fn(spark, sf01_dir).collect()
     by_size: dict = {}
     n_canonical = 0
     for r in rows:
@@ -298,3 +300,30 @@ def test_csv_scan_quarantines_all_injected(spark, sf_dir):
     # the entry's aggregate: no NULL event_type group may leak
     out = REGISTRY["ref_csv_scan"].fn(spark, sf_dir)
     assert out.filter(F.col("event_type").isNull()).count() == 0
+
+
+def test_softweight_key_is_corpus_normalize_canonical_form(spark, sf_dir):
+    """corpus_dedup_softweight's docstring promises its grouping key
+    is md5 of corpus_normalize's canonical form. The expression is
+    deliberately re-inlined (refactoring corpus_normalize — a
+    driver-green entry — would change its fingerprint and rotate it
+    back into the externally sampled window), so THIS test is the
+    sync guard: group sizes computed from corpus_normalize's actual
+    output must equal softweight's group_size for every doc."""
+    norm_out = REGISTRY["corpus_normalize"].fn(spark, sf_dir).select(
+        "doc_id", F.md5("normalized").alias("k")
+    )
+    expected = norm_out.groupBy("k").agg(
+        F.count("*").cast("long").alias("exp_size")
+    )
+    joined = (
+        norm_out.join(expected, "k")
+        .join(
+            REGISTRY["corpus_dedup_softweight"].fn(spark, sf_dir).select(
+                "doc_id", "group_size"
+            ),
+            "doc_id",
+        )
+    )
+    assert joined.filter(F.col("exp_size") != F.col("group_size")).count() == 0
+    assert joined.count() == norm_out.count()
