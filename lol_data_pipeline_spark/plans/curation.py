@@ -83,7 +83,14 @@ def corpus_length_buckets(spark, sf_dir):
     scan speed at any corpus size, skew-impossible by construction.
     Complements corpus_pack_token_budget (greedy bin packing) by
     quantifying WHY packing beats pad-to-bucket on this corpus."""
-    docs = T(spark, sf_dir, "documents")
+    return length_bucket_report(T(spark, sf_dir, "documents"))
+
+
+def length_bucket_report(docs):
+    """The reusable kernel behind corpus_length_buckets: per-bucket
+    padding economics for any DataFrame with a ``text`` column.
+    Property-tested against a Python model on arbitrary corpora
+    (tests/test_properties.py)."""
     n = F.size(tx.tokens("text")).cast("long")
     cap = F.lit(_TOP_CAP)
     for c in reversed(_LADDER):
@@ -291,7 +298,16 @@ def corpus_dedup_softweight(spark, sf_dir):
     one reducer), then join back on the content key; AQE handles the
     join's skew/broadcast choice. Two narrow integer columns beside
     the key — no text is shuffled twice."""
-    docs = T(spark, sf_dir, "documents")
+    return softweight_report(T(spark, sf_dir, "documents"))
+
+
+def softweight_report(docs):
+    """The reusable kernel behind corpus_dedup_softweight: duplicate
+    down-weighting for any DataFrame with ``doc_id``/``text``.
+    Property-tested against a Python model on corpora with REAL
+    generated duplicate groups (tests/test_properties.py) — the
+    small testdata scales are all-unique, so arbitrary-input testing
+    is the only way to exercise multi-member groups cheaply."""
     k = F.md5(
         F.trim(
             F.regexp_replace(

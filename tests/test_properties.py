@@ -490,3 +490,94 @@ def test_interval_overlap_bucketing_equals_bruteforce(spark, events):
             )
             want[d.isoformat()] = (len(hits), len({u for u, _, _ in hits}), ms)
     assert got == want
+
+
+@SLOW
+@given(
+    n_tokens=st.lists(st.integers(0, 200), min_size=1, max_size=30),
+)
+def test_length_bucket_report_matches_python_model(spark, n_tokens):
+    """For ANY distribution of document lengths, the bucket report
+    must equal a direct Python computation: ladder assignment, token
+    accounting, and the exact integer basis-point padding ratio."""
+    from lol_data_pipeline_spark.plans.curation import (
+        _LADDER,
+        _TOP_CAP,
+        length_bucket_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(n_tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bucket_cap: r for r in length_bucket_report(docs).collect()
+    }
+
+    def cap_of(n):
+        for c in _LADDER:
+            if n <= c:
+                return c
+        return _TOP_CAP
+
+    model: dict = {}
+    for n in n_tokens:
+        c = cap_of(n)
+        m = model.setdefault(c, dict(n_docs=0, sum=0, kept=0, pad=0, trunc=0))
+        m["n_docs"] += 1
+        m["sum"] += n
+        m["kept"] += min(n, c)
+        m["pad"] += c - min(n, c)
+        m["trunc"] += max(n - c, 0)
+    assert set(got) == set(model)
+    for c, m in model.items():
+        r = got[c]
+        assert (r.n_docs, r.sum_tokens, r.kept_tokens, r.pad_tokens, r.trunc_tokens) == (
+            m["n_docs"], m["sum"], m["kept"], m["pad"], m["trunc"]
+        )
+        assert r.pad_bp == (10000 * m["pad"]) // (m["n_docs"] * c)
+
+
+@SLOW
+@given(
+    # groups of duplicated texts: (distinct word-seed, copies)
+    groups=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 5)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_softweight_report_matches_python_model(spark, groups):
+    """For corpora with REAL duplicate groups (which the small
+    testdata scales lack), every member's group_size and exact
+    integer weight must match a direct Python computation, case and
+    punctuation variants must collapse into the same group, and
+    exactly one canonical member (the minimum doc_id) must be
+    flagged per group."""
+    from lol_data_pipeline_spark.plans.curation import softweight_report
+
+    rows, doc_id = [], 0
+    expected_group = {}  # doc_id -> seed
+    for seed, copies in groups:
+        base = f"doc body number {seed} for softweight"
+        for j in range(copies):
+            # vary case/punctuation per copy: normalization must fold it
+            text = base.upper() if j % 2 else base + "!!"
+            rows.append((doc_id, text))
+            expected_group[doc_id] = seed
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in softweight_report(docs).collect()}
+    assert set(out) == set(expected_group)
+    sizes = {}
+    for d, seed in expected_group.items():
+        sizes[seed] = sizes.get(seed, 0) + 1
+    canon = {}
+    for d, seed in expected_group.items():
+        canon[seed] = min(canon.get(seed, d), d)
+    for d, r in out.items():
+        seed = expected_group[d]
+        assert r.group_size == sizes[seed], r
+        assert r.weight_bp == 10000 // sizes[seed], r
+        assert r.is_canonical == (d == canon[seed]), r
