@@ -531,3 +531,109 @@ def ref_csv_scan(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.max(F.to_date("ts")).alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily volume series: the temporal-
+# dependence diagnostic (weekly rhythm, trend persistence) that
+# complements CUSUM (level shifts), KS/PSI (value drift) and entropy
+# (mix drift). Exact-integer core: centering by d_t = n*x_t - S
+# (n = #days, S = total events) scales deviations by n, so the
+# autocovariance numerators and the variance denominator are EXACT
+# integer sums (the n^2 factor cancels in the ratio); only the final
+# ratio is a rounded double, identical in both engines.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "stat_acf_daily",
+    sql=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM daily
+    ),
+    dev AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             scal.n AS n, scal.n * c - scal.s AS d
+      FROM daily CROSS JOIN scal
+    ),
+    den AS (SELECT CAST(sum(d * d) AS BIGINT) AS den, max(n) AS n FROM dev),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    num AS (
+      SELECT l.lag, CAST(sum(a.d * b.d) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.t = a.t + l.lag
+      GROUP BY 1
+    )
+    SELECT num.lag AS lag,
+           num.num AS num_scaled,
+           den.den AS den_scaled,
+           num.n_pairs,
+           round(CAST(num.num AS DOUBLE) / nullif(den.den, 0), 6) AS r_acf
+    FROM num CROSS JOIN den
+    """,
+)
+def stat_acf_daily(spark, sf_dir):
+    """Autocorrelation (lags 1..7) of the daily event-count series —
+    the weekly-rhythm/persistence monitor pairing with
+    stat_cusum_changepoint on the time axis. Exact-integer design:
+    deviations are d_t = n*c_t - S (pure BIGINT), so num/den are
+    exact integer aggregates emitted alongside the rounded ratio —
+    any engine reproduces them bit-for-bit; the n² scale factor
+    cancels in r_acf. The day series is CALENDAR-bounded (≤36.5k
+    rows/century), so the rank window and the ≤7-lag self-join are
+    constant-size at any event volume — the same bounded-input
+    argument as stat_cusum_changepoint, and the daily aggregate
+    before them runs at full scan parallelism."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    scal = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    from pyspark.sql import Window
+
+    dev = (
+        daily.crossJoin(F.broadcast(scal))
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"),
+            "n",
+            (F.col("n") * F.col("c") - F.col("s")).alias("d"),
+        )
+    )
+    den = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("den_scaled"),
+        F.max("n").alias("n"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = dev.select(F.col("t").alias("ta"), F.col("d").alias("da"))
+    b = dev.select(F.col("t").alias("tb"), F.col("d").alias("db"))
+    num = (
+        lags.crossJoin(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("da") * F.col("db")).cast("long").alias("num_scaled"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "num_scaled",
+        "den_scaled",
+        "n_pairs",
+        F.round(
+            F.col("num_scaled").cast("double")
+            / F.expr("nullif(den_scaled, 0)"),
+            6,
+        ).alias("r_acf"),
+    )

@@ -889,3 +889,34 @@ def test_asof_backward_null_timestamps(spark):
     assert out[1] is None  # precedes every real reference row -> no match
     assert out[2] == 50    # real row matches; NULL-ts row (99) never does
     assert out[3] is None  # NULL left ts -> no match
+
+
+def test_acf_daily_matches_python_model(spark, sf_dir):
+    """r_acf must equal the plain-Python autocorrelation of the daily
+    count series, the integer num/den columns must recompute exactly
+    from the counts (they are the engine-exact audit trail), and lag
+    k must have exactly n-k pairs."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    daily = sorted(
+        (r.day, r.c)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    cs = [c for _, c in daily]
+    n, s = len(cs), sum(cs)
+    d = [n * c - s for c in cs]
+    den = sum(x * x for x in d)
+    rows = {r.lag: r for r in REGISTRY["stat_acf_daily"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    for k, r in rows.items():
+        num = sum(d[t] * d[t + k] for t in range(n - k))
+        assert r.num_scaled == num, (k, r)
+        assert r.den_scaled == den, (k, r)
+        assert r.n_pairs == n - k, (k, r)
+        assert abs(r.r_acf - round(num / den, 6)) < 1e-12, (k, r)

@@ -60,6 +60,8 @@ CROSS_OK = {
     "stat_histogram_prices",  # global min/max scalar broadcast (1 row)
     "graph_pagerank",  # node-count scalar broadcast (1 row)
     "ann_hybrid_rerank",  # query-embedding scalar broadcast (1 row)
+    "stat_acf_daily",  # n/S scalar broadcast (1 row) + 7-lag fan-out over
+    # the calendar-bounded day series
     "sketch_kmv_setops",  # exact-union scalar broadcast (1 row)
     "sketch_quantile_hist",  # 1-row bounds broadcast + 3 quantiles x 64 bins
     "emb_knn_graph",  # LSH plane assignment: n_planes-row broadcast cross join
@@ -88,6 +90,8 @@ GLOBAL_WINDOW_OK = {
     # bounded by the integer score domain (≤10001 rows at any data size)
     "ann_hybrid_rerank",  # rank windows over the BM25 candidate set —
     # bounded at 50 rows by the lexical top-k, never by corpus size
+    "stat_acf_daily",  # rank window over the DAY-grain series —
+    # calendar-bounded (36.5k rows/century), like stat_cusum_changepoint
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
@@ -101,6 +105,7 @@ SINGLE_PARTITION_OK = {
     "stat_cusum_changepoint",  # day-grain series, calendar-bounded
     "corpus_quality_adaptive",  # score histogram, ≤10001 rows by domain
     "ann_hybrid_rerank",  # ≤50 BM25 candidates by construction
+    "stat_acf_daily",  # day-grain series, calendar-bounded
 }
 
 # tables whose cardinality does NOT scale with data volume (TPC-H:
