@@ -125,6 +125,7 @@ HEADLINE = [
     "corpus_dedup_softweight",
     "dq_freshness",
     "ann_hybrid_rerank",
+    "stat_acf_daily",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
