@@ -1,5 +1,7 @@
-"""Round-7 curation additions: sequence-length bucketing economics
-and quality-ranked near-dup representative selection.
+"""Round-7 additions: sequence-length bucketing economics,
+quality-ranked near-dup representative selection, per-feed
+freshness DQ, duplicate down-weighting, hybrid BM25+embedding RRF
+retrieval, a CSV landing-zone scan, and daily autocorrelation.
 
 Registered AFTER every other plans module on purpose: the driver's
 correctness gate samples the FIRST 50 registry entries, and the
