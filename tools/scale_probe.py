@@ -136,6 +136,33 @@ def synthesize(spark, k: int, out_dir: str) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    # remaining TPC-H tables so rel_q* probes resolve: entity keys
+    # shift per copy (within-copy joins, like lineitem/orders);
+    # nation/region are FIXED-cardinality dims (25/5 rows at every
+    # SF) and are copied once, unshifted — n/r keys referenced by
+    # shifted rows stay valid because s_nationkey/c_nationkey are
+    # not shifted.
+    # (no partsupp: the generated testdata has the 9-table subset)
+    for tbl, keys in (
+        ("part", ["p_partkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("customer", ["c_custkey"]),
+    ):
+        df = load_table(spark, BASE, tbl)
+
+        def shift(d, i, keys=keys):
+            for c in keys:
+                d = d.withColumn(c, F.col(c) + i * OFF)
+            return d
+
+        copies(df, shift).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.parquet")
+        )
+    for tbl in ("nation", "region"):
+        load_table(spark, BASE, tbl).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.parquet")
+        )
+
 
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     fn = REGISTRY[name].fn
