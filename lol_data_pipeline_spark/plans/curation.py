@@ -367,12 +367,12 @@ def _sql_hybrid() -> str:
                    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
                                               CAST(e.embedding AS DOUBLE[])))
                       * q.qn), 6) AS cos_sim
-      FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id CROSS JOIN q
+      FROM lex l LEFT JOIN embeddings e ON e.vec_id = l.doc_id CROSS JOIN q
     ),
     ranked AS (
       SELECT doc_id, rank_lex, cos_sim,
-             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
-                 AS rank_sem
+             CAST(row_number() OVER (ORDER BY cos_sim DESC NULLS LAST, doc_id)
+                  AS BIGINT) AS rank_sem
       FROM sem
     ),
     fused AS (
@@ -428,8 +428,15 @@ def ann_hybrid_rerank(spark, sf_dir):
             sim.norm(F.col("embedding")).alias("qn"),
         )
     )
+    # LEFT join: a lexical candidate without an embedding row keeps
+    # its slot with cos_sim NULL and ranks LAST semantically — an
+    # inner join would silently shrink the final top-k whenever the
+    # embedding table lags the corpus (it does: at sf0.1 embeddings
+    # covers 2000 of 5000 doc ids; found when the 27x probe returned
+    # 6 of 10 rows). Lexical recall must not depend on embedding
+    # coverage.
     sem = (
-        lex.join(emb, lex.doc_id == emb.vec_id)
+        lex.join(emb, lex.doc_id == emb.vec_id, "left")
         .crossJoin(F.broadcast(q))
         .select(
             "doc_id",
@@ -441,7 +448,7 @@ def ann_hybrid_rerank(spark, sf_dir):
             ).alias("cos_sim"),
         )
     )
-    w_sem = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    w_sem = Window.orderBy(F.desc_nulls_last("cos_sim"), F.asc("doc_id"))
     ranked = sem.withColumn(
         "rank_sem", F.row_number().over(w_sem).cast("long")
     )
