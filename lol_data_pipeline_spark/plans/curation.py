@@ -646,3 +646,96 @@ def stat_acf_daily(spark, sf_dir):
             6,
         ).alias("r_acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: top-k under a metadata predicate — the
+# canonical hard problem of production vector stores (a selective
+# filter guts an ANN index's candidate lists; the exact pre-filter
+# scan is the correctness baseline every filtered-ANN strategy is
+# measured against). Queries are the first 5 vectors; the predicate
+# keeps one label (~10% of the corpus).
+# ---------------------------------------------------------------------------
+
+_FILT_LABEL = 3
+_FILT_K = 10
+_FILT_NQ = 5
+
+
+def _sql_filtered_topk() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    cos = SQL_COS.format(a="q.qvec", b="c.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < {_FILT_NQ}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id, c.label, {cos} AS sim
+      FROM q JOIN embeddings c
+        ON c.label = {_FILT_LABEL} AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, label, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, match_id, label, sim, rank
+    FROM ranked WHERE rank <= {_FILT_K}
+    """
+
+
+@query("ann_filtered_topk", sql=_sql_filtered_topk())
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search: exact cosine top-{10} per query over
+    ONLY the corpus vectors matching a metadata predicate
+    (label = 3, ~10% selectivity) — the operation a production
+    vector store calls "pre-filtered ANN", here in its exact form:
+    the predicate prunes BEFORE scoring (pushed to the parquet
+    scan), so cost is selectivity x corpus, and the result is the
+    ground truth any filtered-index strategy (IVF with per-cell
+    filtering, bitmap-intersected posting lists) must reproduce.
+
+    Post-filtering an unfiltered top-k is WRONG at low selectivity
+    (k survivors are not the filtered top-k); this entry pins the
+    correct semantics. Plan shape mirrors the brute-force kernels:
+    5 queries broadcast with precomputed norms, the filtered corpus
+    scanned once, per-query rank windows bounded by the filtered
+    candidate count. At 100 TB the same predicate composes with the
+    IVF/LSH candidate generators (filter the candidate list, rescore
+    exactly); this exact form is their recall baseline."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = sim.with_norm(
+        emb.filter(F.col("vec_id") < _FILT_NQ), "embedding", "qnrm"
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"), "qnrm"
+    )
+    c = sim.with_norm(
+        sim.widen(emb.filter(F.col("label") == _FILT_LABEL)), "embedding", "cnrm"
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            "label",
+            F.round(
+                sim.dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _FILT_K)
+        .select("query_id", "match_id", "label", "sim", "rank")
+    )

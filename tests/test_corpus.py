@@ -375,3 +375,56 @@ def test_hybrid_rerank_survives_embedding_coverage_gap(spark, tmp_path):
     assert scored and max(scored) < min(unscored)  # nulls rank last
     for r in out:
         assert (r.doc_id % 2 == 1) == (r.cos_sim is None), r
+
+
+def test_filtered_topk_prefilter_semantics(spark, sf_dir):
+    """Every match must satisfy the predicate, every query must get
+    exactly k matches (the filtered corpus is larger than k), ranks
+    must follow (sim desc, match_id), and the entry must NOT equal
+    post-filtering an unfiltered top-k — the wrong strategy this
+    entry exists to pin against. The label predicate must reach the
+    parquet scan as a pushed filter."""
+    from lol_data_pipeline_spark.plans.curation import (
+        _FILT_K,
+        _FILT_LABEL,
+        _FILT_NQ,
+    )
+
+    rows = REGISTRY["ann_filtered_topk"].fn(spark, sf_dir).collect()
+    assert all(r.label == _FILT_LABEL for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(_FILT_NQ))
+    for qid, ms in by_q.items():
+        ms.sort(key=lambda r: r.rank)
+        assert [m.rank for m in ms] == list(range(1, _FILT_K + 1))
+        order = [(-m.sim, m.match_id) for m in ms]
+        assert order == sorted(order)
+    # post-filtering an UNFILTERED top-k loses results: among the
+    # global top-k neighbors of query 0, fewer than k carry the
+    # label (if this ever equalizes, the dataset stopped exercising
+    # the distinction — loosen deliberately, don't delete)
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.plans.queries import T
+
+    emb = T(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    global_topk = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            "label",
+            sim.cosine(F.col("embedding"), F.col("qvec")).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(_FILT_K)
+        .collect()
+    )
+    n_label_in_global = sum(1 for r in global_topk if r.label == _FILT_LABEL)
+    assert n_label_in_global < _FILT_K
+    plan = physical_plan(spark, sf_dir, "ann_filtered_topk")
+    assert "PushedFilters: [" in plan and "EqualTo(label," in plan
