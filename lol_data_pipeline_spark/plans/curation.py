@@ -739,3 +739,101 @@ def ann_filtered_topk(spark, sf_dir):
         .filter(F.col("rank") <= _FILT_K)
         .select("query_id", "match_id", "label", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# The SCALE path of filtered search: IVF cell probe with the
+# predicate applied INSIDE the probed cell, exact rescore. The index
+# geometry is built on the FULL corpus (an index is built once;
+# filters vary per query), which is precisely why filtered ANN loses
+# recall — a cell may hold few rows matching the predicate. The
+# exact twin (ann_filtered_topk) is this entry's ground truth.
+# ---------------------------------------------------------------------------
+
+
+def _sql_filtered_ivf() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS centvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC,
+                        cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cell_id AS qcell
+      FROM cells WHERE vec_id < {_FILT_NQ}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id, e.label,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM q
+      JOIN cells c ON c.cell_id = q.qcell AND c.vec_id <> q.query_id
+      JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = {_FILT_LABEL}
+    ),
+    ranked AS (
+      SELECT query_id, match_id, label, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, match_id, label, sim, rank
+    FROM ranked WHERE rank <= {_FILT_K}
+    """
+
+
+@query("ann_filtered_ivf_topk", sql=_sql_filtered_ivf())
+def ann_filtered_ivf_topk(spark, sf_dir):
+    """Filtered ANN, scale path: probe only the query's IVF cell,
+    keep candidates matching the metadata predicate (label = 3),
+    exact-rescore, top-{10}. The index is built on the FULL corpus
+    — filters vary per query, the index doesn't — so a query whose
+    cell is poor in the filtered label returns FEWER than k rows:
+    the textbook filtered-ANN recall loss, measured against
+    ann_filtered_topk (the exact pre-filter twin) in the tests.
+
+    At 100 TB this is the strategy that works: cell probe bounds
+    the scan (~n_centroids x reduction), the predicate prunes within
+    the probed cell, and the exact rescore runs on the bounded
+    remainder. The production escalation (probe more cells until k
+    filtered matches accumulate) changes only the cell list, not
+    this plan shape."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    cells = sim.assign_ivf_cells(emb, centroids)
+    q = cells.filter(F.col("vec_id") < _FILT_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = cells.join(
+        emb.filter(F.col("label") == _FILT_LABEL).select("vec_id", "label"),
+        "vec_id",
+    )
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        "label",
+        F.round(sim.cosine(F.col("qvec"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _FILT_K)
+        .select("query_id", "match_id", "label", "sim", "rank")
+    )

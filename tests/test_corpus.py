@@ -428,3 +428,38 @@ def test_filtered_topk_prefilter_semantics(spark, sf_dir):
     assert n_label_in_global < _FILT_K
     plan = physical_plan(spark, sf_dir, "ann_filtered_topk")
     assert "PushedFilters: [" in plan and "EqualTo(label," in plan
+
+
+def test_filtered_ivf_recall_vs_exact_twin(spark, sf_dir):
+    """The IVF-filtered results must be a per-query SUBSET semantics
+    check against the exact pre-filter twin: same predicate, ranks
+    valid, at most k rows per query (a label-poor cell legitimately
+    returns fewer — the filtered-ANN recall loss), and every
+    returned match must also appear in the exact twin's candidate
+    universe (label matches only). Recall vs the exact top-k is
+    reported and must be positive."""
+    from lol_data_pipeline_spark.plans.curation import (
+        _FILT_K,
+        _FILT_LABEL,
+        _FILT_NQ,
+    )
+
+    ivf = REGISTRY["ann_filtered_ivf_topk"].fn(spark, sf_dir).collect()
+    exact = REGISTRY["ann_filtered_topk"].fn(spark, sf_dir).collect()
+    assert all(r.label == _FILT_LABEL for r in ivf)
+    by_q: dict = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= set(range(_FILT_NQ))
+    hits = total = 0
+    exact_by_q: dict = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, set()).add(r.match_id)
+    for qid, ms in by_q.items():
+        ms.sort(key=lambda r: r.rank)
+        assert [m.rank for m in ms] == list(range(1, len(ms) + 1))
+        assert len(ms) <= _FILT_K
+        got = {m.match_id for m in ms}
+        hits += len(got & exact_by_q.get(qid, set()))
+        total += len(exact_by_q.get(qid, set()))
+    assert total > 0 and hits > 0  # recall is positive, not vacuous

@@ -54,6 +54,7 @@ CROSS_OK = {
     "ann_pq_topk",
     "dedup_embedding_cosine",
     "ann_filtered_topk",  # 5 queries broadcast x pre-filtered corpus
+    "ann_filtered_ivf_topk",  # centroid + query broadcasts; cell-probe joins
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
     "text_search_bm25",  # scalar broadcast (1 row) + k×k rank derivation
