@@ -1,7 +1,9 @@
 """Round-7 additions: sequence-length bucketing economics,
 quality-ranked near-dup representative selection, per-feed
 freshness DQ, duplicate down-weighting, hybrid BM25+embedding RRF
-retrieval, a CSV landing-zone scan, and daily autocorrelation.
+retrieval, a CSV landing-zone scan, daily autocorrelation, and
+filtered vector search (exact pre-filter baseline + IVF scale
+path).
 
 Registered AFTER every other plans module on purpose: the driver's
 correctness gate samples the FIRST 50 registry entries, and the
