@@ -126,6 +126,8 @@ HEADLINE = [
     "dq_freshness",
     "ann_hybrid_rerank",
     "stat_acf_daily",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
