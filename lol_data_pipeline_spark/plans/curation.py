@@ -839,3 +839,53 @@ def ann_filtered_ivf_topk(spark, sf_dir):
         .filter(F.col("rank") <= _FILT_K)
         .select("query_id", "match_id", "label", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of dq_freshness: the same per-feed freshness report
+# produced from MAX-MERGE GroupState accumulated across a
+# four-micro-batch replay. Max-merge is the state shape monitoring
+# needs (high-water marks) and is not exercised by any existing
+# multibatch twin (totals = sum-merge, dedup = set-membership,
+# topk = bounded list). A batch lost at any trigger surfaces as a
+# short count or a stale high-water mark against the batch oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_freshness_multibatch",
+    sql=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(max(ts)) AS max_ts_us,
+           CAST((epoch_us(TIMESTAMP '{_FRESH_CUTOFF}') - epoch_us(max(ts)))
+                // 60000000 AS BIGINT) AS lag_min,
+           ((epoch_us(TIMESTAMP '{_FRESH_CUTOFF}') - epoch_us(max(ts)))
+                // 60000000) >= {_FRESH_STALE_MIN} AS stale
+    FROM events GROUP BY 1
+    """,
+)
+def stream_freshness_multibatch(spark, sf_dir):
+    """In-stream per-feed freshness: count + max event time held as
+    per-feed GroupState across a four-micro-batch ordered replay
+    (streaming/stateful.py feed_freshness_multibatch), then the same
+    lag/stale derivation as the batch dq_freshness entry. The final
+    snapshot must equal the batch aggregate: state lost at a trigger
+    boundary yields a short count or a stale high-water mark.
+    Max-merge state is constant-size per feed (two BIGINTs), bounded
+    by the event-type vocabulary at any volume."""
+    from lol_data_pipeline_spark.streaming.stateful import (
+        feed_freshness_multibatch,
+    )
+
+    snap = feed_freshness_multibatch(spark, sf_dir)
+    lag_min = F.expr(
+        f"(unix_micros(timestamp'{_FRESH_CUTOFF}') - max_ts_us) DIV 60000000"
+    )
+    return snap.select(
+        "event_type",
+        "n_events",
+        "max_ts_us",
+        lag_min.cast("long").alias("lag_min"),
+        (lag_min >= _FRESH_STALE_MIN).alias("stale"),
+    )

@@ -459,3 +459,69 @@ def alert_transitions_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_multibatch(
         spark, time_slices(ev, "ts", 4), build, "update", f"alert_mb:{sf_dir}"
     )
+
+
+FRESH_MB_OUTPUT_DDL = "event_type string, n_events bigint, max_ts_us bigint"
+FRESH_MB_STATE_DDL = "n bigint, mx bigint"
+
+
+def _update_feed_freshness(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-feed (count, max-event-time) state: count-merge plus
+    MAX-merge, both associative integers, so the running snapshot is
+    bit-identical under any batch split. Max-merge is the state
+    shape monitoring needs (watermarks, freshness, high-water marks)
+    and is NOT exercised by the sum-shaped totals twin: a lost batch
+    shows up as a stale max even when later batches arrive."""
+    n, mx = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            mx = max(mx, int(pdf["ts_us"].astype("int64").max()))
+    state.update((n, mx))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "max_ts_us": [mx],
+        }
+    )
+
+
+def feed_freshness_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness accumulated across a four-micro-batch
+    ordered replay: the streaming twin of the batch dq_freshness
+    entry. The final per-feed snapshot (count + max event time) must
+    equal the batch aggregate — state lost at any trigger surfaces
+    as either a short count or a stale high-water mark. The memory
+    sink keeps one snapshot per feed per batch; n_events is strictly
+    increasing, so max_by(n_events) selects the final state."""
+    import pyspark.sql.functions as F
+
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.streaming.windows import (
+        replay_multibatch,
+        time_slices,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def build(stream):
+        return stream.groupBy("event_type").applyInPandasWithState(
+            _update_feed_freshness,
+            outputStructType=FRESH_MB_OUTPUT_DDL,
+            stateStructType=FRESH_MB_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    res = replay_multibatch(
+        spark, time_slices(ev, "ts", 4), build, "update", f"fresh_mb:{sf_dir}"
+    )
+    return res.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("max_ts_us", "n_events").alias("max_ts_us"),
+    )

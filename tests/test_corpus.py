@@ -463,3 +463,21 @@ def test_filtered_ivf_recall_vs_exact_twin(spark, sf_dir):
         hits += len(got & exact_by_q.get(qid, set()))
         total += len(exact_by_q.get(qid, set()))
     assert total > 0 and hits > 0  # recall is positive, not vacuous
+
+
+def test_stream_freshness_matches_batch_twin(spark, sf_dir):
+    """The streaming max-merge snapshot must reproduce the batch
+    dq_freshness report exactly: same feeds, same counts, same
+    high-water marks, same lag/stale derivation — state lost at any
+    trigger would break count or max."""
+    batch = {r.event_type: r for r in REGISTRY["dq_freshness"].fn(spark, sf_dir).collect()}
+    stream = {
+        r.event_type: r
+        for r in REGISTRY["stream_freshness_multibatch"].fn(spark, sf_dir).collect()
+    }
+    assert set(stream) == set(batch)
+    for et, s in stream.items():
+        b = batch[et]
+        assert s.n_events == b.n_events, et
+        assert s.lag_min == b.lag_min, et
+        assert s.stale == b.stale, et
