@@ -53,9 +53,9 @@ _DRIVER_SAMPLE_PRIORITY = [
 # CORRECTNESS_r*.json records, so the rotation is self-updating: once a
 # round's sample lands and its entries are recorded green, they move to the
 # back automatically and the next never-checked block rises into the
-# sampled window without a manual reorder. (mm_extract_features,
-# mm_frame_sample, ref_ingest_pipeline are deliberately NOT here: r1
-# sampled them before they had oracles — err=no_oracle, never green.)
+# sampled window without a manual reorder. This set is frozen at its
+# round-5 state on purpose — it only matters when NO CORRECTNESS_r*.json
+# is readable, and extending it by hand would just drift from the files.
 _DRIVER_CHECKED_THROUGH_R5 = {
     "ann_cosine_topk", "ann_cosine_topk_arrow", "ann_ivf_topk", "ann_lsh_topk",
     "ann_sq_topk", "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",

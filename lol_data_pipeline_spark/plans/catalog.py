@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from lol_data_pipeline_spark.functions.scalar import snap
 from lol_data_pipeline_spark.plans.queries import T, query
 
 
@@ -96,31 +97,40 @@ def rel_scalar_datetime_catalog(spark, sf_dir):
     "rel_scalar_math_catalog",
     sql="""
     SELECT l_orderkey, l_linenumber,
-           round(abs(l_discount - 0.05), 6) AS abs_disc_delta,
+           CAST(floor(abs(l_discount - 0.05) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS abs_disc_delta,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-           round(sqrt(l_quantity), 6) AS qty_sqrt,
-           round(ln(l_extendedprice + 1), 6) AS price_ln,
-           round(pow(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(floor(sqrt(l_quantity) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS qty_sqrt,
+           CAST(floor(ln(l_extendedprice + 1) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS price_ln,
+           CAST(floor(pow(1 + l_tax, 2) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS tax_sq,
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
            greatest(l_discount, l_tax) AS max_rate,
            least(l_discount, l_tax) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
 def rel_scalar_math_catalog(spark, sf_dir):
-    """Math function catalog over lineitem numerics."""
+    """Math function catalog over lineitem numerics.
+
+    Parity notes (r08, fixing the r07 driver hash-mismatch):
+    - ``disc_sign``: Spark ``signum`` returns DOUBLE, DuckDB
+      ``sign()`` returns TINYINT — values were cell-identical at
+      sf0.01 but the driver hashes ``1.0`` and ``1`` differently, so
+      the oracle casts to DOUBLE.
+    - the four multi-decimal columns use the tie-safe ``snap()``
+      idiom (``floor(x·10⁶+0.5)/10⁶``) instead of ``round(x, 6)``:
+      the .5-tie/half-even divergence the registry purged in r5."""
     li = T(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc_delta"),
+        snap(F.abs(F.col("l_discount") - 0.05)).alias("abs_disc_delta"),
         F.ceil("l_quantity").cast("long").alias("qty_ceil"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        snap(F.sqrt("l_quantity")).alias("qty_sqrt"),
+        snap(F.log(F.col("l_extendedprice") + 1)).alias("price_ln"),
+        snap(F.pow(F.lit(1) + F.col("l_tax"), 2)).alias("tax_sq"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),

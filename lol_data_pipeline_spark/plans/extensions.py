@@ -1812,9 +1812,10 @@ _CENT_DIM = 64
       GROUP BY 1, 2
     )
     SELECT CAST(label AS INTEGER) AS label,
-           CAST(max(n) AS BIGINT) AS n,
-           list(CAST(floor((CAST(s AS DOUBLE) / n / CAST({_CENT_SCALE} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS centroid
-    FROM comp GROUP BY label
+           CAST(n AS BIGINT) AS n,
+           CAST(pos - 1 AS BIGINT) AS pos,
+           CAST(floor((CAST(s AS DOUBLE) / n / CAST({_CENT_SCALE} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS value
+    FROM comp
     """,
 )
 def emb_label_centroids(spark, sf_dir):
@@ -1827,14 +1828,22 @@ def emb_label_centroids(spark, sf_dir):
     bit-identically on ANY partitioning or engine, where a double
     sum's last ulp depends on reduction order. ONE hash aggregate
     with 64 sum states per label (state is O(labels × dim), never
-    O(rows)); the oracle unnests positionally and re-lists, proving
-    the packed column-per-dimension layout equals the semantic
-    per-component mean."""
+    O(rows)).
+
+    Registry output is LONG format — ``(label, n, pos, value)`` rows
+    via posexplode — because the driver's comparator canonicalizes
+    results in pandas with a sort over every column, and list cells
+    are unhashable there (the r07 ``TypeError: unhashable type:
+    'list'`` red). The packed-array form stays available as the
+    ``label_centroids`` operator; this entry proves its values."""
     from lol_data_pipeline_spark.operators.clustering import label_centroids
 
-    return label_centroids(
+    cent = label_centroids(
         T(spark, sf_dir, "embeddings"), dim=_CENT_DIM, scale=_CENT_SCALE
     )
+    return cent.select(
+        "label", "n", F.posexplode("centroid").alias("pos", "value")
+    ).select("label", "n", F.col("pos").cast("long").alias("pos"), "value")
 
 
 # =========================================================================
@@ -1901,7 +1910,7 @@ _HV_DIM = 16
     WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
     h AS (SELECT doc_id, {SQL_MD5_LONG.format(expr='t')} % {_HV_DIM} AS b FROM tok)
     SELECT doc_id,
-           [{", ".join(f"CAST(sum(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS BIGINT)" for d in range(_HV_DIM))}] AS vec,
+           {", ".join(f"CAST(sum(CASE WHEN b = {d} THEN 1 ELSE 0 END) AS BIGINT) AS v{d}" for d in range(_HV_DIM))},
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM h GROUP BY doc_id
     """,
@@ -1918,10 +1927,15 @@ def text_hashing_vectorizer(spark, sf_dir):
 
     Plan: ONE explode + ONE hash-aggregate with {dim} conditional
     sums (state O(dim) per doc, partial-agg before the only
-    shuffle); the vector assembles in the same aggregate's
-    projection. Exact integer counts — bit-identical on any
+    shuffle). Exact integer counts — bit-identical on any
     partitioning and engine by construction. Buckets use the same
-    md5_long the dedup family shares with its oracles."""
+    md5_long the dedup family shares with its oracles.
+
+    Output is WIDE scalar columns ``v0..v15`` rather than one array
+    column: the driver's pandas canonicalizer cannot sort list cells
+    (the r07 ``unhashable type: 'list'`` red), and for a fixed,
+    compile-time dim the column-per-bucket layout is also what the
+    downstream feature store wants (prunable, stats-able)."""
     from lol_data_pipeline_spark.functions.scalar import md5_long
 
     d = T(spark, sf_dir, "documents")
@@ -1937,8 +1951,9 @@ def text_hashing_vectorizer(spark, sf_dir):
             for i in range(_HV_DIM)
         ],
     )
-    vec = ", ".join(f"v{i}" for i in range(_HV_DIM))
-    return sums.select("doc_id", F.expr(f"array({vec})").alias("vec"), "n_tokens")
+    return sums.select(
+        "doc_id", *[f"v{i}" for i in range(_HV_DIM)], "n_tokens"
+    )
 
 
 _ULM_VOCAB_K = 512

@@ -257,17 +257,25 @@ def test_label_centroids_match_numpy_mean(spark, sf_dir):
 
     from lol_data_pipeline_spark.plans import REGISTRY
 
-    out = {r["label"]: r for r in REGISTRY["emb_label_centroids"].fn(spark, sf_dir).collect()}
+    # registry entry emits LONG format (label, n, pos, value) — see
+    # the r08 comparator fix; rebuild per-label vectors from it
+    rows = REGISTRY["emb_label_centroids"].fn(spark, sf_dir).collect()
+    out_vec, out_n = {}, {}
+    for r in rows:
+        out_vec.setdefault(r["label"], {})[r["pos"]] = r["value"]
+        out_n[r["label"]] = r["n"]
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     by_label = {}
     for r in raw:
         by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
     for label, vecs in by_label.items():
-        got = np.array(out[label]["centroid"])
+        comps = out_vec[label]
+        got = np.array([comps[p] for p in sorted(comps)])
         want = np.mean(vecs, axis=0)
+        assert len(got) == len(want)
         # fixed-point floor loses < 2^-20 per element before averaging
         assert np.allclose(got, want, atol=2e-6)
-        assert out[label]["n"] == len(vecs)
+        assert out_n[label] == len(vecs)
 
 
 # ---------------------------------------------------------------- stat_mad_outliers

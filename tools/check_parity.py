@@ -44,13 +44,95 @@ BAD_ORACLE_TYPES = (
 
 def audit_oracle_types(con, sql):
     """Return [(col, type)] oracle output columns whose DuckDB type the
-    driver's comparator renders differently from Spark's (drift-prone)."""
+    driver's comparator renders differently from Spark's (drift-prone),
+    PLUS any nested (LIST/STRUCT/MAP) output column: the driver
+    canonicalizes results in pandas with a sort over every column, and
+    list cells are unhashable there — round 7 lost 2 rows to a raw
+    ``TypeError: unhashable type: 'list'``. Registry entries must
+    explode or stringify nested values before returning."""
     res = con.execute(f"DESCRIBE {sql}")
     flagged = []
     for row in res.fetchall():
         col, typ = row[0], row[1]
-        if any(b in typ.upper() for b in BAD_ORACLE_TYPES):
+        u = typ.upper()
+        if any(b in u for b in BAD_ORACLE_TYPES):
             flagged.append((col, typ))
+        elif "[]" in u or "STRUCT(" in u or "MAP(" in u or u.endswith("LIST"):
+            flagged.append((col, typ + " [nested: unhashable in driver canon]"))
+    return flagged
+
+
+# --- Spark-vs-DuckDB output dtype agreement (r07 disc_sign class) ---
+#
+# The driver hashes canonicalized pandas values, so a Spark DOUBLE
+# column vs a DuckDB TINYINT oracle column hash-mismatches even when
+# every value compares equal (1.0 vs 1). norm()'s numeric coercion in
+# compare() below is structurally blind to it; this audit is not.
+# Integer widths collapse (numpy int8 and int64 stringify alike);
+# float32 vs float64 is flagged (shortest-repr strings differ).
+
+_DUCK_CATEGORY = (
+    ("TINYINT", "int"), ("SMALLINT", "int"), ("INTEGER", "int"),
+    ("BIGINT", "int"), ("HUGEINT", "int"),
+    ("DOUBLE", "float64"), ("FLOAT", "float32"), ("REAL", "float32"),
+    ("DECIMAL", "decimal"), ("VARCHAR", "str"), ("BOOLEAN", "bool"),
+    ("DATE", "date"), ("TIMESTAMP", "timestamp"), ("BLOB", "binary"),
+)
+
+
+def _duck_category(typ: str) -> str:
+    u = typ.upper()
+    if "[]" in u or "STRUCT(" in u or "MAP(" in u:
+        return "nested"
+    for sub, cat in _DUCK_CATEGORY:
+        if sub in u:
+            return cat
+    return f"other:{u}"
+
+
+def _spark_category(dt_obj) -> str:
+    from pyspark.sql import types as ST
+
+    if isinstance(dt_obj, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+        return "int"
+    if isinstance(dt_obj, ST.DoubleType):
+        return "float64"
+    if isinstance(dt_obj, ST.FloatType):
+        return "float32"
+    if isinstance(dt_obj, ST.DecimalType):
+        return "decimal"
+    if isinstance(dt_obj, ST.StringType):
+        return "str"
+    if isinstance(dt_obj, ST.BooleanType):
+        return "bool"
+    if isinstance(dt_obj, ST.DateType):
+        return "date"
+    if isinstance(dt_obj, (ST.TimestampType, ST.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt_obj, ST.BinaryType):
+        return "binary"
+    if isinstance(dt_obj, (ST.ArrayType, ST.StructType, ST.MapType)):
+        return "nested"
+    return f"other:{dt_obj.simpleString()}"
+
+
+def audit_dtype_agreement(spark_schema, con, sql):
+    """Return [(col, spark_cat, duck_type)] where the Spark output
+    dtype and the DuckDB oracle output type land in different hash
+    categories (name-matched; column-name mismatches are compare()'s
+    job, not this audit's)."""
+    duck = {
+        row[0].lower(): row[1]
+        for row in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    flagged = []
+    for f in spark_schema.fields:
+        dtyp = duck.get(f.name.lower())
+        if dtyp is None:
+            continue
+        scat, dcat = _spark_category(f.dataType), _duck_category(dtyp)
+        if scat != dcat:
+            flagged.append((f.name, scat, dtyp))
     return flagged
 
 
@@ -149,6 +231,9 @@ def main():
         issues = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
         if type_flags:
             issues.append(f"ORACLE-TYPE {type_flags}")
+        dtype_flags = audit_dtype_agreement(sdf.schema, con, spec.sql)
+        if dtype_flags:
+            issues.append(f"DTYPE-DISAGREE {dtype_flags}")
         if issues:
             print(f"✗ {name}: " + " | ".join(issues))
             n_fail += 1

@@ -9,19 +9,23 @@ round has no external evidence for its current code, so the rotation
 only honors a green record whose stamped fingerprint (plan-function
 source + oracle SQL at record time) still matches.
 
+Fingerprints are computed FROM THE GIT COMMIT THAT INTRODUCED THE
+RECORD, not from the working tree: a temporary detached `git worktree`
+is checked out at that commit and entry fingerprints are evaluated
+there in a subprocess. This means running the tool late — after code
+edits, even with a dirty tree — can never retroactively certify
+unverified code as green-and-unchanged (the r07-advice hole: the old
+implementation hashed the CURRENT tree, so a post-edit run silently
+defeated the freshness rotation it implements).
+
 Usage:
     python tools/update_fingerprints.py            # stamp greens of the
-                                                   # NEWEST record with
-                                                   # current fingerprints
+                                                   # NEWEST record, at the
+                                                   # record's own commit
     python tools/update_fingerprints.py --all      # stamp every green
-                                                   # entry (only correct
-                                                   # right after a round's
-                                                   # record commit, before
-                                                   # any code edits)
-
-Run the default mode at round start, immediately after the driver's
-"round N: verdict/..." commit and BEFORE touching any code, so the
-stamps describe exactly the tree the driver verified.
+                                                   # entry at the commit of
+                                                   # the newest record in
+                                                   # which it was green
 """
 
 from __future__ import annotations
@@ -29,17 +33,22 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from lol_data_pipeline_spark.plans import (  # noqa: E402
-    REGISTRY,
-    entry_fingerprint,
-)
-
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STAMP_PATH = os.path.join(ROOT, "tools", "green_fingerprints.json")
+
+_FP_SCRIPT = """\
+import json, sys
+sys.path.insert(0, {root!r})
+from lol_data_pipeline_spark.plans import REGISTRY, entry_fingerprint
+names = json.loads(sys.stdin.read())
+print(json.dumps({{n: entry_fingerprint(REGISTRY[n]) for n in names if n in REGISTRY}}))
+"""
 
 
 def _green_in(path: str) -> set[str]:
@@ -61,17 +70,84 @@ def _green_in(path: str) -> set[str]:
     }
 
 
+def _record_commit(path: str) -> str | None:
+    """Newest commit touching the record file — the tree state the
+    driver verified (records are committed together with the code)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", os.path.relpath(path, ROOT)],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        return out or None
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def _fingerprints_at_commit(commit: str, names: list[str]) -> dict[str, str]:
+    """Check the record's commit out into a throwaway worktree and
+    compute entry fingerprints THERE. CORRECTNESS/stamp files in the
+    worktree are whatever that commit held — irrelevant, since only
+    entry_fingerprint (function source + oracle SQL) is evaluated."""
+    with tempfile.TemporaryDirectory(prefix="fp_worktree_") as tmp:
+        wt = os.path.join(tmp, "tree")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=ROOT,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _FP_SCRIPT.format(root=wt)],
+                input=json.dumps(names),
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=wt,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=ROOT,
+                capture_output=True,
+            )
+
+
 def main(argv: list[str]) -> int:
     records = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
     if not records:
         print("no CORRECTNESS_r*.json records found; nothing to stamp")
         return 1
     if "--all" in argv:
-        to_stamp = set().union(*(_green_in(p) for p in records))
+        # newest record in which each entry is green wins
+        newest_green: dict[str, str] = {}
+        for p in records:  # sorted ascending — later overwrites earlier
+            for n in _green_in(p):
+                newest_green[n] = p
         scope = f"all {len(records)} records"
     else:
-        to_stamp = _green_in(records[-1])
+        newest_green = {n: records[-1] for n in _green_in(records[-1])}
         scope = os.path.basename(records[-1])
+
+    # group names by the record commit they were verified at
+    by_commit: dict[str, list[str]] = {}
+    unresolved: list[str] = []
+    for n, p in sorted(newest_green.items()):
+        c = _record_commit(p)
+        if c is None:
+            unresolved.append(n)
+        else:
+            by_commit.setdefault(c, []).append(n)
+    if unresolved:
+        print(
+            f"REFUSING to stamp {len(unresolved)} entries whose record "
+            f"commit can't be resolved (no git?): {unresolved[:5]}..."
+        )
 
     try:
         with open(STAMP_PATH) as f:
@@ -80,19 +156,23 @@ def main(argv: list[str]) -> int:
         stamps = {}
 
     updated = 0
-    for name in sorted(to_stamp):
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        fp = entry_fingerprint(spec)
-        if stamps.get(name) != fp:
-            stamps[name] = fp
-            updated += 1
+    for commit, names in by_commit.items():
+        fps = _fingerprints_at_commit(commit, names)
+        for name in names:
+            fp = fps.get(name)
+            if fp is None:
+                # entry didn't exist at the record commit (renamed?) —
+                # leave unstamped; rotation treats it as fresh
+                print(f"  skip {name}: not importable at {commit[:10]}")
+                continue
+            if stamps.get(name) != fp:
+                stamps[name] = fp
+                updated += 1
     with open(STAMP_PATH, "w") as f:
         json.dump(dict(sorted(stamps.items())), f, indent=1)
         f.write("\n")
     print(
-        f"stamped {updated} updated / {len(to_stamp)} green ({scope}); "
+        f"stamped {updated} updated / {len(newest_green)} green ({scope}); "
         f"{len(stamps)} total stamps -> {STAMP_PATH}"
     )
     return 0
