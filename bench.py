@@ -134,6 +134,8 @@ HEADLINE = [
     "stat_acf_daily",
     "ann_filtered_topk",
     "ann_filtered_ivf_topk",
+    # r8 additions
+    "ann_filtered_ivf_multiprobe",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

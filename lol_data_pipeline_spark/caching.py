@@ -50,9 +50,23 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
 
     Two tiers:
     - a checkpoint dir is set (``sc.setCheckpointDir``): RELIABLE
-      ``checkpoint()`` — blocks live on the fault-tolerant store, so
-      an executor loss mid-iteration recomputes nothing from scratch.
-      This is the 100 TB-cluster posture.
+      ``checkpoint(eager=True)`` over a persisted plan. Eager matters:
+      a lazy checkpoint materializes nothing until the final action,
+      and by default (``spark.checkpoint.checkpointAllMarkedAncestors``
+      = false) only the LAST marked RDD would then be written — so a
+      mid-iteration executor loss would recompute from scratch, the
+      exact failure this branch exists to bound. The persist-first
+      step makes the eager write read cached blocks instead of
+      recomputing the round (RDD checkpoint writes happen in a
+      post-job pass that re-evaluates unpersisted partitions).
+      Block retention: the persisted pre-checkpoint blocks are
+      TRACKED and freed at the next ``release_caches()`` (registered
+      entries call it on entry; iterative kernels release per round)
+      — after that, only the checkpoint-store files remain, and those
+      live until the checkpoint dir itself is cleaned (Spark removes
+      them on context shutdown when ``spark.cleaner.referenceTracking
+      .cleanCheckpoints`` is set; otherwise the dir is the operator's
+      to manage, as on any shared cluster).
     - no checkpoint dir (default local session): ``localCheckpoint()``
       — executor-local MEMORY_AND_DISK blocks; fast, but an executor
       loss kills the lineage. The freshly persisted RDD handle is
@@ -61,7 +75,7 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=False)
+        return tracked_persist(df).checkpoint(eager=True)
     jsc = sc._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=False)

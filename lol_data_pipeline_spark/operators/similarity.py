@@ -115,6 +115,44 @@ def assign_ivf_cells(
     )
 
 
+def probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cell selection: each query's ``nprobe`` NEAREST
+    centroids (max rounded cosine, centroid-id tiebreak — the same
+    ordering assign_ivf_cells uses, so probe 1 is always the cell the
+    single-probe strategy scans). Returns one row per (query, probed
+    cell): ``(id_col, vec_col, cell_id, probe_rank)``.
+
+    This is the production answer to filtered-ANN recall loss: an IVF
+    index is built once on the full corpus while predicates vary per
+    query, so a probed cell can be poor in the filtered label —
+    probing the next-nearest cells recovers candidates at ~nprobe x
+    the single-cell scan cost, still bounded far below the full
+    corpus. Queries are small by contract (they broadcast); the
+    per-query window here ranks C centroid rows per query, never
+    corpus rows."""
+    cent = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centvec")
+    )
+    scored = widen(queries).crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell_id"),
+        F.round(cosine(F.col(vec_col), F.col("centvec")), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, vec_col, "cell_id", "probe_rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     n_centroids: int = 8,

@@ -8,7 +8,8 @@ import lol_data_pipeline_spark.plans.tpch  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.sketches  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.corpus  # noqa: E402,F401
 import lol_data_pipeline_spark.plans.behavior  # noqa: E402,F401
-import lol_data_pipeline_spark.plans.curation  # noqa: E402,F401  (must stay LAST: its fresh entries queue behind the never-driver-verified backlog)
+import lol_data_pipeline_spark.plans.curation  # noqa: E402,F401  (late on purpose: fresh entries queue behind the never-driver-verified backlog)
+import lol_data_pipeline_spark.plans.round8  # noqa: E402,F401  (must stay LAST: same window discipline)
 
 # ---------------------------------------------------------------------------
 # Driver-sample rotation. The external correctness gate samples the FIRST 50
@@ -96,7 +97,16 @@ def entry_fingerprint(spec) -> str:
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
-        src = repr(spec.fn)
+        # source unavailable (zipapp / bytecode-only import): fall back
+        # to something STABLE across processes. repr(fn) embeds the
+        # memory address — every stamped entry would spuriously
+        # mismatch per process and rotate the whole green backlog back
+        # into the 50-entry sampled window, displacing never-verified
+        # entries (the r07-advice finding).
+        code = getattr(spec.fn, "__code__", None)
+        src = getattr(spec.fn, "__qualname__", str(spec.fn)) + "\0" + (
+            code.co_code.hex() if code is not None else ""
+        )
     return hashlib.md5(
         (src + "\0" + (spec.sql or "")).encode()
     ).hexdigest()

@@ -482,12 +482,19 @@ def ann_hybrid_rerank(spark, sf_dir):
 @query(
     "ref_csv_scan",
     sql="""
+    -- the WHERE mirrors the entry's required-fields quarantine policy
+    -- so both sides share it: today's generator emits no NULLs (the
+    -- filter is a no-op), but a future generated NULL would otherwise
+    -- be counted here while the CSV side quarantines it — a silent
+    -- parity break in data, not code (r07-advice finding)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            round(sum(value), 2) AS sum_value,
            max(CAST(ts AS DATE)) AS last_day
     FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL AND value IS NOT NULL
     GROUP BY 1
     """,
 )

@@ -89,10 +89,15 @@ def test_truncate_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path)
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
         cc = connected_components(_cc_pairs(spark))
+        # EAGER: each round's blocks must land on the fault-tolerant
+        # store DURING iteration — before the caller runs any action —
+        # or an executor loss mid-iteration recomputes from scratch
+        # (the r07-advice hole: lazy checkpoint materialized nothing
+        # until the final action, and then only the last marked RDD)
+        files = glob.glob(str(tmp_path / "ckpt" / "**" / "*"), recursive=True)
+        assert any(os.path.isfile(f) for f in files)  # written eagerly
         got = sorted(tuple(r) for r in cc.collect())
         assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7)]
-        files = glob.glob(str(tmp_path / "ckpt" / "**" / "*"), recursive=True)
-        assert any(os.path.isfile(f) for f in files)  # checkpoints written
     finally:
         # no public unset API; directly clear so later tests take the
         # localCheckpoint branch again

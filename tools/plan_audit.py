@@ -55,6 +55,8 @@ CROSS_OK = {
     "dedup_embedding_cosine",
     "ann_filtered_topk",  # 5 queries broadcast x pre-filtered corpus
     "ann_filtered_ivf_topk",  # centroid + query broadcasts; cell-probe joins
+    "ann_filtered_ivf_multiprobe",  # same geometry: 8-row centroid
+    # broadcast for assignment + Q x nprobe probe-row broadcast join
     "rel_q22_idle_wealthy_customers",  # scalar-subquery broadcast (1 row)
     "rel_q11_important_parts",  # global-total scalar broadcast (1 row)
     "text_search_bm25",  # scalar broadcast (1 row) + k×k rank derivation
