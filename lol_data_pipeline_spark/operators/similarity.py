@@ -490,53 +490,47 @@ def _arr_sql(vals: list[float]) -> str:
     return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
 
-def pq_cosine_topk(
+def pq_encode(
     corpus: DataFrame,
-    queries: DataFrame,
     seeds: list[list[float]],
     m: int = 8,
     dsub: int = 8,
-    k: int = 5,
-    refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: list[str] | None = None,
+    id_alias: str = "match_id",
+    vec_alias: str = "cvec",
 ) -> DataFrame:
-    """Product-quantization ANN: encode each corpus vector as m
-    subspace codes (argmin-distance centroid per dsub-dim slice),
-    rank candidates by the inner product against the RECONSTRUCTED
-    vector (⇔ the classic ADC lookup-table sum, since
-    ⟨q, x̂⟩ = Σ_s ⟨q_s, c_{s,code_s}⟩), then exact-cosine rescore the
-    top refine·k.
-
-    The scale story: PQ codes are m bytes per vector (m·log₂|C|/8)
-    — a 256× compression of a 64-d float32 corpus — so the candidate
-    scan reads codes, not vectors. Encoding here is a PURE PROJECTION
-    against literal centroids (the kmeans broadcast-literal pattern:
-    collected driver-side once, constant size at any corpus scale) —
-    no join, no shuffle; the corpus is scanned, never moved.
+    """PQ index-build stage: encode every vector as m subspace codes
+    (argmin-distance centroid per dsub-dim slice against the literal
+    codebook) and emit the RECONSTRUCTED vector ``xhat`` — the form
+    ADC candidate ranking consumes, since ⟨q, x̂⟩ = Σ_s ⟨q_s,
+    c_{s,code_s}⟩. A pure projection: the codebook rides as literal
+    expressions (constant size at any corpus scale), no join, no
+    shuffle — the corpus is scanned, never moved. Extra columns to
+    carry through (e.g. an IVF cell id) pass via ``keep``.
     Candidate ties and distances are bit-deterministic (struct
     least() with (d2, j) lexicographic tie-break; all folds share
-    the sequential order DuckDB's list_inner_product uses), so the
-    two-stage oracle reproduces the exact candidate set."""
+    the sequential order DuckDB's list_inner_product uses)."""
     ncent = len(seeds)
     subc = [
         [seeds[j][s * dsub : (s + 1) * dsub] for j in range(ncent)] for s in range(m)
     ]
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    keep = keep or []
     xdouble = f"CAST({vec_col} AS array<double>)"
     sliced = widen(corpus).select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cvec"),
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        *keep,
         *[
             F.expr(f"slice({xdouble}, {s * dsub + 1}, {dsub})").alias(f"xs{s}")
             for s in range(m)
         ],
     )
     with_xx = sliced.select(
-        "match_id",
-        "cvec",
+        id_alias,
+        vec_alias,
+        *keep,
         *[f"xs{s}" for s in range(m)],
         *[
             F.expr(_DOT_SQL.format(a=f"xs{s}", b=f"xs{s}")).alias(f"xx{s}")
@@ -557,12 +551,46 @@ def pq_cosine_topk(
             for j in range(ncent)
         )
         sel_cols.append(F.expr(f"least({cands})").alias(f"sel{s}"))
-    enc = with_xx.select("match_id", "cvec", *sel_cols)
-    xhat = enc.select(
-        "match_id",
-        "cvec",
+    enc = with_xx.select(id_alias, vec_alias, *keep, *sel_cols)
+    return enc.select(
+        id_alias,
+        vec_alias,
+        *keep,
         F.expr("concat(" + ", ".join(f"sel{s}.c" for s in range(m)) + ")").alias("xhat"),
     )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    seeds: list[list[float]],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: encode each corpus vector as m
+    subspace codes (argmin-distance centroid per dsub-dim slice),
+    rank candidates by the inner product against the RECONSTRUCTED
+    vector (⇔ the classic ADC lookup-table sum, since
+    ⟨q, x̂⟩ = Σ_s ⟨q_s, c_{s,code_s}⟩), then exact-cosine rescore the
+    top refine·k.
+
+    The scale story: PQ codes are m bytes per vector (m·log₂|C|/8)
+    — a 256× compression of a 64-d float32 corpus — so the candidate
+    scan reads codes, not vectors. Encoding (see :func:`pq_encode`)
+    is a PURE PROJECTION against literal centroids (the kmeans
+    broadcast-literal pattern: collected driver-side once, constant
+    size at any corpus scale) — no join, no shuffle; the corpus is
+    scanned, never moved. Candidate ties and distances are
+    bit-deterministic, so the two-stage oracle reproduces the exact
+    candidate set."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    xhat = pq_encode(corpus, seeds, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
     scored = xhat.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
@@ -589,4 +617,87 @@ def pq_cosine_topk(
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    seeds: list[list[float]],
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the canonical production vector-index composition
+    (coarse inverted lists to bound WHICH vectors are scanned, PQ
+    codes to bound HOW MUCH is read per vector):
+
+    1. every corpus vector is assigned to its nearest coarse
+       centroid (:func:`assign_ivf_cells`) and PQ-encoded against
+       the literal codebook (:func:`pq_encode`) — both pure
+       scan-side stages of the one-off index build, no shuffle of
+       the corpus by value;
+    2. each query probes its ``nprobe`` nearest cells
+       (:func:`probe_cells`) and ranks ONLY those cells' members by
+       the asymmetric distance ⟨q, x̂⟩;
+    3. the top ``refine·k`` per query are exact-cosine rescored from
+       the full-precision vectors, top-k emitted with the probe that
+       found each match.
+
+    Scale: per query the scan touches ~nprobe/C of the corpus, and
+    the candidate stage reads m-byte codes instead of dim·4-byte
+    vectors — the two multiplicative reductions a 100 TB corpus
+    needs stacked, exactly as FAISS's IVFADC does. Queries broadcast
+    (Q × nprobe probe rows); the only data-sized work is the index
+    build, amortized across every query that ever probes it. Each
+    vector lives in exactly one cell so the probed union is
+    duplicate-free by construction."""
+    cells = assign_ivf_cells(corpus, coarse, id_col, vec_col)
+    enc = pq_encode(
+        cells, seeds, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col,
+        keep=["cell_id"],
+    )
+    qprobe = probe_cells(queries, coarse, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("cell_id").alias("pcell"),
+        "probe_rank",
+    )
+    scored = enc.join(
+        F.broadcast(qprobe),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("match_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "match_id",
+        "qvec",
+        "cvec",
+        F.col("probe_rank").cast("long").alias("probe_rank"),
+        F.expr(
+            _DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
+        ).alias("approx"),
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("match_id").asc()
+    )
+    cand = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine * k)
+        .select(
+            "query_id",
+            "match_id",
+            "probe_rank",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "probe_rank", "sim", "rank")
     )
