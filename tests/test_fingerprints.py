@@ -85,19 +85,159 @@ def test_update_fingerprints_refuses_without_record_commit(tmp_path, monkeypatch
     assert stamps == {}  # refused: no retroactive certification
 
 
+_STUB_PLANS = '''\
+import hashlib, inspect
+
+
+class _Spec:
+    def __init__(self, fn, sql):
+        self.fn, self.sql = fn, sql
+
+
+def _e(spark, sf_dir):
+    return {marker!r}
+
+
+REGISTRY = {{"e": _Spec(_e, "SELECT 1 AS x")}}
+
+
+def entry_fingerprint(spec):
+    return hashlib.md5(
+        (inspect.getsource(spec.fn) + "\\0" + (spec.sql or "")).encode()
+    ).hexdigest()
+'''
+
+_GREEN_ROW = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+
+
+def _fixture_repo(tmp_path, marker="S1"):
+    """A tiny git repo with a stub lol_data_pipeline_spark.plans
+    package (one entry 'e') committed at HEAD. Returns its path."""
+    import subprocess
+
+    pkg = tmp_path / "lol_data_pipeline_spark"
+    (pkg / "plans").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "plans" / "__init__.py").write_text(_STUB_PLANS.format(marker=marker))
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-c", "user.email=t@t", "-c", "user.name=t", *args],
+            cwd=tmp_path,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "stub")
+    return tmp_path
+
+
+def _stub_fingerprint(root, marker="S1"):
+    """The fingerprint the stub package computes for entry 'e' with
+    the given source marker (reproduces the stub's own hash)."""
+    import hashlib
+
+    src = _STUB_PLANS.format(marker=marker)
+    fn_src = src[src.index("def _e") : src.index("REGISTRY")].rstrip("\n") + "\n"
+    return hashlib.md5((fn_src + "\0" + "SELECT 1 AS x").encode()).hexdigest()
+
+
 def test_update_fingerprints_stamps_at_record_commit(tmp_path, monkeypatch):
-    """Against the REAL repo: stamping the newest record must
-    reproduce exactly the committed green_fingerprints.json values
-    (those were generated at the record commit), proving the worktree
-    path computes record-time fingerprints, not working-tree ones."""
+    """Record-time, not working-tree: commit the stub with source S1
+    and a tracked green record, then edit the working tree to S2
+    WITHOUT committing — the stamp must be S1's fingerprint (evaluated
+    in a worktree at the record commit), not S2's. This is the
+    anti-retroactive-certification property, proven hermetically (the
+    old version compared against the real repo's committed stamps,
+    which goes stale the moment the driver drops a new record —
+    the r07/r08 gate-failure class)."""
+    import subprocess
+
     import tools.update_fingerprints as uf
 
+    root = _fixture_repo(tmp_path, marker="S1")
+    (root / "CORRECTNESS_r01.json").write_text(json.dumps({"e": _GREEN_ROW}))
+    subprocess.run(
+        ["git", "add", "CORRECTNESS_r01.json"], cwd=root, capture_output=True, check=True
+    )
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit", "-qm", "rec"],
+        cwd=root, capture_output=True, check=True,
+    )
+    # now dirty the working tree: entry source becomes S2
+    (root / "lol_data_pipeline_spark" / "plans" / "__init__.py").write_text(
+        _STUB_PLANS.format(marker="S2")
+    )
     stamp_path = tmp_path / "stamps.json"
+    monkeypatch.setattr(uf, "ROOT", str(root))
     monkeypatch.setattr(uf, "STAMP_PATH", str(stamp_path))
     assert uf.main([]) == 0
     got = json.loads(stamp_path.read_text())
-    with open(str(uf.ROOT) + "/tools/green_fingerprints.json") as f:
-        committed = json.load(f)
-    assert got  # stamped something
-    for name, fp in got.items():
-        assert committed.get(name) == fp, name
+    assert got == {"e": _stub_fingerprint(root, "S1")}
+    assert got["e"] != _stub_fingerprint(root, "S2")
+
+
+def test_update_fingerprints_untracked_record_resolves_to_head(tmp_path, monkeypatch):
+    """The r08 judging-time failure, as a negative control: the driver
+    drops CORRECTNESS_r*.json AFTER the builder's final commit, so the
+    newest record is UNTRACKED while every tracked file is clean — the
+    stamper must resolve the record to HEAD and stamp (HEAD is exactly
+    the tree the driver verified), not refuse."""
+    import tools.update_fingerprints as uf
+
+    root = _fixture_repo(tmp_path, marker="S1")
+    (root / "CORRECTNESS_r99.json").write_text(json.dumps({"e": _GREEN_ROW}))
+    stamp_path = tmp_path / "stamps.json"
+    monkeypatch.setattr(uf, "ROOT", str(root))
+    monkeypatch.setattr(uf, "STAMP_PATH", str(stamp_path))
+    assert uf.main([]) == 0
+    got = json.loads(stamp_path.read_text())
+    assert got == {"e": _stub_fingerprint(root, "S1")}
+
+
+def test_update_fingerprints_refuses_untracked_record_when_dirty(tmp_path, monkeypatch):
+    """But when a TRACKED file has drifted from HEAD, no commit
+    provably matches the tree the driver ran — an untracked record
+    must still be refused (no retroactive certification)."""
+    import tools.update_fingerprints as uf
+
+    root = _fixture_repo(tmp_path, marker="S1")
+    (root / "CORRECTNESS_r99.json").write_text(json.dumps({"e": _GREEN_ROW}))
+    (root / "lol_data_pipeline_spark" / "plans" / "__init__.py").write_text(
+        _STUB_PLANS.format(marker="S2")
+    )
+    stamp_path = tmp_path / "stamps.json"
+    monkeypatch.setattr(uf, "ROOT", str(root))
+    monkeypatch.setattr(uf, "STAMP_PATH", str(stamp_path))
+    assert uf.main([]) == 0
+    assert json.loads(stamp_path.read_text()) == {}
+
+
+def test_unstamped_green_violations_exempts_untracked_records():
+    """docs-sync stamp-coverage gate, untracked-record aware: a green
+    entry is a violation only when a TRACKED record shows it green; a
+    green that exists only in the driver's post-commit untracked drop
+    is exempt until the next stamp run."""
+    import tools.update_fingerprints as uf
+
+    green_by_record = {
+        "CORRECTNESS_r08.json": {"old_entry"},
+        "CORRECTNESS_r99.json": {"old_entry", "new_entry"},
+    }
+    tracked = {"CORRECTNESS_r08.json"}  # r99 is the untracked drop
+    names = {"old_entry", "new_entry"}
+    # new_entry green only in the untracked record -> exempt
+    assert uf.unstamped_green_violations(green_by_record, tracked, {}, names) == [
+        "old_entry"
+    ]
+    # once stamped, no violations at all
+    stamps = {"old_entry": "f" * 32}
+    assert uf.unstamped_green_violations(green_by_record, tracked, stamps, names) == []
+    # but a tracked-record green without a stamp is always a violation,
+    # even if an untracked record ALSO shows it green
+    assert "old_entry" in uf.unstamped_green_violations(
+        green_by_record, tracked, {"new_entry": "f" * 32}, names
+    )
