@@ -16,7 +16,10 @@ Scale notes (100 TB):
   against C centroids); a query probes only its centroid's bucket,
   cutting scanned rows by ~C×. Centroids here are deterministic seed
   vectors (first C by id) so the oracle can reproduce assignment;
-  production would k-means them.
+  the kmeans-TRAINED codebook variant is
+  operators/clustering.py:kmeans_cells + plans/round9.py
+  (ann_ivf_kmeans_topk) — the fixed-point Lloyd training keeps even
+  the trained codebook oracle-reproducible.
 """
 
 from __future__ import annotations
@@ -500,15 +503,19 @@ def pq_encode(
     keep: list[str] | None = None,
     id_alias: str = "match_id",
     vec_alias: str = "cvec",
+    widen_input: bool = True,
 ) -> DataFrame:
     """PQ index-build stage: encode every vector as m subspace codes
     (argmin-distance centroid per dsub-dim slice against the literal
     codebook) and emit the RECONSTRUCTED vector ``xhat`` — the form
     ADC candidate ranking consumes, since ⟨q, x̂⟩ = Σ_s ⟨q_s,
-    c_{s,code_s}⟩. A pure projection: the codebook rides as literal
-    expressions (constant size at any corpus scale), no join, no
-    shuffle — the corpus is scanned, never moved. Extra columns to
-    carry through (e.g. an IVF cell id) pass via ``keep``.
+    c_{s,code_s}⟩. The encode itself is a pure projection: the
+    codebook rides as literal expressions (constant size at any
+    corpus scale), no join, no exchange added BY THIS STAGE (an
+    upstream cell assignment's window still has its own exchange —
+    pass ``widen_input=False`` for such pre-distributed input so this
+    stage adds no redundant round-robin repartition either). Extra
+    columns to carry through (e.g. an IVF cell id) pass via ``keep``.
     Candidate ties and distances are bit-deterministic (struct
     least() with (d2, j) lexicographic tie-break; all folds share
     the sequential order DuckDB's list_inner_product uses)."""
@@ -518,7 +525,8 @@ def pq_encode(
     ]
     keep = keep or []
     xdouble = f"CAST({vec_col} AS array<double>)"
-    sliced = widen(corpus).select(
+    src = widen(corpus) if widen_input else corpus
+    sliced = src.select(
         F.col(id_col).alias(id_alias),
         F.col(vec_col).alias(vec_alias),
         *keep,
@@ -557,6 +565,36 @@ def pq_encode(
         vec_alias,
         *keep,
         F.expr("concat(" + ", ".join(f"sel{s}.c" for s in range(m)) + ")").alias("xhat"),
+    )
+
+
+def _adc_refine_topk(
+    scored: DataFrame, k: int, refine: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Shared ADC final stage for the PQ family: approx-rank window →
+    ``refine·k`` cut → exact-cosine rescore from the full-precision
+    vectors → final top-k. ``scored`` carries (query_id, match_id,
+    qvec, cvec, approx, *extra_cols); extras (e.g. ``probe_rank``)
+    ride through to the output unchanged. One definition so
+    :func:`pq_cosine_topk` and :func:`ivfpq_topk` cannot drift."""
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("match_id").asc()
+    )
+    cand = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine * k)
+        .select(
+            "query_id",
+            "match_id",
+            *extra_cols,
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", *extra_cols, "sim", "rank")
     )
 
 
@@ -600,24 +638,7 @@ def pq_cosine_topk(
             _DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
         ).alias("approx"),
     )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("match_id").asc()
-    )
-    cand = (
-        scored.withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") <= refine * k)
-        .select(
-            "query_id",
-            "match_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "sim", "rank")
-    )
+    return _adc_refine_topk(scored, k, refine)
 
 
 def ivfpq_topk(
@@ -652,15 +673,22 @@ def ivfpq_topk(
     Scale: per query the scan touches ~nprobe/C of the corpus, and
     the candidate stage reads m-byte codes instead of dim·4-byte
     vectors — the two multiplicative reductions a 100 TB corpus
-    needs stacked, exactly as FAISS's IVFADC does. Queries broadcast
-    (Q × nprobe probe rows); the only data-sized work is the index
-    build, amortized across every query that ever probes it. Each
-    vector lives in exactly one cell so the probed union is
-    duplicate-free by construction."""
+    needs stacked. This is the NO-RESIDUAL IVF+PQ variant (FAISS's
+    ``by_residual=False``): vectors are PQ-encoded raw against one
+    global codebook. Canonical IVFADC encodes the residual x − c_cell
+    per cell, which buys recall when coarse cells are few and
+    coarse-grained — the production refinement, needing per-cell
+    codebook training this deterministic-seed setup can't express.
+    Queries broadcast (Q × nprobe probe rows); the only data-sized
+    work is the index build (one pass for cell assignment — whose
+    per-id window is the build's single exchange — plus the pure
+    projection encode), amortized across every query that ever
+    probes it. Each vector lives in exactly one cell so the probed
+    union is duplicate-free by construction."""
     cells = assign_ivf_cells(corpus, coarse, id_col, vec_col)
     enc = pq_encode(
         cells, seeds, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col,
-        keep=["cell_id"],
+        keep=["cell_id"], widen_input=False,
     )
     qprobe = probe_cells(queries, coarse, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -682,22 +710,4 @@ def ivfpq_topk(
             _DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
         ).alias("approx"),
     )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.col("approx").desc(), F.col("match_id").asc()
-    )
-    cand = (
-        scored.withColumn("arank", F.row_number().over(aw))
-        .filter(F.col("arank") <= refine * k)
-        .select(
-            "query_id",
-            "match_id",
-            "probe_rank",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "probe_rank", "sim", "rank")
-    )
+    return _adc_refine_topk(scored, k, refine, extra_cols=("probe_rank",))

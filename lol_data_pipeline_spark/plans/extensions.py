@@ -855,12 +855,19 @@ def corpus_leakage_safe_split(spark, sf_dir):
     )
 
 
-def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Lloyd-iteration oracle mirroring operators/clustering.py:
-    deterministic lowest-id seeds, argmin by (d², cid) with
-    list_inner_product distances (bit-equal to the Spark zip_with
-    fold), fixed-point integer centroid sums (order-independent),
-    identical double rescale (s / n / 2^20)."""
+def kmeans_ctes(k: int, assigns: int, updates: int, dim: int = 64) -> list[str]:
+    """Lloyd-iteration oracle CTE chain mirroring
+    operators/clustering.py: ``e`` (corpus cast to DOUBLE[]), ``c0``
+    (deterministic lowest-id seeds), then assignment CTEs ``a{i}``
+    (argmin by (d², cid) with list_inner_product distances —
+    bit-equal to the Spark zip_with fold) for i < assigns, each
+    followed while i < updates by the fixed-point integer centroid
+    update ``s{i}``/``c{i+1}`` (order-independent BIGINT sums,
+    identical double rescale s / n / 2^20). ONE definition of the
+    oracle's training chain, shared by `cluster_kmeans` (assigns =
+    iters, updates = iters − 1 → final assignment ``a{iters-1}``)
+    and the kmeans-trained IVF build in plans/round9.py (assigns =
+    rounds + 1, updates = rounds → cells = ``a{rounds}``)."""
     dist = (
         "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
         "+ list_inner_product(c.c, c.c)"
@@ -873,7 +880,7 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 )""",
     ]
     prev = "c0"
-    for i in range(iters):
+    for i in range(assigns):
         a = f"a{i}"
         ctes.append(f"""{a} AS (
   SELECT vec_id, x, cid AS cluster FROM (
@@ -882,7 +889,7 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     FROM e CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
-        if i < iters - 1:
+        if i < updates:
             ctes.append(f"""s{i} AS (
   SELECT cluster, p.pos,
          sum(CAST(floor(x[p.pos] * 1048576.0) AS BIGINT)) AS sv,
@@ -895,6 +902,13 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
   FROM s{i} GROUP BY 1
 )""")
             prev = f"c{i + 1}"
+    return ctes
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Final-assignment oracle: iters − 1 update rounds then assign
+    (see :func:`kmeans_ctes`)."""
+    ctes = kmeans_ctes(k, assigns=iters, updates=iters - 1, dim=dim)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters - 1}"

@@ -1,0 +1,257 @@
+"""Round-9 additions: the production vector-index compositions —
+IVF+PQ (coarse inverted lists × compressed-code candidate scan) and
+a kmeans-TRAINED IVF index (closing the "production would k-means
+them" gap the seeded IVF documents).
+
+Registered AFTER every other plans module on purpose (same window
+discipline as plans/round8.py): the driver's correctness gate samples
+the FIRST 50 registry entries and orders never-green entries by
+registration order — new entries must queue behind the existing
+backlog, not displace it.
+
+Scale notes (100 TB):
+- ann_ivfpq_topk stacks the two multiplicative reductions a 100 TB
+  corpus needs: the probe bounds WHICH vectors are scanned
+  (~nprobe/C of the corpus) and PQ codes bound HOW MUCH is read per
+  vector (m bytes vs dim·4). Both index stages are scan-side (one
+  exchange for the cell-assignment window, a pure projection for the
+  encode); queries broadcast.
+- ann_ivf_kmeans_topk replaces the deterministic seed centroids with
+  a Lloyd-trained codebook. Training is the broadcast-iterate
+  pattern: per round one codegen aggregate + a k-row collect —
+  constant driver traffic at any corpus scale — and the fixed-point
+  integer centroid sums keep the codebook bit-identical across
+  engines/partitionings, so the DuckDB oracle reproduces the full
+  train→assign→probe→rank pipeline. Trained cells are flatter
+  (tests/test_round9_ops.py pins the occupancy improvement), which
+  is the 100 TB win: cell skew is scan skew at probe time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.plans.queries import T, query
+
+_PQ_M, _PQ_DSUB, _PQ_NCENT = 8, 8, 16
+_IVF_CELLS = 8
+_NPROBE = 2
+_NQ = 10
+_K = 5
+_REFINE = 4
+_KM_ROUNDS = 5
+# kmeans-IVF query set: two BOUNDED id ranges DISJOINT from the seed
+# ids. Queries 0..7 are literally the seeded index's centroids —
+# their cells are centered on the query itself, a structural
+# advantage no trained index can match (and no real query workload
+# enjoys), so a fair trained-vs-seeded comparison must probe from
+# elsewhere. Both ranges are closed — the query set is a CONSTANT 20
+# ids at any corpus size (embeddings grows with SF: 500 rows at
+# sf0.001/0.01, 2000 at sf0.1), preserving the queries-broadcast
+# contract every ANN entry relies on.
+_KMQ_LO, _KMQ_HI = 100, 110
+_KMQ_TAIL_LO, _KMQ_TAIL_HI = 490, 500
+
+
+def _sql_ivfpq() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS centvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC,
+                        cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cell_id AS pcell,
+             rn AS probe_rank
+      FROM assigned WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
+    ),
+    cents AS (
+      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {_PQ_NCENT}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    cs2 AS (
+      SELECT s.s, c.j, list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cs,
+             list_inner_product(
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}),
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB})
+             ) AS cc
+      FROM cents c CROSS JOIN sub s
+    ),
+    xs2 AS (
+      SELECT x.vec_id, s.s,
+             list_slice(CAST(x.embedding AS DOUBLE[]), s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
+      FROM embeddings x CROSS JOIN sub s
+    ),
+    d AS (
+      SELECT xs2.vec_id, xs2.s, c.j, c.cs,
+             list_inner_product(xs2.xsl, xs2.xsl)
+               - 2 * list_inner_product(xs2.xsl, c.cs) + c.cc AS d2
+      FROM xs2 JOIN cs2 c ON c.s = xs2.s
+    ),
+    chosen AS (
+      SELECT vec_id, s, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    xhat AS (
+      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
+      FROM chosen GROUP BY 1
+    ),
+    approx AS (
+      SELECT q.query_id, c.vec_id AS match_id, q.qvec,
+             CAST(q.probe_rank AS BIGINT) AS probe_rank,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(CAST(q.qvec AS DOUBLE[]), h.xh) DESC,
+                        c.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN cells c ON c.cell_id = q.pcell AND c.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = c.vec_id
+    ),
+    cand AS (
+      SELECT a.query_id, a.match_id, a.probe_rank,
+             {SQL_COS.format(a='a.qvec', b='e.embedding')} AS sim
+      FROM approx a JOIN embeddings e ON e.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _K}
+    ),
+    ranked AS (
+      SELECT query_id, match_id, probe_rank, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, match_id, probe_rank, sim, rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+@query("ann_ivfpq_topk", sql=_sql_ivfpq())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — the canonical production vector index (FAISS
+    IVFADC's no-residual variant): every vector is assigned to one
+    of {cells} coarse cells and PQ-encoded (m={m} subspaces × {nc}
+    centroids); each query probes its {nprobe} nearest cells, ranks
+    ONLY those cells' members by the asymmetric distance ⟨q, x̂⟩
+    over the reconstructed codes, and exact-cosine rescores the top
+    refine·k. ``probe_rank`` reports which probe found each match.
+    Both index stages are scan-side; queries broadcast; per query
+    the scan touches ~nprobe/C of the corpus reading m-byte codes.
+    See operators/similarity.py:ivfpq_topk."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+
+    emb = T(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_NCENT)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    seeds = [[float(v) for v in r.c] for r in seed_rows]
+    return sim.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        emb.filter(F.col("vec_id") < _IVF_CELLS),
+        seeds,
+        nprobe=_NPROBE,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_K,
+        refine=_REFINE,
+    )
+
+
+def _sql_ivf_kmeans() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64
+    )
+    cells = f"a{_KM_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    q AS (
+      SELECT vec_id AS query_id, x AS qvec, cluster AS qcell
+      FROM {cells}
+      WHERE (vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})
+         OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='q.qvec', b='c.x')} AS sim
+      FROM {cells} c JOIN q
+        ON c.cluster = q.qcell AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, match_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= {_K}
+    """
+    )
+
+
+@query("ann_ivf_kmeans_topk", sql=_sql_ivf_kmeans())
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN over a kmeans-TRAINED codebook ({cells} cells, {r}
+    Lloyd update rounds from the deterministic lowest-id seed) —
+    the production upgrade of ann_ivf_topk's seed centroids, which
+    similarity.py explicitly defers ("production would k-means
+    them"). Training is the broadcast-iterate pattern (constant
+    k-row driver traffic per round; fixed-point integer centroid
+    sums keep the codebook bit-identical across engines, so the
+    oracle reproduces train→assign→probe→rank end-to-end); cell
+    assignment is a pure projection against literal trained
+    centroids — no join, no shuffle of the corpus. Single-probe:
+    each query scans only its own trained cell, exact cosine inside
+    it. Queries are drawn from id ranges DISJOINT from the seed ids
+    (see _KMQ_* above): 0..7 are the seeded index's own centroids,
+    whose self-centered cells no trained or production index can
+    match. On that fair workload training buys recall, flatter cell
+    occupancy (cell skew is scan skew at probe time), and a ~43%
+    lower quantization error — all pinned against the seeded index
+    in tests/test_round9_ops.py."""
+    from lol_data_pipeline_spark.operators.clustering import kmeans_cells
+    from lol_data_pipeline_spark.operators.similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64)
+    queries = cells.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("cell_id").alias("qcell"),
+    )
+    scored = cells.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "match_id", "sim", "rank")
+    )

@@ -82,6 +82,9 @@ CROSS_OK = {
     "rel_skyline_parts",  # 1-row bounds broadcast, 32x32 band prefix join,
     # and frontier-candidates x candidates dominance anti-join — all
     # bounded by construction (band count / staircase size), never data x data
+    "ann_ivfpq_topk",  # 8-row coarse-centroid broadcast for assignment +
+    # Q x nprobe probe-row broadcast join (same geometry as the
+    # filtered-IVF family; PQ encode itself is a pure projection)
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
