@@ -56,6 +56,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
+    prev_sum = None
     for _ in range(iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.v)
@@ -79,6 +80,24 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         labels = truncate_lineage(labels)
+        # Early fixed-point exit: labels are monotonically
+        # NON-INCREASING, so the label sum strictly decreases iff any
+        # vertex changed this round — one tiny aggregate on the
+        # freshly checkpointed frame detects convergence. Near-dup
+        # components are near-cliques that converge in 1-2 rounds,
+        # while the fixed ``iters`` must stay high enough for worst
+        # cases — without the exit every query pays the worst case's
+        # join+checkpoint rounds (measured ~0.5 s/round of fixed
+        # overhead at sf0.1 on a few hundred labels). A converged
+        # fixed point is invariant under further rounds, so the
+        # result is IDENTICAL to the full unroll the oracle runs.
+        # decimal(38,0): exact at any vertex-count × id-magnitude.
+        s = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("component")
     )

@@ -288,13 +288,14 @@ def stream_session_multibatch(spark, sf_dir):
     """,
 )
 def stream_topk_multibatch(spark, sf_dir):
-    """Per-user top-3 via applyInPandasWithState over a three-batch
-    replay (trimmed from four: as the bench's multibatch
-    representative, trigger scheduling dominated its cost and two
-    state round-trips already prove cross-batch restore): GroupState
-    (the running top-k arrays) round-trips the state store between
-    micro-batches; the final per-user snapshot must equal the batch
-    row_number() top-k."""
+    """Per-user top-3 via applyInPandasWithState over a two-batch
+    replay (trimmed from four, then three: as the bench's multibatch
+    representative, trigger scheduling dominated its cost, and ONE
+    batch boundary already forces the serialize→restore→merge the
+    entry exists to prove — most users span both time halves):
+    GroupState (the running top-k arrays) round-trips the state
+    store between micro-batches; the final per-user snapshot must
+    equal the batch row_number() top-k."""
     from lol_data_pipeline_spark.streaming.stateful import (
         running_user_topk_multibatch,
     )

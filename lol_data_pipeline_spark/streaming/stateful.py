@@ -196,14 +196,18 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
 def running_user_topk_multibatch(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
-    """Per-user running top-k over a THREE-micro-batch time-ordered
+    """Per-user running top-k over a TWO-micro-batch time-ordered
     replay — the multi-batch twin of :func:`running_user_topk`.
-    Three triggers, not four: this entry is the bench's single
+    Two triggers, not four: this entry is the bench's single
     multibatch representative and micro-batch scheduling dominates
-    its cost (~1.9 s/trigger at sf0.1); two state round-trips already
-    prove serialize→restore→merge across batch boundaries, so the
-    fourth trigger bought wall-clock, not signal. The other
-    ``*_multibatch`` entries keep four slices.
+    its cost (~1.9 s/trigger at sf0.1); ONE batch boundary already
+    proves the property this entry exists for — state serialized at
+    the end of batch 0 must be restored and merged in batch 1 (most
+    users span both time halves, pinned by
+    test_multibatch_replay_exercises_cross_batch_state) — so the
+    third and fourth triggers bought wall-clock, not signal. The
+    other ``*_multibatch`` entries keep four slices, covering
+    multi-round-trip scheduling.
 
     This is the entry that actually exercises GroupState round-trips:
     a user's rows arrive in several micro-batches, so the top-k list
@@ -238,7 +242,7 @@ def running_user_topk_multibatch(
         )
 
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 3), build, "update", f"topk_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 2), build, "update", f"topk_mb:{sf_dir}"
     )
     import pyspark.sql.functions as F
 
