@@ -641,6 +641,101 @@ def pq_cosine_topk(
     return _adc_refine_topk(scored, k, refine)
 
 
+def residuals_with_cells(
+    corpus: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment + per-row coarse centroid + RESIDUAL column
+    (x − c_cell, elementwise double) — the index-build input for
+    residual PQ (IVFADC proper). The centroid ride-along is a
+    broadcast join against C rows; the residual is a pure zip_with
+    projection. Returns (id, vec, cell_id, cv, res)."""
+    cells = assign_ivf_cells(corpus, coarse, id_col, vec_col)
+    cent = coarse.select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    return cells.join(F.broadcast(cent), "cell_id").withColumn(
+        "res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("cv"), lambda a, b: a - b
+        ),
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    seeds: list[list[float]],
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ with RESIDUAL encoding — canonical IVFADC
+    (``by_residual=True``): each vector is PQ-encoded as x − c_cell,
+    so the codebook spends its 2^codebits on the WITHIN-cell spread
+    instead of re-describing the coarse structure the cell id
+    already carries; the ADC score is ⟨q, c_cell + r̂⟩.
+
+    WHEN it wins: iff the coarse quantizer absorbs real structure,
+    i.e. E|x − c|² « E|x|² — the L2-clustered regime FAISS's
+    by_residual default assumes. On a UNIT-NORM isotropic corpus
+    with a COSINE coarse quantizer the residual energy is
+    2 − 2·cos_max per vector, which in high dim EXCEEDS the unit
+    raw energy (measured on this testdata: |res|² = 1.63 vs |x|² =
+    1.00, reconstruction error 1.08 residual vs 0.75 raw, recall
+    28 vs 34 of 50) — there the no-residual :func:`ivfpq_topk` is
+    the right tool, and tests/test_round9_ops.py pins the measured
+    relationship with this explanation rather than assuming the
+    textbook ordering. ``seeds`` is the RESIDUAL codebook —
+    :func:`residuals_with_cells` rows for deterministic non-centroid
+    ids (a centroid's own residual is exactly zero — a degenerate
+    codeword), collected by the caller (oracle-reproducible).
+
+    Same scale shape as the no-residual composition: index build =
+    one assignment pass + broadcast centroid ride-along + pure
+    projection encode; queries broadcast as Q × nprobe probe rows;
+    per query the scan touches ~nprobe/C of the corpus reading
+    m-byte codes."""
+    resdf = residuals_with_cells(corpus, coarse, id_col, vec_col)
+    enc = pq_encode(
+        resdf, seeds, m=m, dsub=dsub, id_col=id_col, vec_col="res",
+        keep=[vec_col, "cell_id", "cv"],
+        id_alias="match_id", vec_alias="res", widen_input=False,
+    )
+    qprobe = probe_cells(queries, coarse, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("cell_id").alias("pcell"),
+        "probe_rank",
+    )
+    scored = enc.join(
+        F.broadcast(qprobe),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("match_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "match_id",
+        "qvec",
+        F.col(vec_col).alias("cvec"),
+        F.col("probe_rank").cast("long").alias("probe_rank"),
+        F.expr(
+            _DOT_SQL.format(
+                a="CAST(qvec AS array<double>)",
+                b="zip_with(cv, xhat, (u, v) -> u + v)",
+            )
+        ).alias("approx"),
+    )
+    return _adc_refine_topk(scored, k, refine, extra_cols=("probe_rank",))
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,6 +1,8 @@
 """Round-9 additions: the production vector-index compositions —
-IVF+PQ (coarse inverted lists × compressed-code candidate scan) and
-a kmeans-TRAINED IVF index (closing the "production would k-means
+IVF+PQ (coarse inverted lists × compressed-code candidate scan), its
+RESIDUAL-encoding twin (canonical IVFADC, registered with a measured
+analysis of when by_residual helps and when it hurts), and a
+kmeans-TRAINED IVF index (closing the "production would k-means
 them" gap the seeded IVF documents).
 
 Registered AFTER every other plans module on purpose (same window
@@ -164,6 +166,151 @@ def ann_ivfpq_topk(spark, sf_dir):
         emb,
         emb.filter(F.col("vec_id") < _NQ),
         emb.filter(F.col("vec_id") < _IVF_CELLS),
+        seeds,
+        nprobe=_NPROBE,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_K,
+        refine=_REFINE,
+    )
+
+
+def _sql_ivfpq_residual() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS centvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC,
+                        cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cell_id AS pcell,
+             rn AS probe_rank
+      FROM assigned WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
+    ),
+    res AS (
+      SELECT c.vec_id, c.embedding, c.cell_id,
+             CAST(ct.centvec AS DOUBLE[]) AS cv,
+             list_transform(generate_series(1, 64),
+               i -> CAST(c.embedding[i] AS DOUBLE) - CAST(ct.centvec[i] AS DOUBLE)) AS r
+      FROM cells c JOIN cent ct ON ct.cell_id = c.cell_id
+    ),
+    rseeds AS (
+      SELECT vec_id AS j, r AS c FROM res
+      WHERE vec_id >= {_IVF_CELLS} AND vec_id < {_IVF_CELLS + _PQ_NCENT}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    cs2 AS (
+      SELECT s.s, c.j, list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cs,
+             list_inner_product(
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}),
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB})
+             ) AS cc
+      FROM rseeds c CROSS JOIN sub s
+    ),
+    xs2 AS (
+      SELECT x.vec_id, s.s,
+             list_slice(x.r, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
+      FROM res x CROSS JOIN sub s
+    ),
+    d AS (
+      SELECT xs2.vec_id, xs2.s, c.j, c.cs,
+             list_inner_product(xs2.xsl, xs2.xsl)
+               - 2 * list_inner_product(xs2.xsl, c.cs) + c.cc AS d2
+      FROM xs2 JOIN cs2 c ON c.s = xs2.s
+    ),
+    chosen AS (
+      SELECT vec_id, s, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    rhat AS (
+      SELECT vec_id, flatten(list(cs ORDER BY s)) AS rh
+      FROM chosen GROUP BY 1
+    ),
+    xhat AS (
+      SELECT r.vec_id AS match_id,
+             list_transform(generate_series(1, 64), i -> r.cv[i] + h.rh[i]) AS xh
+      FROM res r JOIN rhat h ON h.vec_id = r.vec_id
+    ),
+    approx AS (
+      SELECT q.query_id, c.vec_id AS match_id, q.qvec,
+             CAST(q.probe_rank AS BIGINT) AS probe_rank,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(CAST(q.qvec AS DOUBLE[]), h.xh) DESC,
+                        c.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN cells c ON c.cell_id = q.pcell AND c.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = c.vec_id
+    ),
+    cand AS (
+      SELECT a.query_id, a.match_id, a.probe_rank,
+             {SQL_COS.format(a='a.qvec', b='e.embedding')} AS sim
+      FROM approx a JOIN embeddings e ON e.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _K}
+    ),
+    ranked AS (
+      SELECT query_id, match_id, probe_rank, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, match_id, probe_rank, sim, rank
+    FROM ranked WHERE rank <= {_K}
+    """
+
+
+@query("ann_ivfpq_residual_topk", sql=_sql_ivfpq_residual())
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """IVFADC proper (``by_residual=True``): PQ encodes x − c_cell,
+    spending the codebook's bits on the within-cell spread instead
+    of re-describing the coarse structure the cell id already
+    carries; the ADC score is ⟨q, c_cell + r̂⟩. Registered as the
+    canonical composition AND as a measured counter-example to the
+    textbook default: residual encoding wins iff the coarse
+    quantizer absorbs real structure (E|res|² « E|x|²), and on this
+    unit-norm corpus with a cosine coarse quantizer the residual
+    energy (1.63) EXCEEDS the raw energy (1.00), so the no-residual
+    twin out-recalls it 34 vs 28 of 50 — the relationship and its
+    geometric cause are pinned in tests/test_round9_ops.py. The
+    residual codebook is the residuals of vectors
+    {cells}..{cells+nc-1} — NOT 0..{nc-1}: vectors 0..{cells-1} ARE
+    the coarse centroids, so their residuals are exactly zero,
+    degenerate codewords. Collected once (deterministic; the oracle
+    re-derives the identical codebook via the residual CTE). Same
+    scale shape: assignment +
+    broadcast centroid ride-along + pure-projection encode build the
+    index; queries broadcast as Q × nprobe probe rows.
+    See operators/similarity.py:ivfpq_residual_topk."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+
+    emb = T(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < _IVF_CELLS)
+    seed_rows = (
+        sim.residuals_with_cells(emb, coarse)
+        .filter(
+            F.col("vec_id").between(_IVF_CELLS, _IVF_CELLS + _PQ_NCENT - 1)
+        )
+        .orderBy("vec_id")
+        .select("res")
+        .collect()
+    )
+    seeds = [[float(v) for v in r.res] for r in seed_rows]
+    return sim.ivfpq_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _NQ),
+        coarse,
         seeds,
         nprobe=_NPROBE,
         m=_PQ_M,

@@ -86,6 +86,84 @@ def test_ivfpq_recall_vs_exact_and_pq(spark, sf_dir):
     assert ivfpq_recall >= pq_recall, (ivfpq_recall, pq_recall)
 
 
+def test_ivfpq_residual_when_it_helps_and_when_it_does_not(spark, sf_dir):
+    """Residual PQ (IVFADC's by_residual=True) wins iff the coarse
+    quantizer absorbs real structure — E|x − c|² « E|x|². This
+    corpus is UNIT-NORM (E|x|² = 1.00) and the coarse quantizer is
+    cosine-based, so the residual energy 2 − 2·cos_max (measured
+    1.63) EXCEEDS the raw energy: encoding residuals is strictly
+    harder than encoding the vectors, and the no-residual twin must
+    out-recall the residual one here. Pin the full causal chain —
+    energy ordering → reconstruction-error ordering → recall
+    ordering — so the relationship can't silently flip into
+    cargo-cult 'residual is always better' territory."""
+    from lol_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        residuals_with_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = emb.filter(F.col("vec_id") < _IVF_CELLS)
+    resdf = residuals_with_cells(emb, coarse)
+
+    # 1. energy ordering: mean |res|^2 > mean |x|^2 (unit-norm corpus)
+    rows = resdf.select("embedding", "res").collect()
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    res = np.array([list(r.res) for r in rows], dtype=np.float64)
+    e_x = float((x**2).sum(axis=1).mean())
+    e_res = float((res**2).sum(axis=1).mean())
+    assert 0.95 < e_x < 1.05, e_x  # unit-norm corpus
+    assert e_res > e_x, (e_res, e_x)
+
+    # 2. reconstruction-error ordering follows the energy ordering
+    raw_seed_rows = (
+        emb.orderBy("vec_id").limit(16)
+        .select(F.col("embedding").cast("array<double>").alias("c")).collect()
+    )
+    raw_seeds = [[float(v) for v in r.c] for r in raw_seed_rows]
+    raw_enc = pq_encode(emb, raw_seeds).select("cvec", "xhat").collect()
+    raw_err = float(
+        np.mean([
+            ((np.array(list(r.cvec), dtype=np.float64) - np.array(r.xhat)) ** 2).sum()
+            for r in raw_enc
+        ])
+    )
+    res_seed_rows = (
+        resdf.filter(F.col("vec_id").between(_IVF_CELLS, _IVF_CELLS + 15))
+        .orderBy("vec_id").select("res").collect()
+    )
+    res_seeds = [[float(v) for v in r.res] for r in res_seed_rows]
+    res_enc = pq_encode(
+        resdf, res_seeds, vec_col="res", keep=["embedding", "cv"],
+        vec_alias="res", widen_input=False,
+    ).select("embedding", "cv", "xhat").collect()
+    res_err = float(
+        np.mean([
+            (
+                (
+                    np.array(list(r.embedding), dtype=np.float64)
+                    - (np.array(r.cv) + np.array(r.xhat))
+                ) ** 2
+            ).sum()
+            for r in res_enc
+        ])
+    )
+    assert res_err > raw_err, (res_err, raw_err)
+
+    # 3. recall ordering follows (34 vs 28 of 50 at this SF)
+    emb_rows = emb.select("vec_id", "embedding").collect()
+    exact = _exact_topk(emb_rows, range(_NQ), _K)
+    nores = _matches_by_query(REGISTRY["ann_ivfpq_topk"].fn(spark, sf_dir).collect())
+    resid = _matches_by_query(
+        REGISTRY["ann_ivfpq_residual_topk"].fn(spark, sf_dir).collect()
+    )
+    nores_recall = sum(len(nores.get(q, set()) & exact[q]) for q in exact)
+    resid_recall = sum(len(resid.get(q, set()) & exact[q]) for q in exact)
+    assert nores_recall >= resid_recall, (nores_recall, resid_recall)
+    # the residual index must still be a working index, not noise
+    assert resid_recall >= 0.4 * _K * _NQ, resid_recall
+
+
 def test_kmeans_ivf_recall_beats_seeded_on_fair_queries(spark, sf_dir):
     """The reason training exists. Queries are DISJOINT from the
     seed ids: queries 0..7 are the seeded index's own centroids —

@@ -85,6 +85,8 @@ CROSS_OK = {
     "ann_ivfpq_topk",  # 8-row coarse-centroid broadcast for assignment +
     # Q x nprobe probe-row broadcast join (same geometry as the
     # filtered-IVF family; PQ encode itself is a pure projection)
+    "ann_ivfpq_residual_topk",  # same geometry + an 8-row centroid
+    # ride-along broadcast for the residual computation
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
