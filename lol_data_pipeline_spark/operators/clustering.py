@@ -163,16 +163,21 @@ def kmeans_cells(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF cell assignment against a kmeans-TRAINED codebook — the
-    index-build stage of the trained-IVF ANN entry (plans/round9.py),
-    closing the gap the seeded IVF documents (similarity.py: "
-    production would k-means them"): train ``rounds`` Lloyd updates,
-    then assign every vector to its argmin-(d², cid) trained centroid.
-    Returns (id, vec, cell_id). Assignment is a pure projection
-    against literal centroids — no join, no shuffle; training's
-    per-round cost is one codegen aggregate + a k-row collect."""
-    cents = kmeans_train(emb, k, rounds, dim, id_col, vec_col)
+    index-build stage of the trained-IVF ANN entries
+    (plans/round9.py), closing the gap the seeded IVF documents
+    (similarity.py: "production would k-means them"): train
+    ``rounds`` Lloyd updates, then assign every vector to its
+    argmin-(d², cid) trained centroid. Returns (id, vec, cell_id).
+    Assignment is a pure projection against literal centroids — no
+    join, no shuffle; training's per-round cost is one codegen
+    aggregate + a k-row collect. A caller that also needs the
+    centroids themselves (e.g. for query probe routing) passes its
+    own ``cents`` so training runs once."""
+    if cents is None:
+        cents = kmeans_train(emb, k, rounds, dim, id_col, vec_col)
     x = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col), F.col(vec_col), dot(x, x).alias("xx"))
     return base.select(

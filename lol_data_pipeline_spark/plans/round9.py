@@ -355,6 +355,189 @@ def _sql_ivf_kmeans() -> str:
     )
 
 
+def _sql_ivfpq_kmeans() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64
+    )
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell, rn AS probe_rank
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE (e.vec_id >= {_KMQ_LO} AND e.vec_id < {_KMQ_HI})
+           OR (e.vec_id >= {_KMQ_TAIL_LO} AND e.vec_id < {_KMQ_TAIL_HI})
+      ) WHERE rn <= {_NPROBE}
+    ),
+    cents AS (
+      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {_PQ_NCENT}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+    cs2 AS (
+      SELECT s.s, c.j, list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cs,
+             list_inner_product(
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}),
+               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB})
+             ) AS cc
+      FROM cents c CROSS JOIN sub s
+    ),
+    xs2 AS (
+      SELECT x.vec_id, s.s,
+             list_slice(CAST(x.embedding AS DOUBLE[]), s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
+      FROM embeddings x CROSS JOIN sub s
+    ),
+    d AS (
+      SELECT xs2.vec_id, xs2.s, c.j, c.cs,
+             list_inner_product(xs2.xsl, xs2.xsl)
+               - 2 * list_inner_product(xs2.xsl, c.cs) + c.cc AS d2
+      FROM xs2 JOIN cs2 c ON c.s = xs2.s
+    ),
+    chosen AS (
+      SELECT vec_id, s, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    xhat AS (
+      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
+      FROM chosen GROUP BY 1
+    ),
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             CAST(q.probe_rank AS BIGINT) AS probe_rank,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC,
+                        cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    cand AS (
+      SELECT a.query_id, a.match_id, a.probe_rank,
+             {SQL_COS.format(a='a.qvec', b='e.embedding')} AS sim
+      FROM approx a JOIN embeddings e ON e.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _K}
+    ),
+    ranked AS (
+      SELECT query_id, match_id, probe_rank, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM cand
+    )
+    SELECT query_id, match_id, probe_rank, sim, rank
+    FROM ranked WHERE rank <= {_K}
+    """
+    )
+
+
+@query("ann_ivfpq_kmeans_topk", sql=_sql_ivfpq_kmeans())
+def ann_ivfpq_kmeans_topk(spark, sf_dir):
+    """The COMPLETE production vector index — every stage in its
+    production form, composed: kmeans-TRAINED coarse quantizer
+    ({cells} cells, {r} fixed-point Lloyd rounds), MULTI-PROBE query
+    routing (nprobe={np} nearest trained cells), PQ-compressed
+    candidate scan (m={m}×{nc} codebook, no-residual — the variant
+    that measured BETTER on this unit-norm corpus, see
+    ann_ivfpq_residual_topk), exact-cosine rescore of refine·k.
+    Plan shape: the ONLY joins are the equi broadcast join of
+    Q×nprobe probe rows against cell membership and the bounded
+    rescore — cell assignment AND probe selection are join-free pure
+    projections against literal trained centroids (probe = posexplode
+    of slice(array_sort(d², cid), 1, nprobe)); the PQ encode is a
+    pure projection. Queries come from the seed-disjoint bounded id
+    ranges (constant 20 at any SF). The oracle re-derives the
+    trained codebook (shared kmeans_ctes), probe ranks, PQ codes,
+    ADC order, and rescore end-to-end."""
+    from lol_data_pipeline_spark.operators.clustering import kmeans_cells, kmeans_train
+    from lol_data_pipeline_spark.operators.similarity import dot
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64)
+    cells = kmeans_cells(
+        emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64, cents=cents
+    )
+
+    def _cc_seq(cv):
+        acc = 0.0
+        for v in cv:
+            acc = acc + v * v
+        return acc
+
+    x = F.col("embedding").cast("array<double>")
+    xx = dot(x, x)
+    probe_structs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (xx - 2 * dot(x, F.lit([float(v) for v in cv])) + F.lit(_cc_seq(cv))).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    qprobe = (
+        emb.filter(
+            (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+            | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.posexplode(F.slice(probe_structs, 1, _NPROBE)).alias("pos", "sel"),
+        )
+        .select(
+            "query_id",
+            "qvec",
+            F.col("sel.cid").alias("pcell"),
+            (F.col("pos") + 1).cast("long").alias("probe_rank"),
+        )
+    )
+    from lol_data_pipeline_spark.operators import similarity as sim
+
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(_PQ_NCENT)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    seeds = [[float(v) for v in r.c] for r in seed_rows]
+    enc = sim.pq_encode(
+        cells, seeds, m=_PQ_M, dsub=_PQ_DSUB, keep=["cell_id"], widen_input=False
+    )
+    scored = enc.join(
+        F.broadcast(qprobe),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("match_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "match_id",
+        "qvec",
+        "cvec",
+        "probe_rank",
+        F.expr(
+            sim._DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
+        ).alias("approx"),
+    )
+    return sim._adc_refine_topk(scored, _K, _REFINE, extra_cols=("probe_rank",))
+
+
 @query("ann_ivf_kmeans_topk", sql=_sql_ivf_kmeans())
 def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN over a kmeans-TRAINED codebook ({cells} cells, {r}
