@@ -136,6 +136,14 @@ HEADLINE = [
     "ann_filtered_ivf_topk",
     # r8 additions
     "ann_filtered_ivf_multiprobe",
+    # r9 additions: the production vector-index compositions.
+    # ann_ivf_kmeans_topk is deliberately NOT benched on its own —
+    # its cost is the same Lloyd training the composition below
+    # already pays (per-round Catalyst constants, PERF_NOTES.md),
+    # and a second ~7 s training entry adds bench wall, no signal.
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_kmeans_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
