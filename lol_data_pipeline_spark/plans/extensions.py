@@ -855,7 +855,9 @@ def corpus_leakage_safe_split(spark, sf_dir):
     )
 
 
-def kmeans_ctes(k: int, assigns: int, updates: int, dim: int = 64) -> list[str]:
+def kmeans_ctes(
+    k: int, assigns: int, updates: int, dim: int = 64, train_where: str = ""
+) -> list[str]:
     """Lloyd-iteration oracle CTE chain mirroring
     operators/clustering.py: ``e`` (corpus cast to DOUBLE[]), ``c0``
     (deterministic lowest-id seeds), then assignment CTEs ``a{i}``
@@ -866,27 +868,39 @@ def kmeans_ctes(k: int, assigns: int, updates: int, dim: int = 64) -> list[str]:
     identical double rescale s / n / 2^20). ONE definition of the
     oracle's training chain, shared by `cluster_kmeans` (assigns =
     iters, updates = iters − 1 → final assignment ``a{iters-1}``)
-    and the kmeans-trained IVF build in plans/round9.py (assigns =
-    rounds + 1, updates = rounds → cells = ``a{rounds}``)."""
+    and the kmeans-trained IVF builds in plans/round9.py (assigns =
+    rounds + 1, updates = rounds → cells = ``a{rounds}``).
+
+    ``train_where``: when set, seeds and every TRAINING assignment
+    (``a{i}`` for i < assigns − 1) read from the filtered sample
+    ``es`` and only the FINAL assignment reads the full corpus —
+    the sampled-codebook index build of the 100 TB path. Empty
+    (default) keeps the chain byte-identical to the unsampled form
+    every pre-existing oracle stamps."""
     dist = (
         "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
         "+ list_inner_product(c.c, c.c)"
     )
+    seed_src = "es" if train_where else "e"
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
-        f"""c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
-  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
-)""",
     ]
+    if train_where:
+        ctes.append(f"es AS (SELECT * FROM e WHERE {train_where})")
+    ctes.append(f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, x AS c
+  FROM (SELECT * FROM {seed_src} ORDER BY vec_id LIMIT {k})
+)""")
     prev = "c0"
     for i in range(assigns):
         a = f"a{i}"
+        src = seed_src if (train_where and i < assigns - 1) else "e"
+        src_clause = "e" if src == "e" else f"{src} e"
         ctes.append(f"""{a} AS (
   SELECT vec_id, x, cid AS cluster FROM (
     SELECT e.vec_id, e.x, c.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
-    FROM e CROSS JOIN {prev} c
+    FROM {src_clause} CROSS JOIN {prev} c
   ) WHERE rn = 1
 )""")
         if i < updates:

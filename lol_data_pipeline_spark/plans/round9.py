@@ -320,11 +320,12 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     )
 
 
-def _sql_ivf_kmeans() -> str:
+def _sql_ivf_kmeans(train_where: str = "") -> str:
     from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
 
     ctes = kmeans_ctes(
-        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64
+        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64,
+        train_where=train_where,
     )
     cells = f"a{_KM_ROUNDS}"
     return (
@@ -563,6 +564,68 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     cells = kmeans_cells(emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64)
+    queries = cells.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("cell_id").alias("qcell"),
+    )
+    scored = cells.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("match_id"),
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+_SAMPLE_MOD = 4  # deterministic 1-in-4 training sample (vec_id % 4 = 0)
+
+
+@query(
+    "ann_ivf_kmeans_sampled_topk",
+    sql=_sql_ivf_kmeans(train_where=f"vec_id % {_SAMPLE_MOD} = 0"),
+)
+def ann_ivf_kmeans_sampled_topk(spark, sf_dir):
+    """The 100 TB index-BUILD path made concrete: the kmeans
+    codebook is trained on a deterministic 1-in-{mod} id sample
+    (standard FAISS practice — codebook quality needs samples, not
+    the corpus), so per Lloyd round the training scan reads sample
+    rows instead of everything; the one-off FULL-corpus pass is only
+    the final cell assignment, still a join-free projection against
+    the literal trained centroids. Everything downstream (probe,
+    in-cell exact cosine, top-k) is identical to
+    ann_ivf_kmeans_topk, and the oracle re-derives the
+    sampled-trained codebook via the shared kmeans_ctes chain
+    (training CTEs read the filtered sample, the final assignment
+    reads the corpus). tests/test_round9_ops.py pins that sampled
+    training keeps the quantization-error win over the seeded index
+    and stays within noise of full training on recall."""
+    from lol_data_pipeline_spark.operators.clustering import (
+        kmeans_cells,
+        kmeans_train,
+    )
+    from lol_data_pipeline_spark.operators.similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = kmeans_train(
+        emb.filter(F.col("vec_id") % _SAMPLE_MOD == 0),
+        k=_IVF_CELLS,
+        rounds=_KM_ROUNDS,
+        dim=64,
+    )
+    cells = kmeans_cells(
+        emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64, cents=cents
+    )
     queries = cells.filter(
         (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
         | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))

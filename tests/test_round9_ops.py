@@ -288,6 +288,54 @@ def test_ivfpq_kmeans_full_composition(spark, sf_dir):
     assert full_recall >= single_recall, (full_recall, single_recall)
 
 
+def test_sampled_training_holds_index_quality(spark, sf_dir):
+    """The 100 TB index-build claim, made falsifiable: training the
+    codebook on a deterministic 1-in-4 sample must (a) retain the
+    quantization-error win over the seeded index (measured 0.96
+    sampled vs 0.93 full-trained vs 1.63 seeded — sampling keeps
+    ~96% of the improvement at a quarter of the training scan) and
+    (b) not lose recall vs full training (measured 37 vs 28 of 100
+    here — on isotropic data cell-boundary noise dominates and the
+    sampled optimum happens to suit these queries; the slack below
+    tolerates a regeneration flipping that noise, not a real
+    quality loss)."""
+    from lol_data_pipeline_spark.plans.round9 import _SAMPLE_MOD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb_rows])
+    x = np.array([list(r.embedding) for r in emb_rows], dtype=np.float64)
+
+    sampled_cents = kmeans_train(
+        emb.filter(F.col("vec_id") % _SAMPLE_MOD == 0),
+        k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64,
+    )
+    sc = np.array([c for _, c in sampled_cents])
+    seeded_c = x[np.argsort(ids)][: _IVF_CELLS]
+
+    def qerr(cents):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return float(d2.min(axis=1).mean())
+
+    assert qerr(sc) < 0.7 * qerr(seeded_c), (qerr(sc), qerr(seeded_c))
+
+    qids = [
+        r.vec_id
+        for r in emb_rows
+        if _KMQ_LO <= r.vec_id < _KMQ_HI or _KMQ_TAIL_LO <= r.vec_id < _KMQ_TAIL_HI
+    ]
+    exact = _exact_topk(emb_rows, qids, _K)
+    sampled = _matches_by_query(
+        REGISTRY["ann_ivf_kmeans_sampled_topk"].fn(spark, sf_dir).collect()
+    )
+    full = _matches_by_query(
+        REGISTRY["ann_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    )
+    sampled_recall = sum(len(sampled.get(q, set()) & exact[q]) for q in exact)
+    full_recall = sum(len(full.get(q, set()) & exact[q]) for q in exact)
+    assert sampled_recall + 5 >= full_recall, (sampled_recall, full_recall)
+
+
 def test_adc_refine_stage_shared(spark, sf_dir):
     """pq_cosine_topk and ivfpq_topk share _adc_refine_topk — pin the
     output contracts so a helper change that breaks either surface
