@@ -72,6 +72,11 @@ def _assign_expr(vec_col, xx_col, cents: list[tuple[int, list[float]]]):
         )
         for cid, cvec in cents
     ]
+    # F.least requires >= 2 args; a codebook can legitimately shrink
+    # to one centroid (every assignment tied to it — e.g. duplicate
+    # seed vectors), and the single survivor is then everyone's cell.
+    if len(candidates) == 1:
+        return candidates[0]["cid"]
     return F.least(*candidates)["cid"]
 
 
