@@ -520,6 +520,11 @@ def pq_encode(
     least() with (d2, j) lexicographic tie-break; all folds share
     the sequential order DuckDB's list_inner_product uses)."""
     ncent = len(seeds)
+    if ncent < 2:
+        # the SQL least(...) below needs >= 2 candidates, and a
+        # 1-codeword codebook cannot quantize anything — fail loudly
+        # instead of letting Spark reject the expression later.
+        raise ValueError(f"pq_encode: codebook needs >= 2 seeds, got {ncent}")
     subc = [
         [seeds[j][s * dsub : (s + 1) * dsub] for j in range(ncent)] for s in range(m)
     ]

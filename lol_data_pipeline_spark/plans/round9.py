@@ -56,28 +56,16 @@ _KMQ_LO, _KMQ_HI = 100, 110
 _KMQ_TAIL_LO, _KMQ_TAIL_HI = 490, 500
 
 
-def _sql_ivfpq() -> str:
-    from lol_data_pipeline_spark.plans.extensions import SQL_COS
-
-    return f"""
-    WITH cent AS (
-      SELECT vec_id AS cell_id, embedding AS centvec
-      FROM embeddings WHERE vec_id < {_IVF_CELLS}
-    ),
-    assigned AS (
-      SELECT vec_id, embedding, cell_id,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC,
-                        cell_id) AS rn
-      FROM embeddings CROSS JOIN cent
-    ),
-    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
-    qprobe AS (
-      SELECT vec_id AS query_id, embedding AS qvec, cell_id AS pcell,
-             rn AS probe_rank
-      FROM assigned WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
-    ),
-    cents AS (
+def _pq_xhat_ctes() -> str:
+    """The raw-vector PQ encode→reconstruct oracle block (codebook =
+    lowest-{nc} vectors, per-subspace argmin by (d², j), xhat =
+    concatenated chosen sub-centroids), shared VERBATIM by the
+    ann_ivfpq_topk and ann_ivfpq_kmeans_topk oracles so the two
+    cannot drift — the same one-definition rule the Spark side gets
+    from pq_encode. (ann_ivfpq_residual_topk's block is structurally
+    different — it encodes residuals and reconstructs c + r̂ — and
+    stays separate.)"""
+    return f"""cents AS (
       SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
       FROM embeddings WHERE vec_id < {_PQ_NCENT}
     ),
@@ -109,7 +97,31 @@ def _sql_ivfpq() -> str:
     xhat AS (
       SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
       FROM chosen GROUP BY 1
+    )"""
+
+
+def _sql_ivfpq() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS centvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
     ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY {SQL_COS.format(a='embedding', b='centvec')} DESC,
+                        cell_id) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cell_id FROM assigned WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cell_id AS pcell,
+             rn AS probe_rank
+      FROM assigned WHERE vec_id < {_NQ} AND rn <= {_NPROBE}
+    ),
+    {_pq_xhat_ctes()},
     approx AS (
       SELECT q.query_id, c.vec_id AS match_id, q.qvec,
              CAST(q.probe_rank AS BIGINT) AS probe_rank,
@@ -383,39 +395,7 @@ def _sql_ivfpq_kmeans() -> str:
            OR (e.vec_id >= {_KMQ_TAIL_LO} AND e.vec_id < {_KMQ_TAIL_HI})
       ) WHERE rn <= {_NPROBE}
     ),
-    cents AS (
-      SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
-      FROM embeddings WHERE vec_id < {_PQ_NCENT}
-    ),
-    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
-    cs2 AS (
-      SELECT s.s, c.j, list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS cs,
-             list_inner_product(
-               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}),
-               list_slice(c.c, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB})
-             ) AS cc
-      FROM cents c CROSS JOIN sub s
-    ),
-    xs2 AS (
-      SELECT x.vec_id, s.s,
-             list_slice(CAST(x.embedding AS DOUBLE[]), s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
-      FROM embeddings x CROSS JOIN sub s
-    ),
-    d AS (
-      SELECT xs2.vec_id, xs2.s, c.j, c.cs,
-             list_inner_product(xs2.xsl, xs2.xsl)
-               - 2 * list_inner_product(xs2.xsl, c.cs) + c.cc AS d2
-      FROM xs2 JOIN cs2 c ON c.s = xs2.s
-    ),
-    chosen AS (
-      SELECT vec_id, s, cs FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
-      ) WHERE rn = 1
-    ),
-    xhat AS (
-      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
-      FROM chosen GROUP BY 1
-    ),
+    {_pq_xhat_ctes()},
     approx AS (
       SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
              CAST(q.probe_rank AS BIGINT) AS probe_rank,
