@@ -581,3 +581,51 @@ def test_softweight_report_matches_python_model(spark, groups):
         assert r.group_size == sizes[seed], r
         assert r.weight_bp == 10000 // sizes[seed], r
         assert r.is_canonical == (d == canon[seed]), r
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_kmeans_training_objective_monotone(spark, vals):
+    """Lloyd's guarantee, fixed-point edition: the quantization
+    objective J(cents) = Σ min_c |x − c|² must be non-increasing
+    across update rounds for ARBITRARY inputs — each update step
+    recomputes per-cluster means (exact up to the 2^-20 fixed-point
+    grid) and each assignment step picks the nearer centroid. The
+    epsilon absorbs the quantization: a snapped mean is within
+    dim·2^-20 per coordinate of the true minimizer, so the per-round
+    J regression is bounded far below 1e-3·N."""
+    from lol_data_pipeline_spark.operators.clustering import kmeans_train
+
+    rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(vals)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import numpy as np
+
+    x = np.array(
+        [list(r.embedding) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+
+    def j(cents):
+        c = np.array([v for _, v in cents])
+        return float(((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).min(axis=1).sum())
+
+    prev = None
+    for r in range(3):
+        cur = j(kmeans_train(emb, k=2, rounds=r, dim=4))
+        if prev is not None:
+            assert cur <= prev + 1e-3 * len(vals), (r, cur, prev)
+        prev = cur
