@@ -1,0 +1,106 @@
+"""BPE merge training — tokenizer induction over a document corpus.
+
+The missing third of the text-tokenization story: `text_token_bpe`
+(plans/extensions.py) APPLIES a fixed regex pre-tokenizer; this module
+LEARNS the merge table the way byte-pair-encoding training does —
+iteratively count adjacent-symbol pairs across the corpus and merge
+the most frequent pair, greedy-leftmost within each word.
+
+Representation: each distinct word rides as a single separator-joined
+string ``·h·e·l·l·o·`` (U+00B7 cannot appear in the [a-z]+ word
+charset), so one literal ``replace('·l·r·' → '·lr·')`` applies a merge
+corpus-wide with exactly BPE's greedy-leftmost non-overlapping
+semantics — both engines' ``replace`` scans left to right, which is
+what makes the DuckDB oracle reproduce training bit-for-bit.
+
+Scale notes (100 TB):
+- the corpus is scanned ONCE (word extraction + count); every
+  training round then runs on the DISTINCT-WORD table weighted by
+  frequency — vocabulary-sized (Heaps' law: ~N^0.5), not
+  corpus-sized, the same reduction real BPE trainers use.
+- per round: one explode of per-word adjacent pairs + a map-side
+  combined hash aggregate, a 1-ROW collect (the argmax pair — the
+  kmeans broadcast-iterate pattern), and a pure-projection literal
+  replace. Lineage stays `rounds` projections deep over the persisted
+  vocab; no shuffle of anything corpus-sized after the first pass.
+- determinism: ties break (count DESC, left ASC, right ASC) on ASCII
+  strings — identical collation in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "·"  # '·' — outside the [a-z]+ word alphabet by construction
+
+
+def corpus_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n): distinct separator-joined lowercase words with corpus
+    frequencies — the vocabulary table every training round reads."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("raw")
+        )
+        .filter(F.col("raw") != "")
+        .groupBy("raw")
+        .agg(F.count("*").alias("n"))
+    )
+    return words.select(
+        F.concat(
+            F.lit(SEP), F.regexp_replace(F.col("raw"), "(.)", "$1" + SEP)
+        ).alias("w"),
+        "n",
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol pair counts over the
+    current vocabulary representation."""
+    syms = F.filter(F.split(F.col("w"), SEP), lambda x: x != F.lit(""))
+    zipped = F.arrays_zip(
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+    )
+    return (
+        words.select(F.explode(zipped).alias("z"), "n")
+        .select(F.col("z")["0"].alias("l"), F.col("z")["1"].alias("r"), "n")
+        .groupBy("l", "r")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns one row per merge:
+    (round, left_sym, right_sym, merged, cnt) — the merge table a
+    tokenizer would persist. Bounded driver traffic: ONE row per
+    round (the argmax pair), the broadcast-iterate pattern."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+
+    spark = docs.sparkSession
+    words = tracked_persist(corpus_words(docs, text_col))
+    merges = []
+    for i in range(rounds):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary of 1-char words only — nothing to merge
+            break
+        l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((i, l, r, l + r, cnt))
+        words = words.select(
+            F.replace(
+                F.col("w"),
+                F.lit(SEP + l + SEP + r + SEP),
+                F.lit(SEP + l + r + SEP),
+            ).alias("w"),
+            "n",
+        )
+    return spark.createDataFrame(
+        merges, "round bigint, left_sym string, right_sym string, merged string, cnt bigint"
+    )

@@ -628,3 +628,74 @@ def ann_ivf_kmeans_sampled_topk(spark, sf_dir):
         .filter(F.col("rank") <= _K)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _sql_bpe_train() -> str:
+    """Oracle: the identical train loop unrolled — vocabulary CTE,
+    then per round (pair counts over the current representation →
+    argmax by (cnt DESC, l, r) → literal separator replace). chr(183)
+    is the U+00B7 separator operators/bpe.py uses."""
+    ctes = [
+        """words AS (
+      SELECT word AS raw, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+      ) t(word) WHERE word <> '' GROUP BY 1
+    )""",
+        """w0 AS (
+      SELECT chr(183) || regexp_replace(raw, '(.)', '\\1' || chr(183), 'g') AS w, n
+      FROM words
+    )""",
+    ]
+    for i in range(_BPE_ROUNDS):
+        ctes.append(f"""p{i} AS (
+      SELECT z[1] AS l, z[2] AS r, CAST(sum(n) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_zip(
+                 list_slice(syms, 1, len(syms) - 1),
+                 list_slice(syms, 2, len(syms)))) AS z, n
+        FROM (SELECT list_filter(string_split(w, chr(183)), x -> x <> '') AS syms, n FROM w{i})
+      )
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{i} AS (
+      SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""w{i + 1} AS (
+      SELECT replace(w, chr(183) || (SELECT l FROM b{i}) || chr(183) || (SELECT r FROM b{i}) || chr(183),
+                     chr(183) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(183)) AS w, n
+      FROM w{i}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM b{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY round"
+    )
+
+
+@query("text_bpe_train", sql=_sql_bpe_train())
+def text_bpe_train(spark, sf_dir):
+    """LEARN a BPE merge table from the corpus ({r} rounds) — the
+    tokenizer-TRAINING op that completes the text-tokenization story
+    (text_token_bpe only APPLIES a fixed pre-tokenizer). Per round:
+    frequency-weighted adjacent-symbol pair counts over the DISTINCT
+    WORD table (vocabulary-sized, not corpus-sized — the corpus is
+    scanned exactly once for word extraction), a 1-row argmax
+    collect (broadcast-iterate, bounded driver traffic), and a
+    literal separator-replace that applies the merge corpus-wide as
+    a pure projection. Merge application is separator-consuming
+    leftmost replace — deterministic and engine-identical (the
+    oracle unrolls the same loop); it differs from canonical HF BPE
+    only on odd-length runs of a merged SELF-pair (···aaaa··· keeps
+    an unmerged boundary canonical BPE would pair), a documented,
+    count-neutral artifact: the next round recounts from the actual
+    representation. See operators/bpe.py."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(T(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS)

@@ -347,3 +347,50 @@ def test_adc_refine_stage_shared(spark, sf_dir):
     assert dict(ivfpq.dtypes)["probe_rank"] == "bigint"
     assert dict(ivfpq.dtypes)["rank"] == "bigint"
     assert dict(pq.dtypes)["rank"] == "bigint"
+
+
+def test_bpe_train_toy_corpus_semantics(spark):
+    """Hand-checkable training: corpus 'low low low lower newest'
+    (per doc). Round 0 must merge the most frequent weighted pair
+    with deterministic (cnt DESC, l, r) tie-breaks, each round's
+    merged symbol is left||right, and winning counts never increase
+    across rounds (a new pair's count is bounded by the merge that
+    created its symbol)."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower newest"), (1, "lowest low newest")],
+        "doc_id long, text string",
+    )
+    rows = bpe_train_merges(docs, rounds=3).collect()
+    assert [r.round for r in rows] == [0, 1, 2]
+    # 'lo' and 'ow' both appear in every 'low*' token (6 occurrences);
+    # the (cnt DESC, l, r) tie-break picks 'lo' first, after which
+    # 'lo'+'w' is the 6-count survivor.
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].cnt) == ("l", "o", 6)
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].cnt) == ("lo", "w", 6)
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_bpe_merge_application_is_separator_consuming_leftmost(spark):
+    """Pin the documented merge-application semantics: one
+    separator-replace pass per round, leftmost non-overlapping with
+    the shared separator consumed — 'aaaa' becomes [aa, a, a] after
+    an (a, a) merge (canonical HF BPE would give [aa, aa]; the
+    deviation exists only on odd runs of a SELF-pair and both
+    engines implement it identically, which is what the oracle
+    checks). The next round recounts from the ACTUAL representation
+    [aa, a, a]: the leftover (a, a) adjacency (count 2) ties with
+    (aa, a) and wins the (cnt DESC, l, r) tie-break, so round 1
+    re-merges (a, a) — converging the run to the canonical [aa, aa]
+    one round late instead of losing it."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_train_merges
+
+    docs = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    rows = bpe_train_merges(docs, rounds=2).collect()
+    assert (rows[0].left_sym, rows[0].right_sym) == ("a", "a")
+    assert (rows[0].cnt) == 6  # 3 adjacencies x 2 occurrences (overlap counted)
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].cnt) == ("a", "a", 2)
