@@ -1,9 +1,14 @@
-"""Round-9 additions: the production vector-index compositions —
-IVF+PQ (coarse inverted lists × compressed-code candidate scan), its
-RESIDUAL-encoding twin (canonical IVFADC, registered with a measured
-analysis of when by_residual helps and when it hurts), and a
-kmeans-TRAINED IVF index (closing the "production would k-means
-them" gap the seeded IVF documents).
+"""Round-9 additions. The production vector-index family, each axis
+in its production form: IVF+PQ (coarse inverted lists ×
+compressed-code candidate scan), its RESIDUAL-encoding twin
+(canonical IVFADC, registered with a measured analysis of when
+by_residual helps and when it hurts), a kmeans-TRAINED IVF index
+(closing the "production would k-means them" gap the seeded IVF
+documents), the COMPLETE composition (trained coarse quantizer +
+multi-probe + PQ + exact rescore), and SAMPLE-trained codebooks (the
+100 TB build-cost path). Plus text_bpe_train — BPE tokenizer
+induction over the document corpus (vocabulary-sized training
+rounds, oracle-unrolled).
 
 Registered AFTER every other plans module on purpose (same window
 discipline as plans/round8.py): the driver's correctness gate samples
