@@ -9,9 +9,17 @@ the most frequent pair, greedy-leftmost within each word.
 Representation: each distinct word rides as a single separator-joined
 string ``·h·e·l·l·o·`` (U+00B7 cannot appear in the [a-z]+ word
 charset), so one literal ``replace('·l·r·' → '·lr·')`` applies a merge
-corpus-wide with exactly BPE's greedy-leftmost non-overlapping
-semantics — both engines' ``replace`` scans left to right, which is
-what makes the DuckDB oracle reproduce training bit-for-bit.
+corpus-wide, leftmost non-overlapping — both engines' ``replace``
+scans left to right, which is what makes the DuckDB oracle reproduce
+training bit-for-bit. Deviation from canonical greedy-leftmost BPE:
+the replace CONSUMES the shared boundary separator, so ANY
+back-to-back repetition of the merged pair skips its second
+occurrence — ``·a·n·a·n·a·`` with merge (a, n) yields [an, a, n, a]
+where canonical BPE gives [an, an, a]; the self-pair odd-run case
+(``·a·a·a·a·`` → [aa, a, a]) is one instance, not the whole scope.
+Count-neutral: the next round recounts from the actual
+representation, so the skipped adjacency re-surfaces and converges
+a round late (pinned in tests/test_round9_ops.py).
 
 Scale notes (100 TB):
 - the corpus is scanned ONCE (word extraction + count); every

@@ -59,6 +59,14 @@ _KM_ROUNDS = 5
 # contract every ANN entry relies on.
 _KMQ_LO, _KMQ_HI = 100, 110
 _KMQ_TAIL_LO, _KMQ_TAIL_HI = 490, 500
+# Deterministic 1-in-4 training sample (vec_id % 4 = 0) — the 100 TB
+# index-build path: codebook quality needs samples, not the corpus.
+# Shared by ann_ivf_kmeans_sampled_topk AND the flagship
+# ann_ivfpq_kmeans_topk (its own sampled twin measured 96% of the
+# quantization-error win at 1/4 the training scan, recall 37>=28, so
+# the flagship composes from the sampled codebook).
+_SAMPLE_MOD = 4
+_SAMPLE_WHERE = f"vec_id % {_SAMPLE_MOD} = 0"
 
 
 def _pq_xhat_ctes() -> str:
@@ -377,7 +385,8 @@ def _sql_ivfpq_kmeans() -> str:
     from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
 
     ctes = kmeans_ctes(
-        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64
+        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64,
+        train_where=_SAMPLE_WHERE,
     )
     cells = f"a{_KM_ROUNDS}"
     trained = f"c{_KM_ROUNDS}"
@@ -435,11 +444,15 @@ def _sql_ivfpq_kmeans() -> str:
 @query("ann_ivfpq_kmeans_topk", sql=_sql_ivfpq_kmeans())
 def ann_ivfpq_kmeans_topk(spark, sf_dir):
     """The COMPLETE production vector index — every stage in its
-    production form, composed: kmeans-TRAINED coarse quantizer
-    ({cells} cells, {r} fixed-point Lloyd rounds), MULTI-PROBE query
-    routing (nprobe={np} nearest trained cells), PQ-compressed
-    candidate scan (m={m}×{nc} codebook, no-residual — the variant
-    that measured BETTER on this unit-norm corpus, see
+    production form, composed: kmeans-trained coarse quantizer on a
+    deterministic 1-in-{mod} SAMPLE ({cells} cells, {r} fixed-point
+    Lloyd rounds — sampled training is the 100 TB build path; the
+    repo's own twin measured 96% of the quantization-error win at
+    1/4 the training scan and recall 37>=28 on the fair query set,
+    so per Lloyd round the scan is sample-sized, not corpus-sized),
+    MULTI-PROBE query routing (nprobe={np} nearest trained cells),
+    PQ-compressed candidate scan (m={m}×{nc} codebook, no-residual —
+    the variant that measured BETTER on this unit-norm corpus, see
     ann_ivfpq_residual_topk), exact-cosine rescore of refine·k.
     Plan shape: the ONLY joins are the equi broadcast join of
     Q×nprobe probe rows against cell membership and the bounded
@@ -450,28 +463,34 @@ def ann_ivfpq_kmeans_topk(spark, sf_dir):
     ranges (constant 20 at any SF). The oracle re-derives the
     trained codebook (shared kmeans_ctes), probe ranks, PQ codes,
     ADC order, and rescore end-to-end."""
-    from lol_data_pipeline_spark.operators.clustering import kmeans_cells, kmeans_train
+    from lol_data_pipeline_spark.operators.clustering import (
+        _cc,
+        kmeans_cells,
+        kmeans_train,
+    )
     from lol_data_pipeline_spark.operators.similarity import dot
 
     emb = T(spark, sf_dir, "embeddings")
-    cents = kmeans_train(emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64)
+    cents = kmeans_train(
+        emb.filter(F.col("vec_id") % _SAMPLE_MOD == 0),
+        k=_IVF_CELLS,
+        rounds=_KM_ROUNDS,
+        dim=64,
+    )
     cells = kmeans_cells(
         emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64, cents=cents
     )
 
-    def _cc_seq(cv):
-        acc = 0.0
-        for v in cv:
-            acc = acc + v * v
-        return acc
-
     x = F.col("embedding").cast("array<double>")
     xx = dot(x, x)
+    # |c|² via clustering._cc — the ONE definition of the sequential
+    # fold whose left-to-right order is bit-parity-critical against
+    # the oracle's list_inner_product.
     probe_structs = F.array_sort(
         F.array(
             *[
                 F.struct(
-                    (xx - 2 * dot(x, F.lit([float(v) for v in cv])) + F.lit(_cc_seq(cv))).alias("d2"),
+                    (xx - 2 * dot(x, F.lit([float(v) for v in cv])) + F.lit(_cc(cv))).alias("d2"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, cv in cents
@@ -573,12 +592,9 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
-_SAMPLE_MOD = 4  # deterministic 1-in-4 training sample (vec_id % 4 = 0)
-
-
 @query(
     "ann_ivf_kmeans_sampled_topk",
-    sql=_sql_ivf_kmeans(train_where=f"vec_id % {_SAMPLE_MOD} = 0"),
+    sql=_sql_ivf_kmeans(train_where=_SAMPLE_WHERE),
 )
 def ann_ivf_kmeans_sampled_topk(spark, sf_dir):
     """The 100 TB index-BUILD path made concrete: the kmeans
@@ -697,10 +713,12 @@ def text_bpe_train(spark, sf_dir):
     a pure projection. Merge application is separator-consuming
     leftmost replace — deterministic and engine-identical (the
     oracle unrolls the same loop); it differs from canonical HF BPE
-    only on odd-length runs of a merged SELF-pair (···aaaa··· keeps
-    an unmerged boundary canonical BPE would pair), a documented,
-    count-neutral artifact: the next round recounts from the actual
-    representation. See operators/bpe.py."""
+    on ANY adjacent repetition of the merged pair (the shared
+    boundary separator is consumed, so ···anana··· under merge
+    (a, n) keeps an unmerged second occurrence canonical BPE would
+    pair — odd self-pair runs like ···aaaa··· are one instance), a
+    documented, count-neutral artifact: the next round recounts from
+    the actual representation. See operators/bpe.py."""
     from lol_data_pipeline_spark.operators.bpe import bpe_train_merges
 
     return bpe_train_merges(T(spark, sf_dir, "documents"), rounds=_BPE_ROUNDS)

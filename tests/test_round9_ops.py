@@ -380,8 +380,9 @@ def test_bpe_merge_application_is_separator_consuming_leftmost(spark):
     separator-replace pass per round, leftmost non-overlapping with
     the shared separator consumed — 'aaaa' becomes [aa, a, a] after
     an (a, a) merge (canonical HF BPE would give [aa, aa]; the
-    deviation exists only on odd runs of a SELF-pair and both
-    engines implement it identically, which is what the oracle
+    deviation covers ANY adjacent repetition of the merged pair —
+    see the non-self-pair 'anana' test below — and both engines
+    implement it identically, which is what the oracle
     checks). The next round recounts from the ACTUAL representation
     [aa, a, a]: the leftover (a, a) adjacency (count 2) ties with
     (aa, a) and wins the (cnt DESC, l, r) tie-break, so round 1
@@ -394,3 +395,37 @@ def test_bpe_merge_application_is_separator_consuming_leftmost(spark):
     assert (rows[0].left_sym, rows[0].right_sym) == ("a", "a")
     assert (rows[0].cnt) == 6  # 3 adjacencies x 2 occurrences (overlap counted)
     assert (rows[1].left_sym, rows[1].right_sym, rows[1].cnt) == ("a", "a", 2)
+
+
+def test_bpe_boundary_consumption_covers_non_self_pairs(spark):
+    """The separator-consumption deviation is NOT limited to self-pair
+    runs: any back-to-back repetition of the merged pair shares its
+    boundary separator. 'anana' under merge (a, n): canonical
+    greedy-leftmost BPE yields [an, an, a]; the literal replace
+    consumes the shared '·' and yields [an, a, n, a]. Pin it via the
+    round-1 recount: after round 0 merges (a, n), the leftover (a, n)
+    adjacency in 'anana' plus the (an, a) adjacencies decide round 1 —
+    if the second 'an' HAD merged, (a, n) would not survive round 0.
+
+    Corpus 'anana an': round 0 pairs are (a,n)x3+1=... weighted —
+    'anana' contributes (a,n):2 (overlapping adjacency positions 0-1
+    and 2-3), (n,a):2; 'an' contributes (a,n):1. (a,n)=3 wins the
+    tie over (n,a)=2. After replace, 'anana' -> ·an·a·n·a· — the
+    surviving (a, n) at positions 1-2 proves the second occurrence
+    was skipped."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_train_merges, SEP, corpus_words
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(0, "anana an")], "doc_id long, text string")
+    rows = bpe_train_merges(docs, rounds=1).collect()
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].cnt) == ("a", "n", 3)
+    # Apply the same replace corpus_words+round-0 would and inspect the
+    # actual representation of 'anana'.
+    words = corpus_words(docs).select(
+        F.replace(
+            F.col("w"), F.lit(SEP + "a" + SEP + "n" + SEP), F.lit(SEP + "an" + SEP)
+        ).alias("w")
+    )
+    reps = {r.w for r in words.collect()}
+    assert SEP + "an" + SEP + "a" + SEP + "n" + SEP + "a" + SEP in reps  # NOT ·an·an·a·
+    assert SEP + "an" + SEP in reps
