@@ -144,6 +144,15 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_kmeans_topk",
+    # r10: the MATERIALIZED index. The warm run builds (or reuses)
+    # the persisted cell_id-partitioned index; the measured runs are
+    # pure SERVE cost — pruned code scan + decode + bounded rescore —
+    # which is the number that matters at 100 TB (the build is
+    # amortized across every query batch). ann_index_upsert is NOT
+    # benched: its wall is the one-time build of its private index
+    # copy plus a bounded ≤k-partition rewrite — write-staging cost,
+    # no query-engine signal (same policy as ref_csv_scan).
+    "ann_ivfpq_served_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

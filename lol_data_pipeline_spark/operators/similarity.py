@@ -504,6 +504,7 @@ def pq_encode(
     id_alias: str = "match_id",
     vec_alias: str = "cvec",
     widen_input: bool = True,
+    emit: str = "xhat",
 ) -> DataFrame:
     """PQ index-build stage: encode every vector as m subspace codes
     (argmin-distance centroid per dsub-dim slice against the literal
@@ -518,7 +519,17 @@ def pq_encode(
     columns to carry through (e.g. an IVF cell id) pass via ``keep``.
     Candidate ties and distances are bit-deterministic (struct
     least() with (d2, j) lexicographic tie-break; all folds share
-    the sequential order DuckDB's list_inner_product uses)."""
+    the sequential order DuckDB's list_inner_product uses).
+
+    ``emit``: "xhat" (default) keeps the in-query ADC form above;
+    "codes" emits the m small-int code columns ``code0..code{m-1}``
+    INSTEAD of xhat and drops the full-precision ride-along — the
+    PERSISTED index form (m bytes per vector, the 100 TB storage
+    win; operators/vector_index.py decodes back to the bit-identical
+    xhat at serve time from the same literal codebook). One
+    definition of the per-subspace argmin feeds both forms: the
+    candidate struct already carries (d2, j, c) and the two modes
+    just project different fields of the same winner."""
     ncent = len(seeds)
     if ncent < 2:
         # the SQL least(...) below needs >= 2 candidates, and a
@@ -565,6 +576,15 @@ def pq_encode(
         )
         sel_cols.append(F.expr(f"least({cands})").alias(f"sel{s}"))
     enc = with_xx.select(id_alias, vec_alias, *keep, *sel_cols)
+    if emit == "codes":
+        return enc.select(
+            id_alias,
+            *keep,
+            *[
+                F.col(f"sel{s}.j").cast("int").alias(f"code{s}")
+                for s in range(m)
+            ],
+        )
     return enc.select(
         id_alias,
         vec_alias,

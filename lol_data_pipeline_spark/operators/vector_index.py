@@ -1,0 +1,405 @@
+"""Materialized IVF+PQ vector index: build ONCE as a
+``cell_id``-partitioned parquet table plus a tiny JSON sidecar
+(trained coarse centroids, PQ codebook, source fingerprint), then
+SERVE queries via partition pruning — the amortized-index form of
+plans/round9.py's per-query ann_ivfpq_kmeans_topk composition.
+
+This executes the repo's central 100 TB claim (SCALE.md, round 9):
+"at 100 TB the assignment becomes an index BUILD — cell_id as a
+partition column; probes become partition pruning". Concretely:
+
+- BUILD (once, amortized over every query): sample-trained kmeans
+  coarse quantizer (1-in-4 ids — codebook quality needs samples, not
+  the corpus), full-corpus cell assignment as a join-free projection
+  against the literal trained centroids, PQ encode to m small-int
+  codes per vector (``pq_encode(emit="codes")`` — m bytes/vector,
+  the storage win), written hive-partitioned by ``cell_id``
+  (io.write_overwrite). The codebook + PQ seeds persist in a
+  ``_index_meta.json`` sidecar INSIDE the index directory (the
+  leading underscore keeps it invisible to the parquet reader, like
+  ``_SUCCESS``), alongside a source-content fingerprint so a
+  regenerated corpus rebuilds instead of serving stale cells.
+- SERVE (per query batch): probe selection is the same join-free
+  posexplode-over-literal-centroids projection the in-query entries
+  use (:func:`ivf_probe_rows` — ONE definition, plans/round9.py
+  imports it too); the probed cell ids (bounded by the codebook
+  size, ≤ k cells total regardless of query count) become LITERAL
+  partition filters on the index scan, so Spark prunes to nprobe
+  directories and reads ONLY the m code columns — at 100 TB the
+  probe touches nprobe/C of the files and m/ (dim·4) of the bytes,
+  multiplicatively. Decode back to the ADC reconstruction x̂ is a
+  pure projection against the sidecar codebook
+  (:func:`pq_decode_expr` — the SAME literal doubles pq_encode's
+  in-query xhat carries, so served results are bit-identical to the
+  recomputing flagship and share its DuckDB oracle). Exact-cosine
+  rescore joins the bounded refine·k candidate set back to the
+  full-precision source table (broadcast of the candidates; the
+  corpus is never shuffled).
+- MAINTAIN (incremental): :func:`index_upsert` assigns a NEW vector
+  batch to the FROZEN persisted codebook (pure projection — no
+  retraining), merges per affected partition (existing rows minus
+  replaced ids, union new rows) and rewrites ONLY those partitions
+  via io.write_upsert_partitions (dynamic partition overwrite) — the
+  idempotent daily-ingest pattern: re-running the same batch is a
+  no-op by construction. Affected partitions are bounded by the
+  codebook size (≤ k), never by batch or corpus size.
+
+Reference parity: the reference's pipeline persists fetched match
+documents and re-serves them without refetching (reference
+src/api/db.py:23-38 truncate-and-load); this module is the same
+build-once/serve-many contract applied to the vector-index family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.io import table_path, write_upsert_partitions, write_overwrite
+from lol_data_pipeline_spark.operators.clustering import _cc, kmeans_cells, kmeans_train
+from lol_data_pipeline_spark.operators.similarity import (
+    _arr_sql,
+    _DOT_SQL,
+    cosine,
+    dot,
+    pq_encode,
+)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+INDEX_ROOT = os.environ.get(
+    "SPARK_GRAFT_INDEX_DIR",
+    os.path.join(_REPO_ROOT, "spark-warehouse", "vector_index"),
+)
+_META_NAME = "_index_meta.json"
+
+
+def pq_code_cols(m: int) -> list[str]:
+    return [f"code{s}" for s in range(m)]
+
+
+def pq_decode_expr(seeds: list[list[float]], m: int, dsub: int):
+    """Reconstruct x̂ from persisted codes: concat of
+    ``element_at(<literal sub-codebook>, code_s + 1)`` per subspace —
+    a pure projection whose output doubles are the SAME literals
+    pq_encode's in-query xhat carries (``repr`` round-trips IEEE
+    doubles exactly), so ADC ranking over a served index is
+    bit-identical to ranking over an in-query encode."""
+    subc = [
+        [seeds[j][s * dsub : (s + 1) * dsub] for j in range(len(seeds))]
+        for s in range(m)
+    ]
+    parts = []
+    for s in range(m):
+        arr2 = "array(" + ", ".join(_arr_sql(c) for c in subc[s]) + ")"
+        parts.append(f"element_at({arr2}, code{s} + 1)")
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def ivf_probe_rows(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe selection against LITERAL trained centroids:
+    (query_id, qvec, pcell, probe_rank) — join-free posexplode of
+    slice(array_sort((d², cid) structs), 1, nprobe). |c|² uses
+    clustering._cc, the one definition of the sequential fold whose
+    left-to-right order is bit-parity-critical against the oracle's
+    list_inner_product. ONE definition shared by the in-query
+    flagship (plans/round9.py) and the served index."""
+    x = F.col(vec_col).cast("array<double>")
+    xx = dot(x, x)
+    probe_structs = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        xx
+                        - 2 * dot(x, F.lit([float(v) for v in cv]))
+                        + F.lit(_cc(cv))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(F.slice(probe_structs, 1, nprobe)).alias("pos", "sel"),
+    ).select(
+        "query_id",
+        "qvec",
+        F.col("sel.cid").alias("pcell"),
+        (F.col("pos") + 1).cast("long").alias("probe_rank"),
+    )
+
+
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of the source table's files (name, size,
+    mtime_ns) — cheap staleness detection: a regenerated corpus gets
+    a rebuilt index, not stale cells."""
+    p = table_path(sf_dir, table)
+    stats: list[tuple[str, int, int]] = []
+    if os.path.isdir(p):
+        for root, _dirs, files in os.walk(p):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stats.append((f, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(p)
+        stats.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(sorted(stats)).encode()).hexdigest()
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 8,
+    rounds: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    ncent: int = 16,
+    sample_mod: int = 4,
+    dim: int = 64,
+) -> dict:
+    """The index BUILD: sample-trained codebook → full-corpus cell
+    assignment → PQ codes → hive-partitioned overwrite + sidecar.
+    Per Lloyd round the training scan reads the 1-in-``sample_mod``
+    sample; the single full-corpus pass is assignment+encode, both
+    pure projections against literal centroids. Returns the sidecar
+    metadata dict."""
+    from lol_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(
+        emb.filter(F.col("vec_id") % sample_mod == 0),
+        k=k,
+        rounds=rounds,
+        dim=dim,
+    )
+    cells = kmeans_cells(emb, k=k, rounds=rounds, dim=dim, cents=cents)
+    seed_rows = (
+        emb.orderBy("vec_id")
+        .limit(ncent)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    seeds = [[float(v) for v in r.c] for r in seed_rows]
+    codes = pq_encode(
+        cells,
+        seeds,
+        m=m,
+        dsub=dsub,
+        keep=["cell_id"],
+        id_alias="vec_id",
+        widen_input=False,
+        emit="codes",
+    )
+    write_overwrite(codes, path, partition_by=["cell_id"])
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir),
+        "params": {
+            "k": k,
+            "rounds": rounds,
+            "m": m,
+            "dsub": dsub,
+            "ncent": ncent,
+            "sample_mod": sample_mod,
+            "dim": dim,
+        },
+        "cents": [[cid, cv] for cid, cv in cents],
+        "seeds": seeds,
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    variant: str = "",
+    **params,
+) -> tuple[str, dict]:
+    """Build-if-absent-or-stale: returns (path, sidecar meta). The
+    index is keyed by the sf_dir basename (one index per corpus) and
+    an optional ``variant`` suffix (e.g. the upsert entry maintains
+    its OWN copy so its synthetic batch never leaks into the served
+    read-only index). Staleness = source fingerprint or build params
+    changed."""
+    root = root or INDEX_ROOT
+    name = os.path.basename(os.path.normpath(sf_dir)) + (
+        f"_{variant}" if variant else ""
+    )
+    path = os.path.join(root, f"ivfpq_{name}")
+    meta_path = os.path.join(path, _META_NAME)
+    want_fp = _source_fingerprint(sf_dir)
+    defaults = dict(
+        k=8, rounds=5, m=8, dsub=8, ncent=16, sample_mod=4, dim=64
+    )
+    defaults.update(params)
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == defaults:
+            return path, meta
+    except (OSError, ValueError):
+        pass
+    meta = build_ivfpq_index(spark, sf_dir, path, **defaults)
+    return path, meta
+
+
+def read_index_codes(
+    spark: SparkSession, path: str, meta: dict, cells: list[int] | None = None
+) -> DataFrame:
+    """Scan of the persisted index, pruned to ``cells`` when given
+    (literal partition filters → Spark prunes to those directories)
+    and projected to exactly (vec_id, cell_id, code*) — the scan
+    reads m code bytes per vector, never a float vector."""
+    m = meta["params"]["m"]
+    df = spark.read.parquet(path)
+    if cells is not None:
+        df = df.filter(F.col("cell_id").isin([int(c) for c in cells]))
+    return df.select("vec_id", "cell_id", *pq_code_cols(m))
+
+
+def served_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    nprobe: int = 2,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve top-k from the PERSISTED index: probe → pruned code scan
+    → decode → ADC rank → bounded exact rescore. Output schema and
+    values are identical to the in-query flagship
+    (plans/round9.py ann_ivfpq_kmeans_topk): (query_id, match_id,
+    probe_rank, sim, rank).
+
+    The probed-cell collect is bounded by the CODEBOOK size (≤ k
+    distinct cells exist no matter how many queries probe), so the
+    literal partition filter stays constant-size at any scale."""
+    from lol_data_pipeline_spark.io import load_table
+
+    path, meta = ensure_ivfpq_index(spark, sf_dir, root=index_root)
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    p = meta["params"]
+    qprobe = ivf_probe_rows(queries, cents, nprobe)
+    probed = sorted(
+        int(r.pcell) for r in qprobe.select("pcell").distinct().collect()
+    )
+    idx = read_index_codes(spark, path, meta, cells=probed)
+    xhat = idx.select(
+        F.col("vec_id").alias("match_id"),
+        "cell_id",
+        pq_decode_expr(meta["seeds"], p["m"], p["dsub"]).alias("xhat"),
+    )
+    scored = xhat.join(
+        F.broadcast(qprobe),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("match_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "match_id",
+        "qvec",
+        "probe_rank",
+        F.expr(
+            _DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
+        ).alias("approx"),
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("match_id").asc()
+    )
+    cand = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= refine * k)
+        .select("query_id", "match_id", "qvec", "probe_rank")
+    )
+    # Exact rescore against the full-precision SOURCE table (the
+    # index stores only codes): candidates are bounded (Q·refine·k
+    # rows) → broadcast them; the source is filter-joined, never
+    # shuffled.
+    src = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
+    )
+    resc = src.join(F.broadcast(cand), "match_id").select(
+        "query_id",
+        "match_id",
+        "probe_rank",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "probe_rank", "sim", "rank")
+    )
+
+
+def assign_to_index(new_vecs: DataFrame, meta: dict) -> DataFrame:
+    """Assign a NEW vector batch to the FROZEN persisted codebook and
+    PQ-encode it — a pure projection against the sidecar's literal
+    centroids (no retraining, no join, no shuffle). Returns rows in
+    the index's storage schema (vec_id, cell_id, code*)."""
+    from lol_data_pipeline_spark.operators.clustering import _assign_expr
+
+    p = meta["params"]
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    x = F.col("embedding").cast("array<double>")
+    assigned = new_vecs.select(
+        "vec_id",
+        "embedding",
+        _assign_expr(x, dot(x, x), cents).cast("long").alias("cell_id"),
+    )
+    return pq_encode(
+        assigned,
+        meta["seeds"],
+        m=p["m"],
+        dsub=p["dsub"],
+        keep=["cell_id"],
+        id_alias="vec_id",
+        widen_input=False,
+        emit="codes",
+    )
+
+
+def index_upsert(
+    spark: SparkSession, path: str, meta: dict, new_codes: DataFrame
+) -> list[int]:
+    """Merge a new encoded batch into the persisted index: for each
+    AFFECTED partition (bounded ≤ codebook size), keep existing rows
+    whose ids are not replaced, union the new rows, and dynamically
+    overwrite ONLY those partitions (io.write_upsert_partitions).
+    Idempotent: re-running the same batch rewrites identical
+    content. The merged frame is localCheckpoint()ed before the
+    write because the plan READS the same partitions it overwrites —
+    materialize-then-commit is the standard self-overwrite guard (a
+    cluster deployment would use a staging table + atomic swap).
+    Returns the affected cell ids."""
+    affected = sorted(
+        int(r.cell_id)
+        for r in new_codes.select("cell_id").distinct().collect()
+    )
+    existing = read_index_codes(spark, path, meta, cells=affected)
+    keep = existing.join(
+        F.broadcast(new_codes.select("vec_id")), "vec_id", "left_anti"
+    )
+    merged = keep.unionByName(new_codes.select(*keep.columns)).localCheckpoint()
+    write_upsert_partitions(merged, path, ["cell_id"])
+    return affected

@@ -856,7 +856,12 @@ def corpus_leakage_safe_split(spark, sf_dir):
 
 
 def kmeans_ctes(
-    k: int, assigns: int, updates: int, dim: int = 64, train_where: str = ""
+    k: int,
+    assigns: int,
+    updates: int,
+    dim: int = 64,
+    train_where: str = "",
+    assign_src: str = "e",
 ) -> list[str]:
     """Lloyd-iteration oracle CTE chain mirroring
     operators/clustering.py: ``e`` (corpus cast to DOUBLE[]), ``c0``
@@ -876,7 +881,14 @@ def kmeans_ctes(
     ``es`` and only the FINAL assignment reads the full corpus —
     the sampled-codebook index build of the 100 TB path. Empty
     (default) keeps the chain byte-identical to the unsampled form
-    every pre-existing oracle stamps."""
+    every pre-existing oracle stamps.
+
+    ``assign_src``: CTE name the FINAL assignment reads (default
+    ``e``, the corpus). The incremental index-maintenance oracle
+    (plans/round10.py) splices its own corpus∪new-batch CTE into the
+    chain and points the final assignment at it — training stays on
+    the original sample (the codebook is FROZEN), only the
+    assignment set widens."""
     dist = (
         "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
         "+ list_inner_product(c.c, c.c)"
@@ -894,7 +906,7 @@ def kmeans_ctes(
     prev = "c0"
     for i in range(assigns):
         a = f"a{i}"
-        src = seed_src if (train_where and i < assigns - 1) else "e"
+        src = seed_src if (train_where and i < assigns - 1) else assign_src
         src_clause = "e" if src == "e" else f"{src} e"
         ctes.append(f"""{a} AS (
   SELECT vec_id, x, cid AS cluster FROM (

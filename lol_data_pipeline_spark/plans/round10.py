@@ -1,0 +1,183 @@
+"""Round-10 additions: the MATERIALIZED vector index — build once as
+a cell_id-partitioned parquet table, serve probes via partition
+pruning, and maintain it incrementally against the frozen codebook.
+
+Round 9 proved every index STAGE in-query (train → assign → encode →
+probe → rescore, all oracle-matched); this round persists the build
+so serving stops recomputing it — executing SCALE.md's central 100 TB
+claim ("cell_id as a partition column; probes become partition
+pruning") as code with a hygiene-asserted plan instead of prose.
+
+Registered AFTER plans/round9.py on purpose (same window discipline):
+the driver's correctness gate samples the FIRST 50 registry entries
+and orders never-green entries by registration order — new entries
+queue behind the existing backlog.
+
+Scale notes (100 TB):
+- ann_ivfpq_served_topk amortizes the index build across every query
+  batch: the serve path touches nprobe/C of the FILES (hive partition
+  pruning on literal probed cells — the probed-cell collect is
+  bounded by the CODEBOOK size, never query count) and m/(dim·4) of
+  the BYTES per vector (the scan reads only the m small-int code
+  columns; ReadSchema is asserted in tests/test_round10_ops.py). The
+  full-precision corpus is touched only by the bounded refine·k
+  rescore, as a broadcast-candidate filter join.
+- ann_index_upsert is the daily-ingest pattern: new vectors are
+  assigned to the FROZEN trained codebook as a pure projection (no
+  retraining — production indexes are built once and fed forever),
+  and only the ≤ k affected partitions are rewritten (dynamic
+  partition overwrite). Idempotent by construction: re-running the
+  same batch rewrites identical content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.plans.queries import T, query
+from lol_data_pipeline_spark.plans.round9 import (
+    _IVF_CELLS,
+    _K,
+    _KM_ROUNDS,
+    _KMQ_HI,
+    _KMQ_LO,
+    _KMQ_TAIL_HI,
+    _KMQ_TAIL_LO,
+    _NPROBE,
+    _PQ_DSUB,
+    _PQ_M,
+    _PQ_NCENT,
+    _REFINE,
+    _SAMPLE_MOD,
+    _SAMPLE_WHERE,
+    _pq_xhat_ctes,
+    _sql_ivfpq_kmeans,
+)
+
+_INDEX_PARAMS = dict(
+    k=_IVF_CELLS,
+    rounds=_KM_ROUNDS,
+    m=_PQ_M,
+    dsub=_PQ_DSUB,
+    ncent=_PQ_NCENT,
+    sample_mod=_SAMPLE_MOD,
+    dim=64,
+)
+
+# Incremental-maintenance batch: a deterministic TRANSFORM of a
+# bounded id range (halves-swapped vectors under shifted ids), so the
+# "new" vectors are genuinely different from anything indexed while
+# remaining derivable from the shared testdata in both engines.
+_UP_LO, _UP_HI = 300, 320
+_UP_SHIFT = 100000
+
+
+@query("ann_ivfpq_served_topk", sql=_sql_ivfpq_kmeans())
+def ann_ivfpq_served_topk(spark, sf_dir):
+    """Serve top-k from the PERSISTED IVF+PQ index (built once per
+    corpus by operators/vector_index.py: sample-trained codebook,
+    cell_id-partitioned PQ codes, JSON sidecar with the literal
+    centroids + codebook + source fingerprint). The serve plan:
+    probe selection is the shared join-free projection against the
+    sidecar's literal centroids; the probed cells become LITERAL
+    partition filters (Spark prunes to nprobe directories — asserted
+    on the plan in tests/test_round10_ops.py) over a scan that reads
+    ONLY the m code columns; decode to x̂ is a pure projection whose
+    doubles are bit-identical to the in-query encode, so this entry
+    shares ann_ivfpq_kmeans_topk's oracle verbatim and returns the
+    exact same rows — recomputation and serving are provably
+    equivalent. Exact rescore joins the bounded refine·k candidates
+    (broadcast) against the full-precision source table."""
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+
+    queries = T(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    return served_ivfpq_topk(
+        spark, sf_dir, queries, k=_K, refine=_REFINE, nprobe=_NPROBE
+    )
+
+
+def _sql_index_upsert() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+        assign_src="allv",
+    )
+    # Splice the corpus∪batch CTE right after (e, es) — DuckDB CTEs
+    # may only reference earlier ones, and the final assignment
+    # (assign_src) reads allv.
+    allv = f"""allv AS (
+      SELECT vec_id, x FROM e
+      UNION ALL
+      SELECT vec_id + {_UP_SHIFT} AS vec_id,
+             list_concat(list_slice(x, 33, 64), list_slice(x, 1, 32)) AS x
+      FROM e WHERE vec_id >= {_UP_LO} AND vec_id < {_UP_HI}
+    )"""
+    ctes = ctes[:2] + [allv] + ctes[2:]
+    cells = f"a{_KM_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes(src=cells, xcol="x", emit="codes")},
+    affected AS (
+      SELECT DISTINCT cluster FROM {cells} WHERE vec_id >= {_UP_SHIFT}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell_id, c.codes
+    FROM {cells} a
+    JOIN codes c USING (vec_id)
+    JOIN affected f ON a.cluster = f.cluster
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("ann_index_upsert", sql=_sql_index_upsert())
+def ann_index_upsert(spark, sf_dir):
+    """Incremental index maintenance: assign a NEW vector batch to
+    the FROZEN persisted codebook (pure projection against the
+    sidecar's literal centroids — no retraining), PQ-encode it, and
+    merge it into the persisted index rewriting ONLY the ≤ k affected
+    partitions (dynamic partition overwrite). Returns the post-upsert
+    DISK content of the affected partitions (vec_id, cell_id, codes)
+    — re-read from parquet, so what is verified is what a subsequent
+    serve would scan. Idempotent: a re-run replaces the same ids with
+    identical rows. The entry maintains its OWN index copy
+    (variant="upsert") so the synthetic batch never leaks into
+    ann_ivfpq_served_topk's read-only index. The oracle re-derives
+    the sampled-trained codebook, assigns corpus∪batch, re-encodes,
+    and restricts to the batch's cells — end-to-end, no fixtures."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        assign_to_index,
+        ensure_ivfpq_index,
+        index_upsert,
+        pq_code_cols,
+        read_index_codes,
+    )
+
+    path, meta = ensure_ivfpq_index(
+        spark, sf_dir, variant="upsert", **_INDEX_PARAMS
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    batch = emb.filter(
+        F.col("vec_id").between(_UP_LO, _UP_HI - 1)
+    ).select(
+        (F.col("vec_id") + _UP_SHIFT).alias("vec_id"),
+        F.concat(F.slice(x, 33, 32), F.slice(x, 1, 32)).alias("embedding"),
+    )
+    new_codes = assign_to_index(batch, meta)
+    affected = index_upsert(spark, path, meta, new_codes)
+    disk = read_index_codes(spark, path, meta, cells=affected)
+    return disk.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
+    ).orderBy("vec_id")

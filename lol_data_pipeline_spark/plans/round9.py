@@ -69,7 +69,7 @@ _SAMPLE_MOD = 4
 _SAMPLE_WHERE = f"vec_id % {_SAMPLE_MOD} = 0"
 
 
-def _pq_xhat_ctes() -> str:
+def _pq_xhat_ctes(src: str = "embeddings", xcol: str = "", emit: str = "xhat") -> str:
     """The raw-vector PQ encode→reconstruct oracle block (codebook =
     lowest-{nc} vectors, per-subspace argmin by (d², j), xhat =
     concatenated chosen sub-centroids), shared VERBATIM by the
@@ -77,7 +77,28 @@ def _pq_xhat_ctes() -> str:
     cannot drift — the same one-definition rule the Spark side gets
     from pq_encode. (ann_ivfpq_residual_topk's block is structurally
     different — it encodes residuals and reconstructs c + r̂ — and
-    stays separate.)"""
+    stays separate.)
+
+    Defaults produce the byte-identical block those stamped oracles
+    recorded. ``src``/``xcol`` point the encode at another CTE whose
+    vector column is already DOUBLE[]; ``emit="codes"`` ends the
+    block with the m argmin code ids per vector (``codes``) instead
+    of the reconstruction — the PERSISTED index form the
+    index-maintenance oracle (plans/round10.py) re-derives."""
+    xexpr = (
+        "CAST(x.embedding AS DOUBLE[])" if src == "embeddings" else f"x.{xcol}"
+    )
+    pick = "cs" if emit == "xhat" else "j"
+    if emit == "xhat":
+        tail = """xhat AS (
+      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
+      FROM chosen GROUP BY 1
+    )"""
+    else:
+        tail = """codes AS (
+      SELECT vec_id, array_to_string(list(j ORDER BY s), ',') AS codes
+      FROM chosen GROUP BY 1
+    )"""
     return f"""cents AS (
       SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
       FROM embeddings WHERE vec_id < {_PQ_NCENT}
@@ -93,8 +114,8 @@ def _pq_xhat_ctes() -> str:
     ),
     xs2 AS (
       SELECT x.vec_id, s.s,
-             list_slice(CAST(x.embedding AS DOUBLE[]), s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
-      FROM embeddings x CROSS JOIN sub s
+             list_slice({xexpr}, s.s * {_PQ_DSUB} + 1, s.s * {_PQ_DSUB} + {_PQ_DSUB}) AS xsl
+      FROM {src} x CROSS JOIN sub s
     ),
     d AS (
       SELECT xs2.vec_id, xs2.s, c.j, c.cs,
@@ -103,14 +124,11 @@ def _pq_xhat_ctes() -> str:
       FROM xs2 JOIN cs2 c ON c.s = xs2.s
     ),
     chosen AS (
-      SELECT vec_id, s, cs FROM (
+      SELECT vec_id, s, {pick} FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn FROM d
       ) WHERE rn = 1
     ),
-    xhat AS (
-      SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
-      FROM chosen GROUP BY 1
-    )"""
+    {tail}"""
 
 
 def _sql_ivfpq() -> str:
@@ -464,11 +482,10 @@ def ann_ivfpq_kmeans_topk(spark, sf_dir):
     trained codebook (shared kmeans_ctes), probe ranks, PQ codes,
     ADC order, and rescore end-to-end."""
     from lol_data_pipeline_spark.operators.clustering import (
-        _cc,
         kmeans_cells,
         kmeans_train,
     )
-    from lol_data_pipeline_spark.operators.similarity import dot
+    from lol_data_pipeline_spark.operators.vector_index import ivf_probe_rows
 
     emb = T(spark, sf_dir, "embeddings")
     cents = kmeans_train(
@@ -481,38 +498,17 @@ def ann_ivfpq_kmeans_topk(spark, sf_dir):
         emb, k=_IVF_CELLS, rounds=_KM_ROUNDS, dim=64, cents=cents
     )
 
-    x = F.col("embedding").cast("array<double>")
-    xx = dot(x, x)
-    # |c|² via clustering._cc — the ONE definition of the sequential
-    # fold whose left-to-right order is bit-parity-critical against
-    # the oracle's list_inner_product.
-    probe_structs = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (xx - 2 * dot(x, F.lit([float(v) for v in cv])) + F.lit(_cc(cv))).alias("d2"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-    )
-    qprobe = (
+    # Probe selection via the ONE shared definition (vector_index.
+    # ivf_probe_rows): join-free posexplode over literal trained
+    # centroids, |c|² through clustering._cc whose fold order is
+    # bit-parity-critical against the oracle's list_inner_product.
+    qprobe = ivf_probe_rows(
         emb.filter(
             (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
             | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.posexplode(F.slice(probe_structs, 1, _NPROBE)).alias("pos", "sel"),
-        )
-        .select(
-            "query_id",
-            "qvec",
-            F.col("sel.cid").alias("pcell"),
-            (F.col("pos") + 1).cast("long").alias("probe_rank"),
-        )
+        ),
+        cents,
+        _NPROBE,
     )
     from lol_data_pipeline_spark.operators import similarity as sim
 

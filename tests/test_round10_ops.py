@@ -1,0 +1,216 @@
+"""Round-10 operator tests: the materialized IVF+PQ index — build
+artifact shape, partition-pruned serve plan, staleness rebuild, and
+idempotent incremental maintenance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.operators.vector_index import (
+    assign_to_index,
+    ensure_ivfpq_index,
+    index_upsert,
+    ivf_probe_rows,
+    pq_code_cols,
+    pq_decode_expr,
+    read_index_codes,
+)
+from lol_data_pipeline_spark.plans import REGISTRY
+from lol_data_pipeline_spark.plans.round10 import (
+    _INDEX_PARAMS,
+    _UP_HI,
+    _UP_LO,
+    _UP_SHIFT,
+)
+from lol_data_pipeline_spark.plans.round9 import (
+    _IVF_CELLS,
+    _NPROBE,
+    _PQ_M,
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    """A fresh index under a test-owned root (never the shared
+    spark-warehouse copy), built once for the module."""
+    root = str(tmp_path_factory.mktemp("vector_index"))
+    path, meta = ensure_ivfpq_index(spark, sf_dir, root=root, **_INDEX_PARAMS)
+    return root, path, meta
+
+
+def test_index_layout_is_cell_partitioned_codes(index):
+    """The persisted artifact IS the 100 TB layout: hive directories
+    per cell_id, a sidecar the parquet reader ignores, and data files
+    holding only (vec_id, code*) — no float vectors on disk."""
+    _root, path, meta = index
+    cells = sorted(
+        d for d in os.listdir(path) if d.startswith("cell_id=")
+    )
+    assert len(cells) == _IVF_CELLS
+    assert os.path.exists(os.path.join(path, "_index_meta.json"))
+    assert len(meta["cents"]) == _IVF_CELLS
+    assert len(meta["seeds"]) == _INDEX_PARAMS["ncent"]
+    import pyarrow.parquet as pq
+
+    part = os.path.join(path, cells[0])
+    f = next(p for p in os.listdir(part) if p.endswith(".parquet"))
+    schema = pq.read_schema(os.path.join(part, f))
+    assert set(schema.names) == {"vec_id", *pq_code_cols(_PQ_M)}
+
+
+def test_served_scan_prunes_partitions_and_reads_only_codes(
+    spark, index
+):
+    """SCALE.md's central claim, asserted on the PLAN: the probe scan
+    carries PartitionFilters on cell_id (directory pruning — at
+    100 TB the scan touches nprobe/C of the files) and a ReadSchema
+    of exactly the code columns (m bytes/vector, not dim·4)."""
+    _root, path, meta = index
+    probed = [1, 3]
+    idx = read_index_codes(spark, path, meta, cells=probed)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "vec_id" in read_schema and "code0" in read_schema
+    assert "embedding" not in read_schema and "double" not in read_schema
+    # the pruned scan actually reads only the probed cells
+    got = {r.cell_id for r in idx.select("cell_id").distinct().collect()}
+    assert got == set(probed)
+
+
+def test_decode_matches_inquery_encode_bitwise(spark, sf_dir, index):
+    """Decoded x̂ from persisted codes must equal pq_encode's
+    in-query xhat EXACTLY (same literal doubles) — that equivalence
+    is why ann_ivfpq_served_topk can share the flagship's oracle."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators.similarity import pq_encode
+
+    _root, path, meta = index
+    p = meta["params"]
+    served = read_index_codes(spark, path, meta).select(
+        "vec_id", pq_decode_expr(meta["seeds"], p["m"], p["dsub"]).alias("xhat")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    inq = pq_encode(
+        emb, meta["seeds"], m=p["m"], dsub=p["dsub"], id_alias="vec_id"
+    ).select("vec_id", "xhat")
+    diff = served.alias("s").join(inq.alias("q"), "vec_id").filter(
+        F.expr("s.xhat <> q.xhat")
+    )
+    assert diff.count() == 0
+    assert served.count() == inq.count()
+
+
+def test_served_equals_inquery_flagship(spark, sf_dir):
+    """The served entry and the recomputing flagship return the SAME
+    rows — persistence is an optimization, not a semantic change."""
+    served = REGISTRY["ann_ivfpq_served_topk"].fn(spark, sf_dir)
+    flagship = REGISTRY["ann_ivfpq_kmeans_topk"].fn(spark, sf_dir)
+    cols = served.columns
+    assert cols == flagship.columns
+    s_rows = sorted(map(tuple, served.collect()))
+    f_rows = sorted(map(tuple, flagship.collect()))
+    assert s_rows == f_rows
+
+
+def test_stale_index_rebuilds_and_fresh_index_is_reused(
+    spark, sf_dir, index
+):
+    """Staleness contract: same source + params → the build is NOT
+    repeated (same files); a corrupted fingerprint → rebuild."""
+    root, path, _meta = index
+    meta_path = os.path.join(path, "_index_meta.json")
+    mtime0 = os.path.getmtime(meta_path)
+    p2, _ = ensure_ivfpq_index(spark, sf_dir, root=root, **_INDEX_PARAMS)
+    assert p2 == path
+    assert os.path.getmtime(meta_path) == mtime0  # reused, not rebuilt
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["fingerprint"] = "stale"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    p3, meta3 = ensure_ivfpq_index(spark, sf_dir, root=root, **_INDEX_PARAMS)
+    assert p3 == path
+    assert meta3["fingerprint"] != "stale"  # rebuilt
+
+
+def test_upsert_is_idempotent_and_merges_not_replaces(
+    spark, sf_dir, index
+):
+    """Two contracts at once: (a) MERGE semantics — the affected
+    partitions keep their pre-existing members alongside the new
+    batch (dynamic overwrite alone would drop them); (b) idempotence
+    — re-running the same batch leaves disk content identical."""
+    _root, path, meta = index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = F.col("embedding").cast("array<double>")
+    batch = emb.filter(F.col("vec_id").between(_UP_LO, _UP_HI - 1)).select(
+        (F.col("vec_id") + _UP_SHIFT).alias("vec_id"),
+        F.concat(F.slice(x, 33, 32), F.slice(x, 1, 32)).alias("embedding"),
+    )
+    new_codes = assign_to_index(batch, meta)
+    n_new = new_codes.count()
+    assert n_new == _UP_HI - _UP_LO
+
+    before = {
+        int(r.cell_id): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    affected = index_upsert(spark, path, meta, new_codes)
+    assert 1 <= len(affected) <= _IVF_CELLS
+
+    def snapshot():
+        return sorted(
+            map(
+                tuple,
+                read_index_codes(spark, path, meta)
+                .filter(F.col("cell_id").isin(affected))
+                .collect(),
+            )
+        )
+
+    after1 = snapshot()
+    # merge: every pre-existing member survived, plus the new batch
+    per_cell_after = {}
+    for row in after1:
+        per_cell_after[row[1]] = per_cell_after.get(row[1], 0) + 1
+    for c in affected:
+        assert per_cell_after[c] >= before.get(c, 0)
+    assert sum(per_cell_after.values()) == sum(
+        before.get(c, 0) for c in affected
+    ) + n_new
+    # idempotent: second run, identical disk content
+    index_upsert(spark, path, meta, new_codes)
+    assert snapshot() == after1
+
+    # untouched partitions kept their original content
+    untouched = [c for c in before if c not in set(affected)]
+    now = {
+        int(r.cell_id): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for c in untouched:
+        assert now[c] == before[c]
+
+
+def test_probe_rows_bounded_by_codebook(spark, sf_dir, index):
+    """The probed-cell set is bounded by the codebook size no matter
+    how many queries probe — the literal partition filter stays
+    constant-size at any scale."""
+    _root, _path, meta = index
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qprobe = ivf_probe_rows(emb, cents, _NPROBE)  # EVERY vector queries
+    cells = qprobe.select("pcell").distinct().count()
+    assert cells <= _IVF_CELLS
