@@ -78,18 +78,20 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(
+def bpe_train(
     docs: DataFrame, rounds: int = 3, text_col: str = "text"
-) -> DataFrame:
-    """Learn ``rounds`` BPE merges; returns one row per merge:
-    (round, left_sym, right_sym, merged, cnt) — the merge table a
-    tokenizer would persist. Bounded driver traffic: ONE row per
-    round (the argmax pair), the broadcast-iterate pattern."""
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn ``rounds`` BPE merges; returns the ORDERED merge list
+    [(round, left, right, merged, cnt)] — the driver-side literal
+    form the encoder applies. Bounded driver traffic: ONE row per
+    round (the argmax pair), the broadcast-iterate pattern. The one
+    definition of training, shared by the merge-table entry
+    (:func:`bpe_train_merges`) and the encoder
+    (:func:`bpe_encode_docs`)."""
     from lol_data_pipeline_spark.caching import tracked_persist
 
-    spark = docs.sparkSession
     words = tracked_persist(corpus_words(docs, text_col))
-    merges = []
+    merges: list[tuple[int, str, str, str, int]] = []
     for i in range(rounds):
         best = (
             _pair_counts(words)
@@ -102,13 +104,70 @@ def bpe_train_merges(
         l, r, cnt = best[0].l, best[0].r, int(best[0].cnt)
         merges.append((i, l, r, l + r, cnt))
         words = words.select(
-            F.replace(
-                F.col("w"),
-                F.lit(SEP + l + SEP + r + SEP),
-                F.lit(SEP + l + r + SEP),
-            ).alias("w"),
+            _apply_merge(F.col("w"), l, r).alias("w"),
             "n",
         )
-    return spark.createDataFrame(
-        merges, "round bigint, left_sym string, right_sym string, merged string, cnt bigint"
+    return merges
+
+
+def _apply_merge(wcol, l: str, r: str):
+    """ONE definition of merge application: the separator-consuming
+    literal replace (see module docstring for its deviation scope),
+    shared by training and encoding so the two cannot drift."""
+    return F.replace(
+        wcol,
+        F.lit(SEP + l + SEP + r + SEP),
+        F.lit(SEP + l + r + SEP),
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The learned merge TABLE as a DataFrame: one row per merge,
+    (round, left_sym, right_sym, merged, cnt) — the artifact a
+    tokenizer would persist."""
+    return docs.sparkSession.createDataFrame(
+        bpe_train(docs, rounds, text_col),
+        "round bigint, left_sym string, right_sym string, merged string, cnt bigint",
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """APPLY a learned merge list: tokenize every document with the
+    trained BPE — per-doc word extraction, separator form, the
+    merges applied IN TRAINING ORDER as literal replaces (identical
+    application semantics to training — :func:`_apply_merge`), then
+    per-doc token accounting. Returns (doc_id, *keep_cols, n_words,
+    bpe_tokens): the real token counts a packing/budgeting stage
+    needs (train → encode → count, the full tokenizer lifecycle).
+
+    Scale shape: ONE corpus scan; merge application is a pure
+    projection (the merge table is driver-side literals, constant
+    size); the only shuffle is the final per-doc aggregate. Docs with
+    no [a-z]+ word produce no row (nothing to tokenize)."""
+    wcol = F.concat(
+        F.lit(SEP), F.regexp_replace(F.col("raw"), "(.)", "$1" + SEP)
+    )
+    for _i, l, r, _merged, _cnt in merges:
+        wcol = _apply_merge(wcol, l, r)
+    syms = F.filter(F.split(wcol, SEP), lambda x: x != F.lit(""))
+    words = (
+        docs.select(
+            doc_col,
+            *keep_cols,
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("raw"),
+        )
+        .filter(F.col("raw") != "")
+        .select(doc_col, *keep_cols, F.size(syms).alias("toks"))
+    )
+    return words.groupBy(doc_col, *keep_cols).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("bpe_tokens"),
     )

@@ -32,6 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.plans.queries import T, query
@@ -181,3 +182,128 @@ def ann_index_upsert(spark, sf_dir):
         F.col("cell_id").cast("long").alias("cell_id"),
         F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: apply the LEARNED merge table (train → encode → count,
+# the full tokenizer lifecycle — text_bpe_train produces merges,
+# these consume them).
+# ---------------------------------------------------------------------------
+
+
+def _sql_bpe_doc_ctes() -> list[str]:
+    """Per-doc word representation + the learned merges applied in
+    training order: dw0 (separator form per doc-word occurrence),
+    dw{i+1} = merge b{i} applied — the same replace the training
+    chain uses, parameterized by the 1-row argmax CTEs it derives."""
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS, _bpe_train_ctes
+
+    ctes = list(_bpe_train_ctes())
+    ctes.append("""dw0 AS (
+      SELECT doc_id, chr(183) || regexp_replace(word, '(.)', '\\1' || chr(183), 'g') AS w
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents
+      ) t WHERE word <> ''
+    )""")
+    for i in range(_BPE_ROUNDS):
+        ctes.append(f"""dw{i + 1} AS (
+      SELECT doc_id,
+             replace(w, chr(183) || (SELECT l FROM b{i}) || chr(183) || (SELECT r FROM b{i}) || chr(183),
+                     chr(183) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(183)) AS w
+      FROM dw{i}
+    )""")
+    return ctes
+
+
+def _sql_bpe_encode() -> str:
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    return (
+        "WITH "
+        + ",\n".join(_sql_bpe_doc_ctes())
+        + f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(list_filter(string_split(w, chr(183)), x -> x <> ''))) AS BIGINT) AS bpe_tokens
+    FROM dw{_BPE_ROUNDS} GROUP BY 1 ORDER BY doc_id
+    """
+    )
+
+
+@query("text_bpe_encode", sql=_sql_bpe_encode())
+def text_bpe_encode(spark, sf_dir):
+    """ENCODE the corpus with the learned BPE merge table: train
+    ({r} rounds, vocabulary-sized — same loop as text_bpe_train, one
+    definition via operators/bpe.py bpe_train), then tokenize every
+    document by applying the merges in training order and count
+    per-doc tokens. Returns (doc_id, n_words, bpe_tokens) — the REAL
+    token counts a budgeting stage needs, vs the regex-proxy counts
+    text_token_stats reports. Encode is ONE corpus scan of pure
+    projections (the merge table rides as driver-side literals,
+    constant size at any corpus scale) + one per-doc aggregate; the
+    oracle re-derives training end-to-end (shared CTE chain) and
+    unrolls the same merge applications per document. Docs with no
+    [a-z]+ word produce no row — nothing to tokenize."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_encode_docs, bpe_train
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    docs = T(spark, sf_dir, "documents")
+    merges = bpe_train(docs, rounds=_BPE_ROUNDS)
+    return bpe_encode_docs(docs, merges).orderBy("doc_id")
+
+
+def _sql_pack_bpe() -> str:
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    return (
+        "WITH "
+        + ",\n".join(_sql_bpe_doc_ctes())
+        + f""",
+    tok AS (
+      SELECT w.doc_id, d.source,
+             CAST(sum(len(list_filter(string_split(w.w, chr(183)), x -> x <> ''))) AS BIGINT) AS n_tok
+      FROM dw{_BPE_ROUNDS} w JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum - 1) // 2048 AS BIGINT) AS bin_id
+    FROM c
+    """
+    )
+
+
+@query("corpus_pack_bpe_budget", sql=_sql_pack_bpe())
+def corpus_pack_bpe_budget(spark, sf_dir):
+    """Sequence packing on REAL tokenizer counts: the same greedy
+    first-fit running-sum packing as corpus_pack_token_budget
+    (one window per source partition, a single hash shuffle), but
+    budgeted by the learned-BPE token counts text_bpe_encode
+    produces instead of that entry's regex-proxy counts — the
+    train → encode → pack composition a production data pipeline
+    runs. Docs with no [a-z]+ word have nothing to pack and are
+    absent (their proxy-count twin bins them at zero tokens)."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_encode_docs, bpe_train
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    docs = T(spark, sf_dir, "documents")
+    merges = bpe_train(docs, rounds=_BPE_ROUNDS)
+    tok = bpe_encode_docs(docs, merges, keep_cols=("source",)).select(
+        "doc_id", "source", F.col("bpe_tokens").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - 1) / F.lit(2048)).cast("long").alias("bin_id"),
+    )

@@ -650,11 +650,14 @@ def ann_ivf_kmeans_sampled_topk(spark, sf_dir):
 _BPE_ROUNDS = 3
 
 
-def _sql_bpe_train() -> str:
-    """Oracle: the identical train loop unrolled — vocabulary CTE,
-    then per round (pair counts over the current representation →
-    argmax by (cnt DESC, l, r) → literal separator replace). chr(183)
-    is the U+00B7 separator operators/bpe.py uses."""
+def _bpe_train_ctes() -> list[str]:
+    """The unrolled training chain (vocabulary CTE, then per round:
+    pair counts over the current representation → argmax by
+    (cnt DESC, l, r) → literal separator replace), exposed as a CTE
+    list so the ENCODE oracle (plans/round10.py) re-derives the same
+    merges b0..b{r-1} before applying them — one definition of the
+    oracle's training, mirroring operators/bpe.py's bpe_train().
+    chr(183) is the U+00B7 separator operators/bpe.py uses."""
     ctes = [
         """words AS (
       SELECT word AS raw, count(*) AS n FROM (
@@ -686,12 +689,18 @@ def _sql_bpe_train() -> str:
                      chr(183) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(183)) AS w, n
       FROM w{i}
     )""")
+    return ctes
+
+
+def _sql_bpe_train() -> str:
+    """Oracle: the training chain's argmax rows b0..b{r-1} as the
+    merge table."""
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, r AS right_sym, l || r AS merged, cnt FROM b{i}"
         for i in range(_BPE_ROUNDS)
     )
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_bpe_train_ctes())
         + f"\n    SELECT * FROM ({unions}) ORDER BY round"
     )
 

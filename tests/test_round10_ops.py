@@ -204,6 +204,51 @@ def test_upsert_is_idempotent_and_merges_not_replaces(
         assert now[c] == before[c]
 
 
+def test_bpe_encode_applies_learned_merges(spark):
+    """Hand-checkable corpus: 'low low lower' learns (l,o) then
+    (lo,w) in 2 rounds; encoding then tokenizes 'low'→[low]? No —
+    after merge 0 'low'=[lo,w], after merge 1 'low'=[low]: 1 token;
+    'lower'=[low,e,r]: 3 tokens. n_words and totals pinned."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "lower low")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, rounds=2)
+    assert [(m[1], m[2]) for m in merges] == [("l", "o"), ("lo", "w")]
+    rows = {r.doc_id: r for r in bpe_encode_docs(docs, merges).collect()}
+    assert rows[0].n_words == 3 and rows[0].bpe_tokens == 1 + 1 + 3
+    assert rows[1].n_words == 2 and rows[1].bpe_tokens == 3 + 1
+
+
+def test_bpe_encode_zero_merges_is_char_count(spark):
+    """With an empty merge list the encoder degenerates to per-word
+    character counts — the representation invariant."""
+    from lol_data_pipeline_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame([(7, "abc de")], "doc_id long, text string")
+    row = bpe_encode_docs(docs, []).collect()[0]
+    assert (row.doc_id, row.n_words, row.bpe_tokens) == (7, 2, 5)
+
+
+def test_pack_bpe_budget_bins_are_monotone(spark, sf_dir):
+    """Greedy first-fit invariants on the real corpus: bins start at
+    0 per source, are non-decreasing in doc_id order, and every
+    doc's tokens are positive."""
+    rows = REGISTRY["corpus_pack_bpe_budget"].fn(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        assert rs[0].bin_id == 0
+        bins = [r.bin_id for r in rs]
+        assert bins == sorted(bins)
+        assert all(r.n_tok > 0 for r in rs)
+
+
 def test_probe_rows_bounded_by_codebook(spark, sf_dir, index):
     """The probed-cell set is bounded by the codebook size no matter
     how many queries probe — the literal partition filter stays
