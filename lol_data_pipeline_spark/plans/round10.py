@@ -184,6 +184,67 @@ def ann_index_upsert(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _sql_stream_assign() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes(src=cells, xcol="x", emit="codes")}
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell_id, c.codes
+    FROM {cells} a JOIN codes c USING (vec_id)
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("stream_ann_assign_multibatch", sql=_sql_stream_assign())
+def stream_ann_assign_multibatch(spark, sf_dir):
+    """STREAMING index ingest: new vectors arrive as a four-batch
+    ordered replay and are assigned to the FROZEN persisted codebook
+    (the sidecar ann_ivfpq_served_topk serves from) + PQ-encoded —
+    the production feed path: the index is built once, then fed
+    forever by a stream that never retrains. The whole per-batch
+    transform is STATELESS pure projection against literal centroids
+    (no watermark, no state store, no shuffle inside a micro-batch —
+    the cheapest possible streaming operator shape), so any batch
+    split yields the same rows. Oracle: the batch index BUILD
+    content re-derived end-to-end (sampled-trained codebook →
+    assignment → codes) — streaming ingest and batch build are
+    provably byte-identical, which is what makes a lambda-free
+    single-pipeline architecture sound."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        assign_to_index,
+        ensure_ivfpq_index,
+        pq_code_cols,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    _path, meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
+    emb = T(spark, sf_dir, "embeddings")
+    parts = [emb.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    def build(stream):
+        return assign_to_index(stream, meta).select(
+            "vec_id",
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
+        )
+
+    return replay_multibatch(
+        spark, parts, build, mode="append", key=f"ann_assign:{sf_dir}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE encode: apply the LEARNED merge table (train → encode → count,
 # the full tokenizer lifecycle — text_bpe_train produces merges,
