@@ -153,6 +153,11 @@ HEADLINE = [
     # copy plus a bounded ≤k-partition rewrite — write-staging cost,
     # no query-engine signal (same policy as ref_csv_scan).
     "ann_ivfpq_served_topk",
+    # r10: graph-axis ANN (beam search over the kNN graph). Its wall
+    # is dominated by the emb_knn_graph build it shares with the
+    # already-benched emb_knn_graph entry; benched anyway because the
+    # bounded-round walk is a new plan shape worth regression-watching.
+    "ann_graph_beam_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1671,10 +1671,11 @@ def dedup_substring(spark, sf_dir):
 # =========================================================================
 
 
-@query(
-    "emb_knn_graph",
-    sql=f"""
-    WITH planes AS (SELECT vec_id AS plane_id, embedding AS pvec FROM embeddings WHERE vec_id < 6),
+# The LSH-bucketed k-NN edge derivation (planes → codes → bucket
+# self-join → per-source rank), shared VERBATIM by the emb_knn_graph
+# oracle and the graph-beam-search oracle (plans/round10.py) so the
+# two cannot drift — `ranked WHERE rank <= 3` IS the edge list.
+KNN_EDGE_CTES = f"""planes AS (SELECT vec_id AS plane_id, embedding AS pvec FROM embeddings WHERE vec_id < 6),
     codes AS (
       SELECT e.vec_id,
              CAST(sum(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pvec AS DOUBLE[])), 6) >= 0
@@ -1691,7 +1692,13 @@ def dedup_substring(spark, sf_dir):
       SELECT src_id, dst_id, sim,
              CAST(row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS BIGINT) AS rank
       FROM scored
-    )
+    )"""
+
+
+@query(
+    "emb_knn_graph",
+    sql=f"""
+    WITH {KNN_EDGE_CTES}
     SELECT * FROM ranked WHERE rank <= 3
     """,
 )

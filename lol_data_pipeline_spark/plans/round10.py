@@ -252,6 +252,146 @@ def stream_ann_assign_multibatch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Graph-based ANN: beam search over the k-NN graph — the third index
+# family axis (quantization: ann_ivfpq_*; hashing: ann_lsh_*; graph:
+# this), the serving pattern HNSW/NSG-style indexes use, expressed as
+# bounded-round DataFrame algebra.
+# ---------------------------------------------------------------------------
+
+_BEAM_B = 8  # beam width (candidates kept per query per round)
+_BEAM_R = 3  # expansion rounds (bounded — graph diameter at toy scale)
+_BEAM_ENTRY_N = 4  # deterministic entry points: the lowest vec_ids
+
+
+def _sql_graph_beam() -> str:
+    from lol_data_pipeline_spark.plans.extensions import KNN_EDGE_CTES, SQL_COS
+
+    ctes = [
+        KNN_EDGE_CTES,
+        "edges AS (SELECT src_id, dst_id FROM ranked WHERE rank <= 3)",
+        f"""qset AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE (vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})
+         OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})
+    )""",
+        f"""f0 AS (
+      SELECT q.query_id, e.vec_id AS cand
+      FROM qset q CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < {_BEAM_ENTRY_N}) e
+    )""",
+    ]
+    for r in range(1, _BEAM_R + 1):
+        ctes.append(f"""x{r} AS (
+      SELECT query_id, cand FROM f{r - 1}
+      UNION
+      SELECT f.query_id, ed.dst_id AS cand
+      FROM f{r - 1} f JOIN edges ed ON ed.src_id = f.cand
+    )""")
+        ctes.append(f"""s{r} AS (
+      SELECT x.query_id, x.cand,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM x{r} x
+      JOIN qset q ON q.query_id = x.query_id
+      JOIN embeddings c ON c.vec_id = x.cand
+      WHERE x.cand <> x.query_id
+    )""")
+        ctes.append(f"""f{r} AS (
+      SELECT query_id, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS rn
+        FROM s{r}
+      ) WHERE rn <= {_BEAM_B}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, CAST(cand AS BIGINT) AS match_id, sim, rank
+    FROM (
+      SELECT query_id, cand, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS BIGINT) AS rank
+      FROM s{_BEAM_R}
+    ) WHERE rank <= {_K}
+    """
+    )
+
+
+@query("ann_graph_beam_topk", sql=_sql_graph_beam())
+def ann_graph_beam_topk(spark, sf_dir):
+    """GRAPH-based ANN: beam search over the k-NN graph — the third
+    index-family axis (quantization = ann_ivfpq_*, hashing =
+    ann_lsh_*, graph = this), the serving pattern HNSW/NSG-style
+    indexes use, as bounded-round DataFrame algebra. From {n}
+    deterministic entry nodes, {r} expansion rounds: frontier ∪
+    graph-neighbors(frontier) → exact cosine score → keep the top-{b}
+    beam per query; final top-k from the last scored set. The graph
+    is the emb_knn_graph edge list (LSH-bucketed top-3 neighbors,
+    Σ bucket² build — at 100 TB it is an AT-REST artifact built
+    once, like the IVF index).
+
+    Plan shape per round: the frontier is Q×{b} rows (BROADCAST on
+    both the edge join and the score join — the corpus and the edge
+    table are filter-joined by broadcast candidate ids, never
+    shuffled); rounds are a bounded driver loop over lazy plans with
+    NO collect. Oracle: the edge CTEs shared VERBATIM with
+    emb_knn_graph, then the identical rounds unrolled. Bounded
+    everything: entries, beam, rounds, k — constant work per query
+    at any corpus size once the graph exists."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.similarity import cosine, knn_graph
+
+    emb = T(spark, sf_dir, "embeddings")
+    edges = tracked_persist(
+        knn_graph(emb, n_planes=6, k=3).select("src_id", "dst_id")
+    )
+    q = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    corpus = emb.select(
+        F.col("vec_id").alias("cand"), F.col("embedding").alias("cvec")
+    )
+    frontier = q.select("query_id").crossJoin(
+        emb.filter(F.col("vec_id") < _BEAM_ENTRY_N).select(
+            F.col("vec_id").alias("cand")
+        )
+    )
+    scored = None
+    for _r in range(_BEAM_R):
+        expanded = frontier.unionByName(
+            frontier.join(edges, frontier.cand == edges.src_id).select(
+                "query_id", F.col("dst_id").alias("cand")
+            )
+        ).distinct()
+        scored = (
+            corpus.join(F.broadcast(expanded), "cand")
+            .join(F.broadcast(q), "query_id")
+            .filter(F.col("cand") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("cand").asc()
+        )
+        frontier = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BEAM_B)
+            .select("query_id", "cand")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _K)
+        .select(
+            "query_id", F.col("cand").alias("match_id"), "sim", "rank"
+        )
+    )
+
+
 def _sql_bpe_doc_ctes() -> list[str]:
     """Per-doc word representation + the learned merges applied in
     training order: dw0 (separator form per doc-word occurrence),

@@ -204,6 +204,47 @@ def test_upsert_is_idempotent_and_merges_not_replaces(
         assert now[c] == before[c]
 
 
+def test_graph_beam_search_expands_and_improves(spark, sf_dir):
+    """Beam-search invariants: (a) contiguous per-query ranks, ≤ k
+    rows; (b) the walk actually LEAVES the entry neighborhood (some
+    final match is not an entry node or a direct entry neighbor);
+    (c) expansion is monotone — every query's best final sim is ≥
+    the best achievable by scoring the entry nodes alone (the beam
+    keeps the running best by construction)."""
+    import numpy as np
+
+    from lol_data_pipeline_spark.plans.round10 import _BEAM_ENTRY_N
+
+    rows = REGISTRY["ann_graph_beam_topk"].fn(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, ms in by_q.items():
+        ms.sort(key=lambda r: r.rank)
+        assert [m.rank for m in ms] == list(range(1, len(ms) + 1))
+    emb_rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vec = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb_rows}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    left_entry_hood = False
+    for qid, ms in by_q.items():
+        entry_best = max(
+            cos(vec[qid], vec[e]) for e in range(_BEAM_ENTRY_N)
+        )
+        assert ms[0].sim >= entry_best - 1e-9, (qid, ms[0].sim, entry_best)
+        if any(m.match_id >= _BEAM_ENTRY_N for m in ms):
+            left_entry_hood = True
+    assert left_entry_hood
+
+
 def test_bpe_encode_applies_learned_merges(spark):
     """Hand-checkable corpus: 'low low lower' learns (l,o) then
     (lo,w) in 2 rounds; encoding then tokenizes 'low'→[low]? No —
