@@ -379,6 +379,49 @@ def assign_to_index(new_vecs: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def index_delete(
+    spark: SparkSession, path: str, meta: dict, doomed: DataFrame
+) -> list[int]:
+    """Remove a vector batch from the persisted index (the take-down
+    / right-to-be-forgotten path a training-data pipeline must have):
+    the doomed ids' cells are recomputed from their SOURCE vectors as
+    a pure projection against the frozen codebook (cell assignment is
+    deterministic, so the recomputation IS the lookup — no scan of
+    the index to find them), then ONLY those ≤ codebook-size
+    partitions are rewritten without the doomed ids. Idempotent: a
+    re-run rewrites identical content. ``doomed`` carries (vec_id,
+    embedding). Returns the affected cell ids."""
+    from lol_data_pipeline_spark.operators.clustering import _assign_expr
+
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    x = F.col("embedding").cast("array<double>")
+    assigned = doomed.select(
+        "vec_id", _assign_expr(x, dot(x, x), cents).cast("long").alias("cell_id")
+    )
+    affected = sorted(
+        int(r.cell_id) for r in assigned.select("cell_id").distinct().collect()
+    )
+    existing = read_index_codes(spark, path, meta, cells=affected)
+    keep = existing.join(
+        F.broadcast(assigned.select("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint()
+    write_upsert_partitions(keep, path, ["cell_id"])
+    # Dynamic overwrite only rewrites partitions PRESENT in the
+    # written frame — a cell whose every member was deleted would
+    # silently survive on disk. Drop such directories explicitly
+    # (bounded ≤ codebook size; a cluster deployment does the same
+    # via catalog DROP PARTITION).
+    import shutil
+
+    survived = {
+        int(r.cell_id) for r in keep.select("cell_id").distinct().collect()
+    }
+    for c in affected:
+        if c not in survived:
+            shutil.rmtree(os.path.join(path, f"cell_id={c}"), ignore_errors=True)
+    return affected
+
+
 def index_upsert(
     spark: SparkSession, path: str, meta: dict, new_codes: DataFrame
 ) -> list[int]:

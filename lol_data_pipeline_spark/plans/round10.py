@@ -252,6 +252,80 @@ def stream_ann_assign_multibatch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Take-down batch: a bounded id range standing in for deletion
+# requests (the right-to-be-forgotten path).
+_DEL_LO, _DEL_HI = 40, 60
+
+
+def _sql_index_delete() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes(src=cells, xcol="x", emit="codes")},
+    affected AS (
+      SELECT DISTINCT cluster FROM {cells}
+      WHERE vec_id >= {_DEL_LO} AND vec_id < {_DEL_HI}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell_id, c.codes
+    FROM {cells} a
+    JOIN codes c USING (vec_id)
+    JOIN affected f ON a.cluster = f.cluster
+    WHERE a.vec_id < {_DEL_LO} OR a.vec_id >= {_DEL_HI}
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("ann_index_delete", sql=_sql_index_delete())
+def ann_index_delete(spark, sf_dir):
+    """Index DELETE — the take-down / right-to-be-forgotten path
+    every training-data pipeline must have: a bounded deletion batch
+    is located by RECOMPUTING its cell assignment from the source
+    vectors (a pure projection against the frozen codebook — the
+    deterministic assignment IS the lookup, no index scan), then
+    ONLY the ≤ codebook-size affected partitions are rewritten
+    without the doomed ids (a fully-emptied cell's directory is
+    dropped explicitly — dynamic overwrite cannot write an empty
+    partition). Idempotent: a re-run rewrites identical content.
+    Returns the post-delete DISK content of the affected partitions,
+    re-read from parquet; the oracle re-derives the build and
+    subtracts the doomed range. Maintains its own index copy
+    (variant="delete") so the mutation never leaks into the served
+    read-only index."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+        index_delete,
+        pq_code_cols,
+        read_index_codes,
+    )
+
+    path, meta = ensure_ivfpq_index(
+        spark, sf_dir, variant="delete", **_INDEX_PARAMS
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    doomed = emb.filter(F.col("vec_id").between(_DEL_LO, _DEL_HI - 1)).select(
+        "vec_id", "embedding"
+    )
+    affected = index_delete(spark, path, meta, doomed)
+    disk = read_index_codes(spark, path, meta, cells=affected)
+    return disk.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Graph-based ANN: beam search over the k-NN graph — the third index
 # family axis (quantization: ann_ivfpq_*; hashing: ann_lsh_*; graph:

@@ -204,6 +204,58 @@ def test_upsert_is_idempotent_and_merges_not_replaces(
         assert now[c] == before[c]
 
 
+def test_index_delete_removes_ids_and_drops_emptied_cells(
+    spark, sf_dir, index
+):
+    """Delete contracts: (a) the doomed ids are gone from disk, other
+    members of the affected cells survive; (b) idempotent re-run; (c)
+    a cell whose EVERY member is deleted loses its directory (the
+    dynamic-overwrite blind spot handled explicitly)."""
+    from lol_data_pipeline_spark.operators.vector_index import index_delete
+
+    _root, path, meta = index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doomed = emb.filter(F.col("vec_id").between(200, 219)).select(
+        "vec_id", "embedding"
+    )
+    before_ids = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert set(range(200, 220)) <= before_ids
+    affected = index_delete(spark, path, meta, doomed)
+    after = spark.read.parquet(path).select("vec_id", "cell_id").collect()
+    after_ids = {r.vec_id for r in after}
+    assert after_ids == before_ids - set(range(200, 220))
+    # idempotent
+    index_delete(spark, path, meta, doomed)
+    again = {r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert again == after_ids
+
+    # (c) empty a whole cell: doom every remaining member of the
+    # first affected cell, then assert its directory is gone. Members
+    # upserted earlier in this module (ids ≥ _UP_SHIFT) have the
+    # halves-swapped batch vector as their source.
+    victim = affected[0]
+    members = [r.vec_id for r in after if r.cell_id == victim]
+    assert members
+    x = F.col("embedding").cast("array<double>")
+    doom_all = emb.filter(
+        F.col("vec_id").isin([m for m in members if m < _UP_SHIFT])
+    ).select("vec_id", "embedding")
+    up_members = [m - _UP_SHIFT for m in members if m >= _UP_SHIFT]
+    if up_members:
+        doom_all = doom_all.unionByName(
+            emb.filter(F.col("vec_id").isin(up_members)).select(
+                (F.col("vec_id") + _UP_SHIFT).alias("vec_id"),
+                F.concat(F.slice(x, 33, 32), F.slice(x, 1, 32)).alias(
+                    "embedding"
+                ),
+            )
+        )
+    index_delete(spark, path, meta, doom_all)
+    assert not os.path.isdir(os.path.join(path, f"cell_id={victim}"))
+    left = {r.cell_id for r in spark.read.parquet(path).select("cell_id").distinct().collect()}
+    assert victim not in left
+
+
 def test_graph_beam_search_expands_and_improves(spark, sf_dir):
     """Beam-search invariants: (a) contiguous per-query ranks, ≤ k
     rows; (b) the walk actually LEAVES the entry neighborhood (some
