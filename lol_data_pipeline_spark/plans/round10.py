@@ -246,6 +246,207 @@ def stream_ann_assign_multibatch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# MMR diversified rerank — the retrieval-diversity stage after ANN:
+# greedy maximal-marginal-relevance selection from a bounded pool.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _sql_mmr() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 6)
+    # MMR scores are λ·rel (and λ·rel − μ·div) over 6-decimal inputs
+    # — RATIONAL values that land on exact .5 ties at the 6th decimal
+    # (seen at sf0.01: 0.7·0.375955 = 0.2631685), so they take the
+    # tie-safe snap, not round() (see snap_sql).
+    snap1 = snap_sql(f"{lam} * rel")
+    snapt = snap_sql(f"{lam} * rel - {mu} * div")
+    ctes = [
+        f"""qset AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE (vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})
+         OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})
+    )""",
+        f"""pool AS (
+      SELECT query_id, cand, rel FROM (
+        SELECT q.query_id, e.vec_id AS cand,
+               {SQL_COS.format(a='q.qvec', b='e.embedding')} AS rel,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {SQL_COS.format(a='q.qvec', b='e.embedding')} DESC, e.vec_id
+               ) AS rn
+        FROM qset q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= {_MMR_POOL}
+    )""",
+        f"""s1 AS (
+      SELECT query_id, cand, rel, {snap1} AS score, 1 AS pick
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand) AS rn
+        FROM pool
+      ) WHERE rn = 1
+    )""",
+    ]
+    for t in range(2, _MMR_K + 1):
+        prev = f"s{t - 1}"
+        ctes.append(f"""d{t} AS (
+      SELECT p.query_id, p.cand, p.rel,
+             max({SQL_COS.format(a='cp.embedding', b='cs.embedding')}) AS div
+      FROM pool p
+      JOIN {prev} s ON s.query_id = p.query_id
+      JOIN embeddings cp ON cp.vec_id = p.cand
+      JOIN embeddings cs ON cs.vec_id = s.cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} z WHERE z.query_id = p.query_id AND z.cand = p.cand
+      )
+      GROUP BY 1, 2, 3
+    )""")
+        ctes.append(f"""p{t} AS (
+      SELECT query_id, cand, rel, score, {t} AS pick FROM (
+        SELECT query_id, cand, rel,
+               {snapt} AS score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {snapt} DESC, cand
+               ) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(
+            f"s{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{t})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, CAST(cand AS BIGINT) AS match_id, rel, score AS mmr_score,
+           CAST(pick AS BIGINT) AS pick
+    FROM s{_MMR_K} ORDER BY query_id, pick
+    """
+    )
+
+
+@query("ann_mmr_rerank", sql=_sql_mmr())
+def ann_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance DIVERSIFIED top-k — the rerank
+    stage a retrieval pipeline runs after ANN so the k results are
+    not k near-duplicates: greedily pick argmax
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) from a bounded
+    relevance pool (top-{pool} exact cosine), k−1 rounds. Every
+    structure is BOUNDED: the pool is Q×{pool} rows (broadcast on
+    every join), the selected set grows to k, rounds are a driver
+    loop over lazy plans with no collect — constant work per query
+    at any corpus size once the pool stage (any ANN entry) has run.
+    All scores are rounded to 6 before comparison, so the greedy
+    argmax (score DESC, id) is engine-deterministic and the oracle
+    unrolls the identical selection rounds."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.functions.scalar import snap
+    from lol_data_pipeline_spark.operators.similarity import cosine
+
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 6)
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand"),
+        F.col("embedding").alias("cvec"),
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand").asc())
+    pool = tracked_persist(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cand", "cvec", "rel")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand").asc()
+    )
+    selected = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand",
+            "cvec",
+            "rel",
+            snap(F.lit(lam) * F.col("rel")).alias("score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    frames = [selected]
+    for t in range(2, _MMR_K + 1):
+        sel_all = frames[0]
+        for fr in frames[1:]:
+            sel_all = sel_all.unionByName(fr)
+        sel_ids = sel_all.select("query_id", F.col("cand").alias("sel_cand"))
+        remaining = pool.join(
+            F.broadcast(
+                sel_ids.withColumnRenamed("sel_cand", "cand")
+            ),
+            ["query_id", "cand"],
+            "left_anti",
+        )
+        div = (
+            remaining.join(
+                F.broadcast(
+                    sel_all.select(
+                        "query_id", F.col("cvec").alias("svec")
+                    )
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "cand",
+                "cvec",
+                "rel",
+                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("ps"),
+            )
+            .groupBy("query_id", "cand", "cvec", "rel")
+            .agg(F.max("ps").alias("div"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            snap(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")).desc(),
+            F.col("cand").asc(),
+        )
+        pick_t = (
+            div.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand",
+                "cvec",
+                "rel",
+                snap(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")
+                ).alias("score"),
+                F.lit(t).alias("pick"),
+            )
+        )
+        frames.append(pick_t)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "query_id",
+        F.col("cand").alias("match_id"),
+        "rel",
+        F.col("score").alias("mmr_score"),
+        F.col("pick").cast("long").alias("pick"),
+    ).orderBy("query_id", "pick")
+
+
+# ---------------------------------------------------------------------------
 # BPE encode: apply the LEARNED merge table (train → encode → count,
 # the full tokenizer lifecycle — text_bpe_train produces merges,
 # these consume them).

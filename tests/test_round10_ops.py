@@ -297,6 +297,49 @@ def test_graph_beam_search_expands_and_improves(spark, sf_dir):
     assert left_entry_hood
 
 
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR semantics: pick 1 is the relevance argmax; 5 distinct
+    picks per query; and ACROSS the query set the diversified
+    selections are less self-similar than plain top-5 by relevance
+    (mean max-pairwise-cosine strictly lower) — the property the
+    operator exists to provide, measured against ground truth."""
+    import numpy as np
+
+    rows = REGISTRY["ann_mmr_rerank"].fn(spark, sf_dir).collect()
+    emb_rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vec = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb_rows}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    def max_pairwise(ids):
+        return max(
+            cos(vec[a], vec[b]) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+
+    mmr_div, topk_div = [], []
+    for qid, ms in by_q.items():
+        ms.sort(key=lambda r: r.pick)
+        assert [m.pick for m in ms] == [1, 2, 3, 4, 5]
+        assert len({m.match_id for m in ms}) == 5
+        rels = sorted(
+            ((cos(vec[qid], vec[v]), v) for v in vec if v != qid),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )
+        assert ms[0].match_id == rels[0][1]  # pick 1 = relevance argmax
+        mmr_div.append(max_pairwise([m.match_id for m in ms]))
+        topk_div.append(max_pairwise([v for _s, v in rels[:5]]))
+    assert sum(mmr_div) / len(mmr_div) < sum(topk_div) / len(topk_div)
+
+
 def test_bpe_encode_applies_learned_merges(spark):
     """Hand-checkable corpus: 'low low lower' learns (l,o) then
     (lo,w) in 2 rounds; encoding then tokenizes 'low'→[low]? No —
