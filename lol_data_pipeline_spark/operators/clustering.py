@@ -238,3 +238,56 @@ def label_centroids(
         f"CAST(floor(CAST(s{d} AS DOUBLE) / n / CAST({scale} AS DOUBLE) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)" for d in range(dim)
     )
     return sums.select(label_col, "n", F.expr(f"array({cent})").alias("centroid"))
+
+
+def power_iteration(
+    emb: DataFrame,
+    rounds: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Top principal DIRECTION of the (uncentered) embedding Gram
+    matrix via power iteration — the spectral member of the embedding
+    analytics family (k-means quantizes, random projection sketches,
+    this finds the dominant axis). The same broadcast-iterate /
+    fixed-point recipe as :func:`kmeans_train`:
+
+    per round, with the current direction v as a LITERAL:
+      s_i  = x_i · v                       (sequential zip_with fold)
+      T_j  = Σ_i floor(x_ij · s_i · 2^20)  (BIGINT — order-independent,
+                                            bit-identical on any
+                                            partitioning or engine)
+      w_j  = T_j / 2^20;  v' = w / ‖w‖     (‖w‖ via the sequential
+                                            |·|² fold, driver-side)
+
+    so each round is ONE codegen aggregate whose shuffle is dim
+    partial rows regardless of corpus size plus a dim-row collect.
+    Deterministic start: v₀ = the vec_id-0 embedding (sign ambiguity
+    of the eigenvector is thereby fixed). Returns the final unit
+    direction as plain floats; a DuckDB oracle reproduces every round
+    (plans/round10.py)."""
+    x = F.col(vec_col).cast("array<double>")
+    v = [
+        float(c)
+        for c in emb.filter(F.col(id_col) == 0)
+        .select(x.alias("x"))
+        .collect()[0]
+        .x
+    ]
+    for _ in range(rounds):
+        s = dot(x, F.lit(v))
+        q = F.transform(
+            x, lambda xv: F.floor(xv * s * F.lit(float(_SCALE))).cast("long")
+        )
+        rows = (
+            emb.select(F.posexplode(q).alias("pos", "t"))
+            .groupBy("pos")
+            .agg(F.sum("t").alias("sv"))
+            .collect()
+        )
+        by_pos = {int(r.pos): int(r.sv) for r in rows}
+        w = [by_pos[p] / _SCALE for p in range(dim)]
+        nrm = _cc(w) ** 0.5
+        v = [wj / nrm for wj in w]
+    return v

@@ -246,6 +246,72 @@ def stream_ann_assign_multibatch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Power iteration — the spectral member of the embedding-analytics
+# family: top principal direction of the uncentered Gram matrix.
+# ---------------------------------------------------------------------------
+
+_PI_ROUNDS = 6
+
+
+def _sql_power_iteration() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        "p AS (SELECT unnest(generate_series(1, 64)) AS pos)",
+        "v0 AS (SELECT x AS v FROM e WHERE vec_id = 0)",
+    ]
+    for r in range(1, _PI_ROUNDS + 1):
+        ctes.append(f"""t{r} AS (
+      SELECT p.pos,
+             sum(CAST(floor(e.x[p.pos] * list_inner_product(e.x, (SELECT v FROM v{r - 1})) * 1048576.0) AS BIGINT)) AS sv
+      FROM e CROSS JOIN p GROUP BY 1
+    )""")
+        ctes.append(
+            f"w{r} AS (SELECT list(sv / 1048576.0 ORDER BY pos) AS w FROM t{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT list_transform(w, y -> y / sqrt(list_inner_product(w, w))) AS v FROM w{r})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(p.pos - 1 AS BIGINT) AS pos,
+           round((SELECT v FROM v{_PI_ROUNDS})[p.pos], 6) AS loading
+    FROM p ORDER BY pos
+    """
+    )
+
+
+@query("emb_power_iteration", sql=_sql_power_iteration())
+def emb_power_iteration(spark, sf_dir):
+    """Top principal DIRECTION of the embedding corpus via {r} rounds
+    of power iteration — the spectral embedding-analytics op (what a
+    PCA-whitening or anisotropy-removal preprocessing stage needs).
+    The broadcast-iterate / fixed-point recipe kmeans_train proved:
+    per round ONE codegen aggregate whose shuffle is dim partial rows
+    at any corpus size (per-term floor(x·s·2^20) BIGINT sums make the
+    result bit-identical across engines and partitionings) plus a
+    dim-row collect; normalization runs driver-side on the dim-sized
+    vector with the engines' sequential fold order. Deterministic
+    start (v₀ = the vec_id-0 embedding) fixes the eigenvector's sign.
+    The oracle unrolls every round. Returns (pos, loading), the unit
+    direction."""
+    from lol_data_pipeline_spark.operators.clustering import power_iteration
+
+    emb = T(spark, sf_dir, "embeddings")
+    v = power_iteration(emb, rounds=_PI_ROUNDS, dim=64)
+    raw = spark.createDataFrame(
+        [(p, float(x)) for p, x in enumerate(v)],
+        "pos bigint, loading double",
+    )
+    # round via the ENGINE (not Python's round) — the Spark-vs-DuckDB
+    # round() pairing is the parity-proven one across the registry.
+    return raw.select("pos", F.round("loading", 6).alias("loading")).orderBy(
+        "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR diversified rerank — the retrieval-diversity stage after ANN:
 # greedy maximal-marginal-relevance selection from a bounded pool.
 # ---------------------------------------------------------------------------

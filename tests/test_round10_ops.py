@@ -297,6 +297,35 @@ def test_graph_beam_search_expands_and_improves(spark, sf_dir):
     assert left_entry_hood
 
 
+def test_power_iteration_climbs_the_spectrum(spark, sf_dir):
+    """Spectral contracts against numpy ground truth: the returned
+    direction is unit-norm; its Rayleigh quotient on X'X (a) never
+    fell below the starting vector's (power iteration is monotone in
+    RQ), (b) does not exceed the true top eigenvalue, and (c) covers
+    most of the gap to it (convergence actually happened)."""
+    import numpy as np
+
+    rows = REGISTRY["emb_power_iteration"].fn(spark, sf_dir).collect()
+    assert [r.pos for r in rows] == list(range(64))
+    v = np.array([r.loading for r in rows], dtype=np.float64)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit (mod 6-dp rounding)
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    G = X.T @ X
+    lam_max = float(np.linalg.eigvalsh(G)[-1])
+    v0 = X[[r.vec_id for r in emb].index(0)]
+    v0 = v0 / np.linalg.norm(v0)
+    rq = float(v @ G @ v)
+    rq0 = float(v0 @ G @ v0)
+    assert rq >= rq0 - 1e-6
+    assert rq <= lam_max + 1e-6
+    assert rq >= rq0 + 0.5 * (lam_max - rq0)  # covered >=half the gap
+
+
 def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     """MMR semantics: pick 1 is the relevance argmax; 5 distinct
     picks per query; and ACROSS the query set the diversified
