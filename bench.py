@@ -158,6 +158,13 @@ HEADLINE = [
     # already-benched emb_knn_graph entry; benched anyway because the
     # bounded-round walk is a new plan shape worth regression-watching.
     "ann_graph_beam_topk",
+    # r10: MMR rerank (bounded-pool greedy rounds) and power iteration
+    # (fixed-point broadcast-iterate) — both new iterative plan
+    # shapes. ann_index_upsert/_delete are NOT benched: their wall is
+    # the one-time private index build + a bounded partition rewrite
+    # (write staging, no query-engine signal — ref_csv_scan policy).
+    "ann_mmr_rerank",
+    "emb_power_iteration",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
