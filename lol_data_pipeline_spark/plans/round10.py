@@ -1,6 +1,11 @@
-"""Round-10 additions: the MATERIALIZED vector index — build once as
-a cell_id-partitioned parquet table, serve probes via partition
-pruning, and maintain it incrementally against the frozen codebook.
+"""Round-10 additions: the MATERIALIZED vector index lifecycle —
+build once as a cell_id-partitioned parquet table, SERVE probes via
+partition pruning, and MAINTAIN it against the frozen codebook
+(batch upsert, streaming assign, take-down delete) — plus the
+retrieval stages around it (graph-axis beam search, MMR diversified
+rerank), the tokenizer lifecycle's encode half (text_bpe_encode,
+corpus_pack_bpe_budget), and spectral embedding analytics
+(emb_power_iteration).
 
 Round 9 proved every index STAGE in-query (train → assign → encode →
 probe → rescore, all oracle-matched); this round persists the build

@@ -72,6 +72,10 @@ CROSS_OK = {
     "rel_gap_fill_locf",  # spine = types x 1-row min/max bounds broadcast
     "text_tfidf_topterms",  # corpus doc-count scalar broadcast (1 row)
     "ann_range_search",  # broadcast query set vs corpus (brute-force baseline)
+    "ann_graph_beam_topk",  # constant-20 queries x 4 entry nodes seed
+    # cross join + broadcast Qxbeam frontier joins (all bounded)
+    "ann_mmr_rerank",  # constant-20 query broadcast vs corpus for the
+    # bounded relevance pool (ann_cosine_topk geometry) + Qxpool rounds
     "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
     "stat_psi_drift",  # same 1-row bounds broadcast + 20-bin grid as ks
     "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
