@@ -415,7 +415,7 @@ def ann_mmr_rerank(spark, sf_dir):
     All scores are rounded to 6 before comparison, so the greedy
     argmax (score DESC, id) is engine-deterministic and the oracle
     unrolls the identical selection rounds."""
-    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.caching import tracked_persist, truncate_lineage
     from lol_data_pipeline_spark.functions.scalar import snap
     from lol_data_pipeline_spark.operators.similarity import cosine
 
@@ -504,7 +504,12 @@ def ann_mmr_rerank(spark, sf_dir):
                 F.lit(t).alias("pick"),
             )
         )
-        frames.append(pick_t)
+        # Each pick is referenced TWICE by every later round (the
+        # anti-join and the div join), so without a cut the plan
+        # embeds the previous pick's tree twice per round —
+        # O(2^k) analysis cost for a Q-row frame. Same fix as the
+        # iterative graph kernels.
+        frames.append(truncate_lineage(pick_t))
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
