@@ -687,7 +687,7 @@ def ann_graph_beam_topk(spark, sf_dir):
     emb_knn_graph, then the identical rounds unrolled. Bounded
     everything: entries, beam, rounds, k — constant work per query
     at any corpus size once the graph exists."""
-    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.caching import tracked_persist, truncate_lineage
     from lol_data_pipeline_spark.operators.similarity import cosine, knn_graph
 
     emb = T(spark, sf_dir, "embeddings")
@@ -726,7 +726,10 @@ def ann_graph_beam_topk(spark, sf_dir):
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("cand").asc()
         )
-        frontier = (
+        # the frontier is referenced twice next round (union left +
+        # edge-join right) — cut its lineage per round (Q×B rows) so
+        # the plan stays constant-size instead of doubling per round.
+        frontier = truncate_lineage(
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _BEAM_B)
             .select("query_id", "cand")
