@@ -276,18 +276,82 @@ def power_iteration(
         .x
     ]
     for _ in range(rounds):
-        s = dot(x, F.lit(v))
-        q = F.transform(
-            x, lambda xv: F.floor(xv * s * F.lit(float(_SCALE))).cast("long")
-        )
-        rows = (
-            emb.select(F.posexplode(q).alias("pos", "t"))
-            .groupBy("pos")
-            .agg(F.sum("t").alias("sv"))
-            .collect()
-        )
-        by_pos = {int(r.pos): int(r.sv) for r in rows}
-        w = [by_pos[p] / _SCALE for p in range(dim)]
+        w = _gv_round(emb, v, dim, vec_col)
         nrm = _cc(w) ** 0.5
         v = [wj / nrm for wj in w]
     return v
+
+
+def _gv_round(
+    emb: DataFrame, v: list[float], dim: int, vec_col: str = "embedding"
+) -> list[float]:
+    """One G·v product as the fixed-point aggregate power_iteration
+    documents: s_i = x_i·v (sequential fold), T_j = Σ floor(x_ij·s_i·
+    2^20) as BIGINT (order-independent, engine/partitioning-proof),
+    w_j = T_j/2^20 — ONE codegen aggregate whose shuffle is dim
+    partial rows at any corpus size, plus a dim-row collect."""
+    x = F.col(vec_col).cast("array<double>")
+    s = dot(x, F.lit(v))
+    q = F.transform(
+        x, lambda xv: F.floor(xv * s * F.lit(float(_SCALE))).cast("long")
+    )
+    rows = (
+        emb.select(F.posexplode(q).alias("pos", "t"))
+        .groupBy("pos")
+        .agg(F.sum("t").alias("sv"))
+        .collect()
+    )
+    by_pos = {int(r.pos): int(r.sv) for r in rows}
+    return [by_pos[p] / _SCALE for p in range(dim)]
+
+
+def _ip(a: list[float], b: list[float]) -> float:
+    """Driver-side dot with the engines' left-to-right fold order
+    (the _cc rule, two-vector form) — deflation projections must be
+    bit-equal to the oracle's list_inner_product."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def power_topr(
+    emb: DataFrame,
+    r: int = 2,
+    rounds: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Top-r principal DIRECTIONS via power iteration with hotelling
+    DEFLATION: direction d starts from the vec_id-d embedding (sign
+    fix) and every round subtracts each CONVERGED earlier direction's
+    projection from the G·v product (w ← w − (w·u)u) before
+    normalizing — classical deflation against final eigvectors, so
+    direction d converges inside span{v₀..v_{d−1}}⊥. Per round the
+    distributed work is the same single dim-row aggregate as
+    :func:`power_iteration`; deflation is driver-side arithmetic on
+    dim-sized vectors with the engines' sequential fold order (the
+    DuckDB oracle in plans/round11.py unrolls every round and
+    subtraction identically — intermediate vectors are bit-equal, the
+    invariant each round's floor(x·s·2^20) depends on). Returns r
+    unit directions."""
+    x = F.col(vec_col).cast("array<double>")
+    dirs: list[list[float]] = []
+    for d in range(r):
+        v = [
+            float(c)
+            for c in emb.filter(F.col(id_col) == d)
+            .select(x.alias("x"))
+            .collect()[0]
+            .x
+        ]
+        for _ in range(rounds):
+            w = _gv_round(emb, v, dim, vec_col)
+            for u in dirs:
+                du = _ip(w, u)
+                w = [w[i] - du * u[i] for i in range(dim)]
+            nrm = _cc(w) ** 0.5
+            v = [wj / nrm for wj in w]
+        dirs.append(v)
+    return dirs

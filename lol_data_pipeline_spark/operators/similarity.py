@@ -831,3 +831,93 @@ def ivfpq_topk(
         ).alias("approx"),
     )
     return _adc_refine_topk(scored, k, refine, extra_cols=("probe_rank",))
+
+
+def mmr_greedy(pool: DataFrame, lam: float, k: int) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection over a BOUNDED
+    candidate pool: per query, pick argmax λ·rel(c) − (1−λ)·max_{s∈
+    selected} sim(c, s), k−1 rounds after the relevance argmax.
+
+    ``pool`` carries (query_id, cand, cvec, rel) with rel already
+    rounded to 6 decimals; scores take the tie-safe snap (λ·rel is
+    RATIONAL over 6-decimal inputs and lands on exact .5 ties —
+    plans/round10.py's finding). Every structure is bounded: the pool
+    is Q×P rows (broadcast on every join), the selected set grows to
+    k, rounds are a driver loop over lazy plans with no collect; each
+    pick is lineage-truncated because later rounds reference it twice
+    (anti-join + div join) and the plan would otherwise double per
+    round. This is the selection kernel of plans/round10.py's
+    ann_mmr_rerank, factored so the served-pool composition
+    (plans/round11.py) runs the IDENTICAL rounds over an index-served
+    pool; equivalence is covered by
+    tests/test_round11_ops.py::test_served_mmr_shares_selection_kernel.
+
+    Returns (query_id, cand, rel, score, pick)."""
+    from lol_data_pipeline_spark.caching import truncate_lineage
+    from lol_data_pipeline_spark.functions.scalar import snap
+
+    mu = round(1 - lam, 6)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand").asc()
+    )
+    selected = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand",
+            "cvec",
+            "rel",
+            snap(F.lit(lam) * F.col("rel")).alias("score"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    frames = [selected]
+    for t in range(2, k + 1):
+        sel_all = frames[0]
+        for fr in frames[1:]:
+            sel_all = sel_all.unionByName(fr)
+        sel_ids = sel_all.select("query_id", "cand")
+        remaining = pool.join(
+            F.broadcast(sel_ids), ["query_id", "cand"], "left_anti"
+        )
+        div = (
+            remaining.join(
+                F.broadcast(
+                    sel_all.select("query_id", F.col("cvec").alias("svec"))
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "cand",
+                "cvec",
+                "rel",
+                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("ps"),
+            )
+            .groupBy("query_id", "cand", "cvec", "rel")
+            .agg(F.max("ps").alias("div"))
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            snap(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")).desc(),
+            F.col("cand").asc(),
+        )
+        pick_t = (
+            div.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand",
+                "cvec",
+                "rel",
+                snap(
+                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")
+                ).alias("score"),
+                F.lit(t).alias("pick"),
+            )
+        )
+        frames.append(truncate_lineage(pick_t))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("query_id", "cand", "rel", "score", "pick")

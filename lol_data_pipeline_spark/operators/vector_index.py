@@ -446,3 +446,126 @@ def index_upsert(
     merged = keep.unionByName(new_codes.select(*keep.columns)).localCheckpoint()
     write_upsert_partitions(merged, path, ["cell_id"])
     return affected
+
+
+def index_compact(
+    spark: SparkSession, path: str, meta: dict, quota: int | None = None
+) -> tuple[list[int], list[tuple[int, int, int]]]:
+    """Rebalance over-quota cells — the maintenance step the upsert
+    path eventually needs: every upsert batch lands in ≤ k cells and
+    nothing re-splits a hot cell, so a long-fed index skews (cell
+    skew is scan skew at probe time). One compaction pass, run FROM
+    THE INDEX ALONE (codes + sidecar — no source scan):
+
+    - quota defaults to perfect balance ceil(N/k) (integer
+      arithmetic, engine-portable);
+    - each over-quota cell keeps its ``quota`` members NEAREST to its
+      centroid (d² of the DECODED x̂ against the literal centroid —
+      deterministic: d² then vec_id) and MOVES the rest to their
+      next-nearest OTHER centroid (d² then cid — the probe ordering);
+    - only the affected partitions (donors ∪ receivers, ≤ codebook
+      size) are rewritten via dynamic partition overwrite. Codes are
+      cell-INDEPENDENT in this no-residual PQ variant, so a move
+      rewrites a row's cell_id without re-encoding (the residual
+      variant would have to re-encode — one reason production
+      indexes, e.g. FAISS's IVFPQ, often keep by_residual off for
+      relocatable storage).
+
+    Single-pass by design: a receiver may end over quota; the pass is
+    idempotent-to-convergence (re-running compacts further until no
+    cell exceeds quota by construction of the keep-rank). A query
+    probing the ORIGINAL nearest cell can miss a moved vector — the
+    standard balance-vs-recall trade every quota-bounded IVF accepts;
+    nprobe is the recovery lever.
+
+    Returns (affected cell ids, moves as (vec_id, from, to))."""
+    p = meta["params"]
+    k = p["k"]
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    counts = {
+        int(r.cell_id): int(r.n)
+        for r in spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if quota is None:
+        quota = (total + k - 1) // k
+    over = sorted(c for c, n in counts.items() if n > quota)
+    if not over:
+        return [], []
+    members = read_index_codes(spark, path, meta, cells=over)
+    xh = F.col("xhat")
+    d2s = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        dot(xh, xh)
+                        - 2 * dot(xh, F.lit(cv))
+                        + F.lit(_cc(cv))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+    )
+    scored = members.select(
+        "vec_id",
+        "cell_id",
+        pq_decode_expr(meta["seeds"], p["m"], p["dsub"]).alias("xhat"),
+    ).select("vec_id", "cell_id", d2s.alias("ds"))
+    ranked = scored.select(
+        "vec_id",
+        "cell_id",
+        F.element_at(
+            F.filter(F.col("ds"), lambda s: s.cid == F.col("cell_id")), 1
+        )["d2"].alias("d2own"),
+        F.element_at(
+            F.filter(F.col("ds"), lambda s: s.cid != F.col("cell_id")), 1
+        )["cid"].alias("next_cell"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("d2own").asc(), F.col("vec_id").asc()
+    )
+    movers = [
+        (int(r.vec_id), int(r.cell_id), int(r.next_cell))
+        for r in ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > quota)
+        .select("vec_id", "cell_id", "next_cell")
+        .collect()
+    ]
+    # movers are bounded by the over-quota excess of ≤ k cells — at a
+    # steady-state index that is the size of recent upsert batches,
+    # not the corpus; a skew so pathological that movers rival the
+    # corpus means the codebook itself is stale (rebuild, not compact)
+    receivers = sorted({t for _v, _f, t in movers})
+    affected = sorted(set(over) | set(receivers))
+    move_df = spark.createDataFrame(
+        [(v, t) for v, _f, t in movers], "vec_id long, to_cell long"
+    )
+    existing = read_index_codes(spark, path, meta, cells=affected)
+    merged = (
+        existing.join(F.broadcast(move_df), "vec_id", "left")
+        .withColumn(
+            "cell_id",
+            F.coalesce(F.col("to_cell"), F.col("cell_id")).cast(
+                existing.schema["cell_id"].dataType
+            ),
+        )
+        .drop("to_cell")
+        .localCheckpoint()
+    )
+    write_upsert_partitions(merged, path, ["cell_id"])
+    # a donor whose every member moved would keep a stale directory
+    survived = {
+        int(r.cell_id) for r in merged.select("cell_id").distinct().collect()
+    }
+    import shutil
+
+    for c in affected:
+        if c not in survived:
+            shutil.rmtree(os.path.join(path, f"cell_id={c}"), ignore_errors=True)
+    return affected, movers

@@ -278,3 +278,736 @@ def graph_index_delete(spark, sf_dir):
         "sim",
         "rank",
     ).orderBy("src_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end retrieval composition: served-index candidate pool → MMR
+# diversified rerank — the production pipeline shape (ann_mmr_rerank's
+# exact-scan pool stays registered as the oracle baseline, the same
+# role ann_cosine_topk plays for the ANN family).
+# ---------------------------------------------------------------------------
+
+
+def _sql_served_pool_head() -> str:
+    """Oracle CTE chain reproducing the SERVED IVF+PQ pool: the
+    sampled-trained codebook + probe + ADC + exact rescore of
+    plans/round9.py's _sql_ivfpq_kmeans, ending in a
+    ``pool``(query_id, cand, rel) CTE of the top-{pool} rescored
+    candidates per query — exactly what served_ivfpq_topk(k=pool)
+    returns, because serving is bit-identical to recomputation
+    (tests/test_round10_ops.py::test_decode_matches_inquery_encode_bitwise)."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _NPROBE,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _MMR_POOL
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell, rn AS probe_rank
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE (e.vec_id >= {_KMQ_LO} AND e.vec_id < {_KMQ_HI})
+           OR (e.vec_id >= {_KMQ_TAIL_LO} AND e.vec_id < {_KMQ_TAIL_HI})
+      ) WHERE rn <= {_NPROBE}
+    ),
+    {_pq_xhat_ctes()},
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC,
+                        cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    cand AS (
+      SELECT a.query_id, a.match_id,
+             {SQL_COS.format(a='a.qvec', b='e.embedding')} AS sim
+      FROM approx a JOIN embeddings e ON e.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _MMR_POOL}
+    ),
+    pool AS (
+      SELECT query_id, match_id AS cand, sim AS rel FROM (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, match_id
+               ) AS rnk
+        FROM cand
+      ) WHERE rnk <= {_MMR_POOL}
+    )"""
+    )
+
+
+def _sql_mmr_rounds_tail() -> str:
+    """Greedy MMR selection CTEs over a ``pool``(query_id, cand, rel)
+    CTE, candidate vectors joined from ``embeddings`` — the same
+    rounds as plans/round10.py's _sql_mmr, with CTE names prefixed
+    ``m`` because this chain coexists with kmeans_ctes (whose
+    ``s{i}`` update CTEs would collide with the original's ``s{t}``
+    selection names)."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+    from lol_data_pipeline_spark.plans.round10 import _MMR_K, _MMR_LAM
+
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 6)
+    snap1 = snap_sql(f"{lam} * rel")
+    snapt = snap_sql(f"{lam} * rel - {mu} * div")
+    ctes = [
+        f"""msel1 AS (
+      SELECT query_id, cand, rel, {snap1} AS score, 1 AS pick
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand) AS rn2
+        FROM pool
+      ) WHERE rn2 = 1
+    )"""
+    ]
+    for t in range(2, _MMR_K + 1):
+        prev = f"msel{t - 1}"
+        ctes.append(f"""mdiv{t} AS (
+      SELECT p.query_id, p.cand, p.rel,
+             max({SQL_COS.format(a='cp.embedding', b='cs.embedding')}) AS div
+      FROM pool p
+      JOIN {prev} s ON s.query_id = p.query_id
+      JOIN embeddings cp ON cp.vec_id = p.cand
+      JOIN embeddings cs ON cs.vec_id = s.cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} z WHERE z.query_id = p.query_id AND z.cand = p.cand
+      )
+      GROUP BY 1, 2, 3
+    )""")
+        ctes.append(f"""mpick{t} AS (
+      SELECT query_id, cand, rel, score, {t} AS pick FROM (
+        SELECT query_id, cand, rel,
+               {snapt} AS score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {snapt} DESC, cand
+               ) AS rn2
+        FROM mdiv{t}
+      ) WHERE rn2 = 1
+    )""")
+        ctes.append(
+            f"msel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM mpick{t})"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, CAST(cand AS BIGINT) AS match_id, rel, score AS mmr_score,
+           CAST(pick AS BIGINT) AS pick
+    FROM msel{_MMR_K} ORDER BY query_id, pick
+    """
+    )
+
+
+def _sql_served_mmr() -> str:
+    return _sql_served_pool_head() + ",\n    " + _sql_mmr_rounds_tail()
+
+
+@query("ann_served_mmr_rerank", sql=_sql_served_mmr())
+def ann_served_mmr_rerank(spark, sf_dir):
+    """The retrieval pipeline END-TO-END: candidate pool from the
+    PERSISTED IVF+PQ index (partition-pruned code scan + decode + ADC
+    + bounded exact rescore — served_ivfpq_topk with k = the pool
+    size) → greedy MMR diversification over that pool (the shared
+    selection kernel operators/similarity.mmr_greedy). This is the
+    production shape round 10's verdict asked for: ann_mmr_rerank's
+    exact full-corpus pool stage (kept as the oracle baseline) is
+    replaced by the index the repo already maintains — per query the
+    pool costs nprobe pruned partitions + refine·pool rescore rows
+    instead of a corpus scan. The oracle re-derives index build +
+    probe + ADC + rescore + the identical selection rounds in one CTE
+    chain (serving is bit-identical to recomputation, so the oracle
+    can recompute). Queries: the fair seed-disjoint 20-id set."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.similarity import mmr_greedy
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.round9 import _NPROBE, _REFINE
+    from lol_data_pipeline_spark.plans.round10 import _MMR_LAM, _MMR_K, _MMR_POOL
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    served = served_ivfpq_topk(
+        spark, sf_dir, queries, k=_MMR_POOL, refine=_REFINE, nprobe=_NPROBE
+    ).select("query_id", F.col("match_id").alias("cand"), F.col("sim").alias("rel"))
+    # attach candidate vectors for the diversity terms: the pool is
+    # bounded (Q×pool rows) → broadcast it; the corpus is filter-
+    # joined, never shuffled
+    pool = tracked_persist(
+        emb.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cvec"))
+        .join(F.broadcast(served), "cand")
+        .select("query_id", "cand", "cvec", "rel")
+    )
+    out = mmr_greedy(pool, lam=_MMR_LAM, k=_MMR_K)
+    return out.select(
+        "query_id",
+        F.col("cand").alias("match_id"),
+        "rel",
+        F.col("score").alias("mmr_score"),
+        F.col("pick").cast("long").alias("pick"),
+    ).orderBy("query_id", "pick")
+
+
+# ---------------------------------------------------------------------------
+# Index compaction — quota rebalance of skewed cells (the maintenance
+# step a long-fed upsert index eventually needs).
+# ---------------------------------------------------------------------------
+
+
+def _sql_index_compact() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    d2 = (
+        "list_inner_product({x}, {x}) - 2 * list_inner_product({x}, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes(src=cells, xcol="x", emit="both")},
+    stats AS (SELECT cluster, count(*) AS n FROM {cells} GROUP BY 1),
+    tot AS (
+      SELECT CAST((sum(n) + {_IVF_CELLS - 1}) // {_IVF_CELLS} AS BIGINT) AS quota
+      FROM stats
+    ),
+    overq AS (SELECT s.cluster FROM stats s, tot t WHERE s.n > t.quota),
+    own AS (
+      SELECT a.vec_id, a.cluster AS cell_id, h.xh,
+             {d2.format(x="h.xh")} AS d2own
+      FROM {cells} a
+      JOIN overq v ON v.cluster = a.cluster
+      JOIN xhat h ON h.match_id = a.vec_id
+      JOIN {trained} c ON c.cid = a.cluster
+    ),
+    rankedm AS (
+      SELECT own.*, row_number() OVER (
+        PARTITION BY cell_id ORDER BY d2own, vec_id
+      ) AS rn
+      FROM own
+    ),
+    moverrows AS (
+      SELECT r.vec_id, r.cell_id, r.xh FROM rankedm r, tot t WHERE r.rn > t.quota
+    ),
+    second AS (
+      SELECT vec_id, cid AS to_cell FROM (
+        SELECT m.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY m.vec_id
+                 ORDER BY {d2.format(x="m.xh")}, c.cid
+               ) AS rn2
+        FROM moverrows m CROSS JOIN {trained} c
+        WHERE c.cid <> m.cell_id
+      ) WHERE rn2 = 1
+    ),
+    newassign AS (
+      SELECT a.vec_id, CAST(COALESCE(s.to_cell, a.cluster) AS BIGINT) AS cell_id
+      FROM {cells} a LEFT JOIN second s ON s.vec_id = a.vec_id
+    ),
+    affcells AS (
+      SELECT cluster AS cell FROM overq
+      UNION
+      SELECT to_cell FROM second
+    )
+    SELECT n.vec_id, n.cell_id, c.codes
+    FROM newassign n
+    JOIN codes c USING (vec_id)
+    JOIN affcells f ON n.cell_id = f.cell
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("ann_index_compact", sql=_sql_index_compact())
+def ann_index_compact(spark, sf_dir):
+    """Index COMPACTION: rebalance over-quota cells by moving each
+    such cell's members FARTHEST from its centroid (d² of the decoded
+    x̂ — computed from the index alone, no source scan) to their
+    next-nearest other centroid, rewriting only the donor∪receiver
+    partitions (≤ codebook size). The maintenance step the upsert
+    path eventually needs: batches land in ≤ k cells and nothing
+    re-splits a hot cell, and cell skew IS scan skew at probe time.
+    Codes are cell-independent in this no-residual PQ variant, so a
+    move rewrites cell_id without re-encoding. Returns the
+    post-compact DISK content of the affected partitions, re-read
+    from parquet; the oracle re-derives build → decode → quota →
+    keep-rank → next-nearest reassignment end-to-end. The entry
+    rebuilds its private copy (variant="compact") from scratch each
+    run — compaction is a one-way mutation, and a deterministic
+    entry must pin the build→compact→read sequence, not compact an
+    already-compacted artifact into a no-op."""
+    import shutil
+
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+        index_compact,
+        pq_code_cols,
+        read_index_codes,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+    from lol_data_pipeline_spark.plans.round9 import _PQ_M
+
+    # compaction mutates in place and a single pass can leave a
+    # RECEIVER over quota, so "is it already compacted" is not
+    # decidable from counts — always start from a freshly built
+    # artifact (bounded cost: one private build per run)
+    path, meta = ensure_ivfpq_index(
+        spark, sf_dir, variant="compact", **_INDEX_PARAMS
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    path, meta = ensure_ivfpq_index(
+        spark, sf_dir, variant="compact", **_INDEX_PARAMS
+    )
+    affected, _moves = index_compact(spark, path, meta)
+    disk = read_index_codes(spark, path, meta, cells=affected)
+    return disk.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Top-r spectral directions — power iteration with Hotelling deflation
+# (the PCA-whitening front-end an embedding pipeline wants; extends
+# round10's single-direction emb_power_iteration).
+# ---------------------------------------------------------------------------
+
+_PR_DIRS = 2
+
+
+def _sql_power_topr() -> str:
+    from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
+
+    R = _PI_ROUNDS
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        "p AS (SELECT unnest(generate_series(1, 64)) AS pos)",
+    ]
+    for d in range(_PR_DIRS):
+        ctes.append(
+            f"d{d}v0 AS MATERIALIZED (SELECT x AS v FROM e WHERE vec_id = {d})"
+        )
+        for r in range(1, R + 1):
+            ctes.append(f"""d{d}t{r} AS MATERIALIZED (
+      SELECT p.pos,
+             sum(CAST(floor(e.x[p.pos] * list_inner_product(e.x, (SELECT v FROM d{d}v{r - 1})) * 1048576.0) AS BIGINT)) AS sv
+      FROM e CROSS JOIN p GROUP BY 1
+    )""")
+            wname = f"d{d}w{r}_0"
+            ctes.append(
+                f"{wname} AS MATERIALIZED (SELECT list(sv / 1048576.0 ORDER BY pos) AS w FROM d{d}t{r})"
+            )
+            # deflate against each CONVERGED earlier direction, in
+            # discovery order — identical arithmetic to the Spark
+            # side's driver loop (w ← w − (w·u)·u per u)
+            for j in range(d):
+                uj = f"d{j}v{R}"
+                du = f"d{d}u{r}_{j}"
+                ctes.append(
+                    f"{du} AS MATERIALIZED (SELECT list_inner_product(w, (SELECT v FROM {uj})) AS du FROM {wname})"
+                )
+                nxt = f"d{d}w{r}_{j + 1}"
+                ctes.append(f"""{nxt} AS MATERIALIZED (
+      SELECT list(ww ORDER BY pos) AS w FROM (
+        SELECT p.pos, t.w[p.pos] - u.du * (SELECT v FROM {uj})[p.pos] AS ww
+        FROM p, {wname} t, {du} u
+      )
+    )""")
+                wname = nxt
+            ctes.append(
+                f"d{d}v{r} AS MATERIALIZED (SELECT list_transform(w, y -> y / sqrt(list_inner_product(w, w))) AS v FROM {wname})"
+            )
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({d} AS BIGINT) AS direction, CAST(p.pos - 1 AS BIGINT) AS pos,"
+        f" round((SELECT v FROM d{d}v{R})[p.pos], 6) AS loading FROM p"
+        for d in range(_PR_DIRS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+    {finals}
+    ) ORDER BY direction, pos
+    """
+    )
+
+
+@query("emb_power_topr", sql=_sql_power_topr())
+def emb_power_topr(spark, sf_dir):
+    """Top-{r} principal DIRECTIONS of the embedding corpus: power
+    iteration with Hotelling DEFLATION — direction d starts from the
+    vec_id-d embedding (sign fix) and every round subtracts each
+    converged earlier direction's projection from the G·v product
+    before normalizing, so direction d converges in the orthogonal
+    complement of the found span. The spectral front-end a
+    PCA-whitening / anisotropy-removal stage needs (one direction =
+    round10's emb_power_iteration; real pipelines want the top few).
+    Distributed cost per round is unchanged: ONE codegen aggregate
+    whose shuffle is dim partial rows at any corpus size (floor(x·s·
+    2^20) BIGINT sums — bit-identical across engines/partitionings)
+    plus a dim-row collect; deflation is driver-side arithmetic on
+    dim-sized vectors with the engines' fold order. The oracle
+    unrolls every round AND every subtraction. Returns (direction,
+    pos, loading)."""
+    from lol_data_pipeline_spark.operators.clustering import power_topr
+    from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
+
+    emb = T(spark, sf_dir, "embeddings")
+    dirs = power_topr(emb, r=_PR_DIRS, rounds=_PI_ROUNDS, dim=64)
+    raw = spark.createDataFrame(
+        [
+            (d, p, float(x))
+            for d, vec in enumerate(dirs)
+            for p, x in enumerate(vec)
+        ],
+        "direction bigint, pos bigint, loading double",
+    )
+    # round via the ENGINE (not Python's round) — the Spark-vs-DuckDB
+    # round() pairing is the parity-proven one across the registry.
+    return raw.select(
+        "direction", "pos", F.round("loading", 6).alias("loading")
+    ).orderBy("direction", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert INTO the served index — round10's stream assigned
+# but never wrote; this wires the foreachBatch sink to index_upsert so
+# the stream actually maintains a queryable artifact.
+# ---------------------------------------------------------------------------
+
+_SUP_LO, _SUP_HI = 250, 270
+_SUP_SHIFT = 300000
+
+
+def _sql_stream_upsert() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+        assign_src="allv",
+    )
+    allv = f"""allv AS (
+      SELECT vec_id, x FROM e
+      UNION ALL
+      SELECT vec_id + {_SUP_SHIFT} AS vec_id,
+             list_concat(list_slice(x, 33, 64), list_slice(x, 1, 32)) AS x
+      FROM e WHERE vec_id >= {_SUP_LO} AND vec_id < {_SUP_HI}
+    )"""
+    ctes = ctes[:2] + [allv] + ctes[2:]
+    cells = f"a{_KM_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes(src=cells, xcol="x", emit="codes")},
+    affected AS (
+      SELECT DISTINCT cluster FROM {cells} WHERE vec_id >= {_SUP_SHIFT}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cell_id, c.codes
+    FROM {cells} a
+    JOIN codes c USING (vec_id)
+    JOIN affected f ON a.cluster = f.cluster
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("stream_ann_upsert_multibatch", sql=_sql_stream_upsert())
+def stream_ann_upsert_multibatch(spark, sf_dir):
+    """STREAMING index MAINTENANCE end-to-end: new vectors arrive as
+    a four-batch ordered replay, are assigned to the FROZEN persisted
+    codebook + PQ-encoded (stateless pure projection per micro-batch,
+    like round10's stream_ann_assign_multibatch) — and then each
+    micro-batch is WRITTEN THROUGH a foreachBatch sink into the
+    persisted index via index_upsert (dynamic overwrite of ≤
+    codebook-size partitions per epoch; idempotent, so a replayed
+    epoch rewrites identical content — the exactly-once-by-
+    idempotence discipline streaming/sinks.py documents). What is
+    verified is the post-stream DISK content of the affected
+    partitions — the stream maintained a QUERYABLE artifact, not just
+    an assignment feed (the gap round 10's verdict flagged). The
+    oracle re-derives the batch build over corpus∪batch end-to-end
+    and restricts to the batch's cells. Own index copy
+    (variant="streamup")."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        assign_to_index,
+        ensure_ivfpq_index,
+        index_upsert,
+        pq_code_cols,
+        read_index_codes,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+    from lol_data_pipeline_spark.plans.round9 import _PQ_M
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_ivfpq_index(
+        spark, sf_dir, variant="streamup", **_INDEX_PARAMS
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    batch = emb.filter(F.col("vec_id").between(_SUP_LO, _SUP_HI - 1)).select(
+        (F.col("vec_id") + _SUP_SHIFT).alias("vec_id"),
+        F.concat(F.slice(x, 33, 32), F.slice(x, 1, 32)).alias("embedding"),
+    )
+    parts = [batch.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    def build(stream):
+        return assign_to_index(stream, meta)
+
+    def sink(df, _epoch_id):
+        index_upsert(spark, path, meta, df)
+
+    replay_multibatch(
+        spark,
+        parts,
+        build,
+        mode="append",
+        key=f"ann_upsert:{sf_dir}",
+        foreach_batch=sink,
+    )
+    affected = sorted(
+        int(r.cell_id)
+        for r in assign_to_index(batch, meta)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    disk = read_index_codes(spark, path, meta, cells=affected)
+    return disk.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.concat_ws(",", *pq_code_cols(_PQ_M)).alias("codes"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Recall-vs-nprobe on the SERVED index — round10's ann_recall_eval
+# evaluates in-query variants; this measures the quality of what
+# production actually serves, across the probe-width lever.
+# ---------------------------------------------------------------------------
+
+_RECALL_NPROBES = (1, 2, 4)
+
+
+def _sql_served_recall() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _K,
+        _KM_ROUNDS,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    fair = (
+        f"(vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})"
+        f" OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})"
+    )
+    head = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes()},
+    qe AS (SELECT vec_id AS query_id, x AS qvec FROM e WHERE {fair}),
+    se AS (
+      SELECT qe.query_id, c.vec_id AS match_id,
+             {SQL_COS.format(a='qe.qvec', b='c.x')} AS sim
+      FROM qe JOIN e c ON c.vec_id <> qe.query_id
+    ),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+        FROM se
+      ) WHERE rank <= {_K}
+    ),
+    qprobeall AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell, rn
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE {fair.replace('vec_id', 'e.vec_id')}
+      ) WHERE rn <= {max(_RECALL_NPROBES)}
+    )"""
+    )
+    per_np = []
+    for np_ in _RECALL_NPROBES:
+        per_np.append(f""",
+    approx{np_} AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC, cl.vec_id
+             ) AS arank
+      FROM qprobeall q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+      WHERE q.rn <= {np_}
+    ),
+    ranked{np_} AS (
+      SELECT query_id, match_id FROM (
+        SELECT c2.query_id, c2.match_id,
+               row_number() OVER (
+                 PARTITION BY c2.query_id ORDER BY c2.sim DESC, c2.match_id
+               ) AS rank
+        FROM (
+          SELECT a.query_id, a.match_id,
+                 {SQL_COS.format(a='a.qvec', b='e2.embedding')} AS sim
+          FROM approx{np_} a JOIN embeddings e2 ON e2.vec_id = a.match_id
+          WHERE a.arank <= {_REFINE * _K}
+        ) c2
+      ) WHERE rank <= {_K}
+    )""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({np_} AS BIGINT) AS nprobe, x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall_at_5
+    FROM exact x LEFT JOIN ranked{np_} a
+      ON a.query_id = x.query_id AND a.match_id = x.match_id
+    GROUP BY 1, 2"""
+        for np_ in _RECALL_NPROBES
+    )
+    return (
+        head
+        + "".join(per_np)
+        + f"""
+    SELECT * FROM (
+    {finals}
+    ) ORDER BY nprobe, query_id
+    """
+    )
+
+
+@query("ann_served_recall_eval", sql=_sql_served_recall())
+def ann_served_recall_eval(spark, sf_dir):
+    """Recall@{k} of the SERVED IVF+PQ index against brute-force
+    ground truth, per query, across nprobe ∈ {probes} — the curve an
+    operator reads before picking the probe width, measured on what
+    production actually serves (ann_recall_eval evaluates in-query
+    variants; serving quality must be measured, not inherited). All
+    three probe widths serve from the SAME persisted artifact — only
+    the partition filter widens, which is exactly the 100 TB cost
+    model: recall is bought with nprobe/C more files scanned, nothing
+    is rebuilt. The exact side runs over the fixed 20-query fair set
+    (the affordable-eval pattern ann_recall_eval documents). The
+    oracle re-derives the codebook, the probe ranks once (rn ≤ max
+    nprobe), and per width the ADC ranking + rescore + hit join."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.round9 import _REFINE
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    exact = sim.cosine_topk(emb, queries, k=_K).select("query_id", "match_id")
+    served = None
+    for np_ in _RECALL_NPROBES:
+        ap = served_ivfpq_topk(
+            spark, sf_dir, queries, k=_K, refine=_REFINE, nprobe=np_
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.col("query_id").alias("aq"),
+            F.col("match_id").alias("am"),
+            F.lit(1).alias("hit"),
+        )
+        served = ap if served is None else served.unionByName(ap)
+    probes = spark.createDataFrame(
+        [(n,) for n in _RECALL_NPROBES], "nprobe long"
+    )
+    base = exact.crossJoin(F.broadcast(probes))
+    return (
+        base.join(
+            served,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("match_id") == F.col("am"))
+            & (base.nprobe == served.nprobe),
+            "left",
+        )
+        .drop(served.nprobe)
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / count(*), 6)"
+            ).alias("recall_at_5"),
+        )
+        .orderBy("nprobe", "query_id")
+    )

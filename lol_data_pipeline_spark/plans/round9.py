@@ -88,17 +88,21 @@ def _pq_xhat_ctes(src: str = "embeddings", xcol: str = "", emit: str = "xhat") -
     xexpr = (
         "CAST(x.embedding AS DOUBLE[])" if src == "embeddings" else f"x.{xcol}"
     )
-    pick = "cs" if emit == "xhat" else "j"
-    if emit == "xhat":
-        tail = """xhat AS (
+    xhat_tail = """xhat AS (
       SELECT vec_id AS match_id, flatten(list(cs ORDER BY s)) AS xh
       FROM chosen GROUP BY 1
     )"""
-    else:
-        tail = """codes AS (
+    codes_tail = """codes AS (
       SELECT vec_id, array_to_string(list(j ORDER BY s), ',') AS codes
       FROM chosen GROUP BY 1
     )"""
+    if emit == "xhat":
+        pick, tail = "cs", xhat_tail
+    elif emit == "codes":
+        pick, tail = "j", codes_tail
+    else:  # "both": the compaction oracle needs the reconstruction
+        # (distances) AND the stored codes (disk content) at once
+        pick, tail = "cs, j", xhat_tail + ",\n    " + codes_tail
     return f"""cents AS (
       SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS c
       FROM embeddings WHERE vec_id < {_PQ_NCENT}

@@ -79,6 +79,9 @@ CROSS_OK = {
     "stat_ks_drift",  # global min/max scalar broadcast (1 row) + 20-row grid
     "stat_psi_drift",  # same 1-row bounds broadcast + 20-bin grid as ks
     "ann_recall_eval",  # inherits cosine_topk's broadcast query-set nested loop
+    "ann_served_recall_eval",  # same exact-side geometry (20-query broadcast
+    # NLJ vs corpus for ground truth) + a 3-row nprobe-literal crossJoin;
+    # the served side itself is equi-join only
     "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
     "stat_cusum_changepoint",  # three 1-row scalar broadcasts (totals, max, peak day)
