@@ -283,6 +283,7 @@ def served_ivfpq_topk(
     refine: int = 4,
     nprobe: int = 2,
     index_root: str | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Serve top-k from the PERSISTED index: probe → pruned code scan
     → decode → ADC rank → bounded exact rescore. Output schema and
@@ -341,14 +342,21 @@ def served_ivfpq_topk(
         "match_id",
         "probe_rank",
         F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        # keep_vec: downstream stages (MMR diversity terms) need the
+        # candidate vectors the rescore already scanned — carrying
+        # them through here saves those stages a second corpus join
+        *(["cvec"] if keep_vec else []),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id").asc()
     )
+    out_cols = ["query_id", "match_id", "probe_rank", "sim", "rank"] + (
+        ["cvec"] if keep_vec else []
+    )
     return (
         resc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "probe_rank", "sim", "rank")
+        .select(*out_cols)
     )
 
 

@@ -456,16 +456,24 @@ def ann_served_mmr_rerank(spark, sf_dir):
         (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
         | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
     )
-    served = served_ivfpq_topk(
-        spark, sf_dir, queries, k=_MMR_POOL, refine=_REFINE, nprobe=_NPROBE
-    ).select("query_id", F.col("match_id").alias("cand"), F.col("sim").alias("rel"))
-    # attach candidate vectors for the diversity terms: the pool is
-    # bounded (Q×pool rows) → broadcast it; the corpus is filter-
-    # joined, never shuffled
+    # keep_vec threads the candidate vectors (for the diversity
+    # terms) through the rescore stage's existing corpus join — the
+    # pool stage costs NO extra scan beyond the serve itself
     pool = tracked_persist(
-        emb.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("cvec"))
-        .join(F.broadcast(served), "cand")
-        .select("query_id", "cand", "cvec", "rel")
+        served_ivfpq_topk(
+            spark,
+            sf_dir,
+            queries,
+            k=_MMR_POOL,
+            refine=_REFINE,
+            nprobe=_NPROBE,
+            keep_vec=True,
+        ).select(
+            "query_id",
+            F.col("match_id").alias("cand"),
+            "cvec",
+            F.col("sim").alias("rel"),
+        )
     )
     out = mmr_greedy(pool, lam=_MMR_LAM, k=_MMR_K)
     return out.select(
