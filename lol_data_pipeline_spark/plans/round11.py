@@ -1019,3 +1019,275 @@ def ann_served_recall_eval(spark, sf_dir):
         )
         .orderBy("nprobe", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index observability — the monitoring view that TRIGGERS maintenance
+# (cell skew is scan skew at probe time; compaction is the response).
+# ---------------------------------------------------------------------------
+
+
+def _sql_index_stats() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    frac = snap_sql("CAST(s.n_members AS DOUBLE) / t.total")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    stats AS (
+      SELECT CAST(cluster AS BIGINT) AS cell_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM {cells} GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_members) AS total FROM stats)
+    SELECT s.cell_id, s.n_members,
+           {frac} AS frac
+    FROM stats s, tot t
+    ORDER BY cell_id
+    """
+    )
+
+
+@query("ann_index_stats", sql=_sql_index_stats())
+def ann_index_stats(spark, sf_dir):
+    """IVF+PQ index OBSERVABILITY: per-cell membership of the
+    persisted artifact (cell_id, n_members, frac) — the monitoring
+    view an operator reads to decide WHEN to run ann_index_compact
+    (cell skew is scan skew at probe time; a frac far above 1/k marks
+    a hot cell). Computed from the index's partition layout alone:
+    one aggregate over the ≤ k-directory scan reading only vec_id +
+    the partition column — no source access, no vector bytes. frac
+    takes the tie-safe snap (exact rational n/total). The oracle
+    re-derives the build's cell assignment and counts it."""
+    from lol_data_pipeline_spark.functions.scalar import snap
+    from lol_data_pipeline_spark.operators.vector_index import ensure_ivfpq_index
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+
+    path, _meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+    )
+    total = counts.agg(F.sum("n_members").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "cell_id",
+            "n_members",
+            snap(F.col("n_members").cast("double") / F.col("total")).alias(
+                "frac"
+            ),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def _sql_graph_stats() -> str:
+    edge_ctes = _knn_edge_ctes_over("e")
+    gaff = "gaffected AS (SELECT DISTINCT code FROM gcodes)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+    ] + edge_ctes[:2] + [gaff] + edge_ctes[2:]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    nodes AS (SELECT code, CAST(count(*) AS BIGINT) AS n_nodes FROM gcodes GROUP BY 1),
+    eco AS (
+      SELECT code, CAST(count(*) AS BIGINT) AS n_edges
+      FROM granked WHERE rank <= {_GRAPH_K} GROUP BY 1
+    )
+    SELECT n.code, n.n_nodes, COALESCE(e2.n_edges, 0) AS n_edges
+    FROM nodes n LEFT JOIN eco e2 USING (code)
+    ORDER BY code
+    """
+    )
+
+
+@query("graph_index_stats", sql=_sql_graph_stats())
+def graph_index_stats(spark, sf_dir):
+    """k-NN graph index OBSERVABILITY: per-bucket node and edge
+    counts of the persisted artifact (code, n_nodes, n_edges) — the
+    view that surfaces bucket skew (a hot LSH bucket means Σ bucket²
+    maintenance cost concentrates there; the lever is n_planes).
+    Computed from the artifact's two partition layouts alone; a
+    single-member bucket legitimately has 0 edges (nothing to pair
+    with) and still reports. The oracle re-derives coding + edge
+    construction over the corpus."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        ensure_knn_graph_index,
+        read_edges,
+        read_nodes,
+    )
+
+    path, _meta = ensure_knn_graph_index(
+        spark, sf_dir, n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    nodes = (
+        read_nodes(spark, path)
+        .groupBy(F.col("code").cast("long").alias("code"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    edges = (
+        read_edges(spark, path)
+        .groupBy(F.col("code").cast("long").alias("code"))
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return (
+        nodes.join(edges, "code", "left")
+        .select(
+            "code",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0).cast("long")).alias(
+                "n_edges"
+            ),
+        )
+        .orderBy("code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-axis recall eval — quality measurement for the third index
+# family, mirroring ann_served_recall_eval's role for the IVF axis.
+# ---------------------------------------------------------------------------
+
+
+def _sql_graph_recall() -> str:
+    from lol_data_pipeline_spark.plans.extensions import KNN_EDGE_CTES, SQL_COS
+
+    ctes = [
+        KNN_EDGE_CTES,
+        "edges AS (SELECT src_id, dst_id FROM ranked WHERE rank <= 3)",
+        f"""qset AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE (vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})
+         OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})
+    )""",
+        f"""f0 AS (
+      SELECT q.query_id, e.vec_id AS cand
+      FROM qset q CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < {_BEAM_ENTRY_N}) e
+    )""",
+    ]
+    for r in range(1, _BEAM_R + 1):
+        ctes.append(f"""x{r} AS (
+      SELECT query_id, cand FROM f{r - 1}
+      UNION
+      SELECT f.query_id, ed.dst_id AS cand
+      FROM f{r - 1} f JOIN edges ed ON ed.src_id = f.cand
+    )""")
+        ctes.append(f"""s{r} AS (
+      SELECT x.query_id, x.cand,
+             {SQL_COS.format(a='q.qvec', b='c.embedding')} AS sim
+      FROM x{r} x
+      JOIN qset q ON q.query_id = x.query_id
+      JOIN embeddings c ON c.vec_id = x.cand
+      WHERE x.cand <> x.query_id
+    )""")
+        ctes.append(f"""f{r} AS (
+      SELECT query_id, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS rn
+        FROM s{r}
+      ) WHERE rn <= {_BEAM_B}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    beam AS (
+      SELECT query_id, cand AS match_id FROM (
+        SELECT query_id, cand,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS rank
+        FROM s{_BEAM_R}
+      ) WHERE rank <= {_K}
+    ),
+    ex AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {SQL_COS.format(a='q.qvec', b='c.embedding')} DESC, c.vec_id
+               ) AS rank
+        FROM qset q JOIN embeddings c ON c.vec_id <> q.query_id
+      ) WHERE rank <= {_K}
+    )
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN b.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN b.match_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall_at_5
+    FROM ex x LEFT JOIN beam b
+      ON b.query_id = x.query_id AND b.match_id = x.match_id
+    GROUP BY 1
+    ORDER BY x.query_id
+    """
+    )
+
+
+@query("ann_graph_recall_eval", sql=_sql_graph_recall())
+def ann_graph_recall_eval(spark, sf_dir):
+    """Recall@{k} of the SERVED graph-beam index against brute-force
+    ground truth, per query — the quality harness for the third index
+    axis, mirroring ann_served_recall_eval's role for the IVF axis
+    (every deployed index needs its recall measured, not inherited;
+    beam width / rounds / entry count are the graph axis's levers the
+    way nprobe is IVF's). Both sides reuse production operators
+    verbatim: graph_index.served_beam_topk over the persisted edges,
+    similarity.cosine_topk for the exact side, a (queries×k)-row left
+    join for the comparison. The oracle re-derives the edge CTEs
+    (shared verbatim with emb_knn_graph), the beam unroll (shared
+    with the beam entries), and the hit join."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.operators.graph_index import served_beam_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    exact = sim.cosine_topk(emb, queries, k=_K).select("query_id", "match_id")
+    beam = served_beam_topk(
+        spark,
+        sf_dir,
+        queries,
+        k=_K,
+        beam=_BEAM_B,
+        rounds=_BEAM_R,
+        entry_n=_BEAM_ENTRY_N,
+    ).select(
+        F.col("query_id").alias("bq"),
+        F.col("match_id").alias("bm"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            beam,
+            (F.col("query_id") == F.col("bq"))
+            & (F.col("match_id") == F.col("bm")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / count(*), 6)"
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -520,3 +520,53 @@ def test_power_topr_orthogonal_and_consistent(spark, sf_dir):
     assert rq0 > thresh and rq1 > thresh, (rq0, rq1, thresh)
     assert rq0 <= lam[-1] + 1e-6 and rq1 <= lam[-1] + 1e-6
     assert rq0 + rq1 <= float(lam[-1] + lam[-2]) + 1e-4  # Ky Fan pair bound
+
+
+def test_index_stats_reads_only_layout_columns(spark, sf_dir):
+    """Observability invariants: fractions sum to 1 (tie-safe snap),
+    members sum to the corpus size, and the plan reads only vec_id +
+    the partition column — no vector/code bytes (monitoring must be
+    near-free at 100 TB)."""
+    df = REGISTRY["ann_index_stats"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for schema in __import__("re").findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "code0" not in schema and "embedding" not in schema, schema
+    rows = df.collect()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == n_emb
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
+
+
+def test_graph_stats_counts_match_artifact(spark, sf_dir):
+    """Per-bucket node/edge counts agree with direct artifact reads;
+    every bucket reports (including 0-edge singleton buckets)."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        ensure_knn_graph_index,
+        read_edges,
+        read_nodes,
+    )
+
+    rows = {r.code: r for r in REGISTRY["graph_index_stats"].fn(spark, sf_dir).collect()}
+    path, _meta = ensure_knn_graph_index(
+        spark, sf_dir, n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    nodes = read_nodes(spark, path).groupBy("code").count().collect()
+    edges = {r.code: r["count"] for r in read_edges(spark, path).groupBy("code").count().collect()}
+    assert {r.code for r in nodes} == set(rows)
+    for r in nodes:
+        assert rows[r.code].n_nodes == r["count"]
+        assert rows[r.code].n_edges == edges.get(r.code, 0)
+
+
+def test_graph_recall_eval_bounds(spark, sf_dir):
+    """Eval-harness invariants: one row per fair query, n_exact = 5,
+    recall in [0,1], and the beam finds SOMETHING overall (a recall
+    of exactly 0 everywhere would mean the walk is broken, not that
+    the index is weak)."""
+    rows = REGISTRY["ann_graph_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.n_hit == round(r.recall_at_5 * 5)
+    assert sum(r.n_hit for r in rows) > 0
