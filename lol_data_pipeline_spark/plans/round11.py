@@ -33,7 +33,20 @@ Scale notes (100 TB):
 - ann_served_mmr_rerank: the relevance pool comes from the persisted
   IVF+PQ index (partition-pruned code scan), so the exact-scan pool
   stage of ann_mmr_rerank (kept as the oracle baseline, like
-  ann_cosine_topk) is gone from the production path.
+  ann_cosine_topk) is gone from the production path. Measured
+  crossover at toy scale recorded in PERF_NOTES.md (the serve path's
+  per-stage constants beat a 2000-row NLJ only past a larger N).
+- ann_index_compact / ann_index_stats and graph_index_stats complete
+  the ops loop: MONITOR (per-cell / per-bucket skew off the
+  artifact's partition layout alone) → COMPACT (quota rebalance
+  rewriting only donor∪receiver partitions).
+- stream_ann_upsert_multibatch: per epoch, a stateless assignment
+  projection + an idempotent dynamic-overwrite of the batch's ≤ k
+  cells — the stream maintains a queryable artifact.
+- ann_served_recall_eval / ann_graph_recall_eval: serving quality
+  measured (not inherited) for both index axes, off one persisted
+  artifact each; emb_power_topr extends the spectral front-end to r
+  deflated directions at the same per-round distributed cost.
 """
 
 from __future__ import annotations

@@ -82,6 +82,10 @@ CROSS_OK = {
     "ann_served_recall_eval",  # same exact-side geometry (20-query broadcast
     # NLJ vs corpus for ground truth) + a 3-row nprobe-literal crossJoin;
     # the served side itself is equi-join only
+    "ann_graph_recall_eval",  # same exact-side geometry (cosine_topk ground
+    # truth); the beam side is equi-join only
+    "ann_index_stats",  # 1-row scalar total crossJoined for the fraction —
+    # the rel_q22 scalar-subquery-broadcast class
     "rel_bloom_prejoin",  # 1-row bloom bitmask broadcast onto the fact scan
     "text_unigram_loglik",  # corpus token-total scalar broadcast (1 row)
     "stat_cusum_changepoint",  # three 1-row scalar broadcasts (totals, max, peak day)
