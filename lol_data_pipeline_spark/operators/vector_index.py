@@ -577,3 +577,91 @@ def index_compact(
         if c not in survived:
             shutil.rmtree(os.path.join(path, f"cell_id={c}"), ignore_errors=True)
     return affected, movers
+
+
+def served_ivfpq_topk_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: DataFrame,
+    nprobes: list[int],
+    k: int = 5,
+    refine: int = 4,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve top-k at SEVERAL probe widths from ONE plan — the shape
+    a recall-vs-nprobe evaluation wants: probe once at max(nprobes)
+    (probe_rank identifies which width found each cell), scan the
+    union of probed partitions once, decode once, then per width
+    filter probe_rank ≤ nprobe and rank. All widths' bounded
+    candidates union BEFORE the exact rescore, so the full-precision
+    source is joined ONCE (broadcast candidates) instead of once per
+    width. Per (nprobe, query) the rows are identical to
+    served_ivfpq_topk(nprobe=...) — the per-width ADC/rescore
+    windows see exactly the same inputs in the same order.
+
+    Returns (nprobe, query_id, match_id, probe_rank, sim, rank)."""
+    from lol_data_pipeline_spark.io import load_table
+
+    path, meta = ensure_ivfpq_index(spark, sf_dir, root=index_root)
+    cents = [(int(c), [float(v) for v in cv]) for c, cv in meta["cents"]]
+    p = meta["params"]
+    widths = sorted(set(int(n) for n in nprobes))
+    qprobe = ivf_probe_rows(queries, cents, max(widths))
+    probed = sorted(
+        int(r.pcell) for r in qprobe.select("pcell").distinct().collect()
+    )
+    idx = read_index_codes(spark, path, meta, cells=probed)
+    xhat = idx.select(
+        F.col("vec_id").alias("match_id"),
+        "cell_id",
+        pq_decode_expr(meta["seeds"], p["m"], p["dsub"]).alias("xhat"),
+    )
+    scored = xhat.join(
+        F.broadcast(qprobe),
+        (F.col("cell_id") == F.col("pcell"))
+        & (F.col("match_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "match_id",
+        "qvec",
+        "probe_rank",
+        F.expr(
+            _DOT_SQL.format(a="CAST(qvec AS array<double>)", b="xhat")
+        ).alias("approx"),
+    )
+    cand = None
+    for np_ in widths:
+        aw = Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), F.col("match_id").asc()
+        )
+        c = (
+            scored.filter(F.col("probe_rank") <= np_)
+            .withColumn("arank", F.row_number().over(aw))
+            .filter(F.col("arank") <= refine * k)
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "query_id",
+                "match_id",
+                "qvec",
+                "probe_rank",
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    src = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
+    )
+    resc = src.join(F.broadcast(cand), "match_id").select(
+        "nprobe",
+        "query_id",
+        "match_id",
+        "probe_rank",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "match_id", "probe_rank", "sim", "rank")
+    )

@@ -988,7 +988,9 @@ def ann_served_recall_eval(spark, sf_dir):
     oracle re-derives the codebook, the probe ranks once (rn ≤ max
     nprobe), and per width the ADC ranking + rescore + hit join."""
     from lol_data_pipeline_spark.operators import similarity as sim
-    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.operators.vector_index import (
+        served_ivfpq_topk_multi,
+    )
     from lol_data_pipeline_spark.plans.round9 import _REFINE
 
     emb = T(spark, sf_dir, "embeddings")
@@ -997,17 +999,18 @@ def ann_served_recall_eval(spark, sf_dir):
         | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
     )
     exact = sim.cosine_topk(emb, queries, k=_K).select("query_id", "match_id")
-    served = None
-    for np_ in _RECALL_NPROBES:
-        ap = served_ivfpq_topk(
-            spark, sf_dir, queries, k=_K, refine=_REFINE, nprobe=np_
-        ).select(
-            F.lit(np_).cast("long").alias("nprobe"),
-            F.col("query_id").alias("aq"),
-            F.col("match_id").alias("am"),
-            F.lit(1).alias("hit"),
-        )
-        served = ap if served is None else served.unionByName(ap)
+    # one multi-width plan: probe once at max(nprobe), ONE pruned
+    # index scan, per-width ADC windows, one shared rescore — not
+    # three full serve pipelines (3× the index machinery for rows the
+    # widest width already computed)
+    served = served_ivfpq_topk_multi(
+        spark, sf_dir, queries, list(_RECALL_NPROBES), k=_K, refine=_REFINE
+    ).select(
+        "nprobe",
+        F.col("query_id").alias("aq"),
+        F.col("match_id").alias("am"),
+        F.lit(1).alias("hit"),
+    )
     probes = spark.createDataFrame(
         [(n,) for n in _RECALL_NPROBES], "nprobe long"
     )
