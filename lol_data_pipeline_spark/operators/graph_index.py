@@ -337,6 +337,7 @@ def served_beam_topk(
     rounds: int = 3,
     entry_n: int = 4,
     index_root: str | None = None,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve graph-ANN top-k from the PERSISTED edge table: the
     bounded beam walk of plans/round10.py's ann_graph_beam_topk with
@@ -358,9 +359,17 @@ def served_beam_topk(
     corpus = emb.select(
         F.col("vec_id").alias("cand"), F.col("embedding").alias("cvec")
     )
-    frontier = q.select("query_id").crossJoin(
-        emb.filter(F.col("vec_id") < entry_n).select(F.col("vec_id").alias("cand"))
-    )
+    if entries is not None:
+        # PER-QUERY entry points (query_id, cand) — e.g. routed by
+        # another index (the IVF-routes/graph-walks hybrid). Bounded
+        # by the caller's contract, like the query set itself.
+        frontier = entries.select("query_id", "cand")
+    else:
+        frontier = q.select("query_id").crossJoin(
+            emb.filter(F.col("vec_id") < entry_n).select(
+                F.col("vec_id").alias("cand")
+            )
+        )
     scored = None
     for _r in range(rounds):
         expanded = frontier.unionByName(

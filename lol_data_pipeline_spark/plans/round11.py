@@ -151,21 +151,22 @@ def _knn_edge_ctes_over(src: str) -> list[str]:
     ]
 
 
-def _sql_graph_upsert() -> str:
+def _sql_graph_upsert_for(lo: int, hi: int, shift: int) -> str:
+    """The graph-upsert oracle parameterized by batch range/shift —
+    one definition shared by the batch entry (graph_index_upsert) and
+    its streaming twin, so the two cannot drift."""
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
         f"""allv AS (
       SELECT vec_id, x FROM e
       UNION ALL
-      SELECT vec_id + {_GUP_SHIFT} AS vec_id,
+      SELECT vec_id + {shift} AS vec_id,
              list_concat(list_slice(x, 33, 64), list_slice(x, 1, 32)) AS x
-      FROM e WHERE vec_id >= {_GUP_LO} AND vec_id < {_GUP_HI}
+      FROM e WHERE vec_id >= {lo} AND vec_id < {hi}
     )""",
     ]
     edge_ctes = _knn_edge_ctes_over("allv")
-    # gaffected must be declared before gscored references it: splice
-    # it after gcodes (DuckDB CTEs may only reference earlier ones).
-    gaff = f"gaffected AS (SELECT DISTINCT code FROM gcodes WHERE vec_id >= {_GUP_SHIFT})"
+    gaff = f"gaffected AS (SELECT DISTINCT code FROM gcodes WHERE vec_id >= {shift})"
     ctes += edge_ctes[:2] + [gaff] + edge_ctes[2:]
     return (
         "WITH "
@@ -175,6 +176,12 @@ def _sql_graph_upsert() -> str:
     ORDER BY src_id, rank
     """
     )
+
+
+def _sql_graph_upsert() -> str:
+    # delegates to the parameterized builder the streaming twin also
+    # uses (byte-identical output for these constants — verified)
+    return _sql_graph_upsert_for(_GUP_LO, _GUP_HI, _GUP_SHIFT)
 
 
 @query("graph_index_upsert", sql=_sql_graph_upsert())
@@ -1306,4 +1313,250 @@ def ann_graph_recall_eval(spark, sf_dir):
             ).alias("recall_at_5"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance for the GRAPH index (symmetry with
+# stream_ann_upsert_multibatch) and the two-artifact hybrid: IVF
+# routes the entry points, the graph walks from them.
+# ---------------------------------------------------------------------------
+
+_GSUP_LO, _GSUP_HI = 230, 250
+_GSUP_SHIFT = 600000
+
+
+
+@query(
+    "stream_graph_upsert_multibatch",
+    sql=_sql_graph_upsert_for(_GSUP_LO, _GSUP_HI, _GSUP_SHIFT),
+)
+def stream_graph_upsert_multibatch(spark, sf_dir):
+    """STREAMING maintenance for the GRAPH index — the graph twin of
+    stream_ann_upsert_multibatch: new vectors arrive as a four-batch
+    ordered replay and each micro-batch is written THROUGH a
+    foreachBatch graph_upsert sink (code the batch against the frozen
+    sidecar planes, merge the affected buckets' nodes, recompute
+    those buckets' edges, dynamic-overwrite both tables' affected
+    partitions). Idempotent per epoch — bucket-local recompute
+    rewrites identical content on replay. Verified on the post-stream
+    DISK edges of the batch's buckets; because edges never cross
+    buckets and recompute is exact, the four-batch incremental result
+    equals the one-shot batch upsert, which is what the shared oracle
+    (graph_index_upsert's, re-parameterized) checks. Own index copy
+    (variant="streamup")."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        assign_codes,
+        ensure_knn_graph_index,
+        graph_upsert,
+        read_edges,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_knn_graph_index(
+        spark, sf_dir, variant="streamup", n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    batch = emb.filter(F.col("vec_id").between(_GSUP_LO, _GSUP_HI - 1)).select(
+        (F.col("vec_id") + _GSUP_SHIFT).alias("vec_id"),
+        F.concat(F.slice(x, 33, 32), F.slice(x, 1, 32)).alias("embedding"),
+    )
+    parts = [batch.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    def build(stream):
+        return stream.select("vec_id", "embedding")
+
+    def sink(df, _epoch_id):
+        graph_upsert(spark, path, meta, df)
+
+    replay_multibatch(
+        spark,
+        parts,
+        build,
+        mode="append",
+        key=f"graph_upsert:{sf_dir}",
+        foreach_batch=sink,
+    )
+    affected = sorted(
+        int(r.code)
+        for r in assign_codes(batch, meta["planes"])
+        .select("code")
+        .distinct()
+        .collect()
+    )
+    disk = read_edges(spark, path, codes=affected)
+    return disk.select(
+        F.col("code").cast("long").alias("code"),
+        "src_id",
+        "dst_id",
+        "sim",
+        "rank",
+    ).orderBy("src_id", "rank")
+
+
+_HYB_ENTRY_K = 4
+
+
+def _sql_hybrid_index() -> str:
+    """Two persisted artifacts composed: the IVF+PQ serve chain
+    yields each query's top-{ek} candidates as PER-QUERY entry
+    points; the beam walk expands them over the k-NN graph edges.
+    CTE names: kmeans_ctes owns e/es/c*/a*/s*, the PQ chain owns
+    cents/sub/cs2/xs2/d/chosen/xhat, the graph chain owns g*-names,
+    beam rounds are b*-prefixed — zero collisions by construction."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _NPROBE,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    fair = (
+        f"(e.vec_id >= {_KMQ_LO} AND e.vec_id < {_KMQ_HI})"
+        f" OR (e.vec_id >= {_KMQ_TAIL_LO} AND e.vec_id < {_KMQ_TAIL_HI})"
+    )
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    head = (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell, rn AS probe_rank
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE {fair}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    {_pq_xhat_ctes()},
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC,
+                        cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    rcand AS (
+      SELECT a.query_id, a.match_id,
+             {SQL_COS.format(a='a.qvec', b='e2.embedding')} AS sim
+      FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _HYB_ENTRY_K}
+    ),
+    bf0 AS (
+      SELECT query_id, match_id AS cand FROM (
+        SELECT query_id, match_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, match_id
+               ) AS rnk
+        FROM rcand
+      ) WHERE rnk <= {_HYB_ENTRY_K}
+    )"""
+    )
+    edge_ctes = _knn_edge_ctes_over("e")
+    gaff = "gaffected AS (SELECT DISTINCT code FROM gcodes)"
+    graph = (
+        ",\n    "
+        + ",\n".join(edge_ctes[:2] + [gaff] + edge_ctes[2:])
+        + f""",
+    gedges AS (SELECT src_id, dst_id FROM granked WHERE rank <= {_GRAPH_K}),
+    bqset AS (
+      SELECT vec_id AS query_id, x AS qvec FROM e
+      WHERE (vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})
+         OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})
+    )"""
+    )
+    rounds = []
+    for r in range(1, _BEAM_R + 1):
+        rounds.append(f""",
+    bx{r} AS (
+      SELECT query_id, cand FROM bf{r - 1}
+      UNION
+      SELECT f.query_id, ed.dst_id AS cand
+      FROM bf{r - 1} f JOIN gedges ed ON ed.src_id = f.cand
+    ),
+    bs{r} AS (
+      SELECT x2.query_id, x2.cand,
+             {SQL_COS.format(a='q.qvec', b='c.x')} AS sim
+      FROM bx{r} x2
+      JOIN bqset q ON q.query_id = x2.query_id
+      JOIN e c ON c.vec_id = x2.cand
+      WHERE x2.cand <> x2.query_id
+    ),
+    bf{r} AS (
+      SELECT query_id, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS rn
+        FROM bs{r}
+      ) WHERE rn <= {_BEAM_B}
+    )""")
+    return (
+        head
+        + graph
+        + "".join(rounds)
+        + f"""
+    SELECT query_id, CAST(cand AS BIGINT) AS match_id, sim, rank
+    FROM (
+      SELECT query_id, cand, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS BIGINT) AS rank
+      FROM bs{_BEAM_R}
+    ) WHERE rank <= {_K}
+    """
+    )
+
+
+@query("ann_hybrid_index_topk", sql=_sql_hybrid_index())
+def ann_hybrid_index_topk(spark, sf_dir):
+    """BOTH persisted artifacts composed in one query — the
+    IVF-routes/graph-walks hybrid real retrieval systems deploy: the
+    served IVF+PQ index produces each query's top-{ek} candidates
+    (partition-pruned code scan + bounded rescore) as PER-QUERY entry
+    points, and the beam walk expands them over the persisted k-NN
+    graph edges (query-local entries beat the fixed lowest-id entry
+    nodes the plain beam uses — the walk starts inside the query's
+    neighborhood instead of crossing the space). Everything bounded:
+    entries = Q×{ek}, frontier = Q×B broadcast rows,
+    lineage-truncated rounds; both index builds are amortized
+    artifacts. The oracle re-derives the full IVF serve chain, the
+    edge construction, and the beam unroll in one CTE chain."""
+    from lol_data_pipeline_spark.operators.graph_index import served_beam_topk
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.round9 import _NPROBE, _REFINE
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    entries = served_ivfpq_topk(
+        spark, sf_dir, queries, k=_HYB_ENTRY_K, refine=_REFINE, nprobe=_NPROBE
+    ).select("query_id", F.col("match_id").alias("cand"))
+    return served_beam_topk(
+        spark,
+        sf_dir,
+        queries,
+        k=_K,
+        beam=_BEAM_B,
+        rounds=_BEAM_R,
+        entries=entries,
     )

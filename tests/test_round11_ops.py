@@ -570,3 +570,90 @@ def test_graph_recall_eval_bounds(spark, sf_dir):
         assert 0.0 <= r.recall_at_5 <= 1.0
         assert r.n_hit == round(r.recall_at_5 * 5)
     assert sum(r.n_hit for r in rows) > 0
+
+
+def test_stream_graph_upsert_writes_through_and_is_idempotent(spark, sf_dir):
+    """The graph stream MAINTAINS the artifact: after the entry runs,
+    the streamup variant's node table holds every shifted batch id
+    and the batch ids appear in the affected buckets' edges; a re-run
+    (same batches replayed) leaves the output identical."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        GRAPH_ROOT,
+        read_nodes,
+    )
+    from lol_data_pipeline_spark.plans.round11 import (
+        _GSUP_HI,
+        _GSUP_LO,
+        _GSUP_SHIFT,
+    )
+
+    out1 = sorted(
+        map(
+            tuple,
+            REGISTRY["stream_graph_upsert_multibatch"].fn(spark, sf_dir).collect(),
+        )
+    )
+    want = {v + _GSUP_SHIFT for v in range(_GSUP_LO, _GSUP_HI)}
+    path = os.path.join(
+        GRAPH_ROOT, f"knn_{os.path.basename(sf_dir)}_streamup"
+    )
+    node_ids = {r.vec_id for r in read_nodes(spark, path).select("vec_id").collect()}
+    assert want <= node_ids
+    srcs = {row[1] for row in out1}
+    assert want <= srcs  # every new node has out-edges in its bucket
+    out2 = sorted(
+        map(
+            tuple,
+            REGISTRY["stream_graph_upsert_multibatch"].fn(spark, sf_dir).collect(),
+        )
+    )
+    assert out2 == out1
+
+
+def test_hybrid_entries_route_the_walk_per_query(spark, sf_dir):
+    """Hybrid contracts: contiguous per-query ranks ≤ k; and the
+    IVF-routed per-query entries give MEAN recall@5 at least as good
+    as the fixed lowest-id entry nodes (the walk starts inside the
+    query's neighborhood instead of crossing the space) — measured
+    against brute-force ground truth, collected per entry before the
+    next registry call releases caches."""
+    import numpy as np
+
+    hyb_rows = REGISTRY["ann_hybrid_index_topk"].fn(spark, sf_dir).collect()
+    beam_rows = REGISTRY["ann_graph_beam_served_topk"].fn(spark, sf_dir).collect()
+    emb_rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vec = {r.vec_id: np.array(list(r.embedding), dtype=np.float64) for r in emb_rows}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    def by_query(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append(r)
+        return out
+
+    hyb, beam = by_query(hyb_rows), by_query(beam_rows)
+    assert set(hyb) == set(beam)
+
+    def recall(per_q):
+        hits, total = 0, 0
+        for qid, ms in per_q.items():
+            ranks = sorted(m.rank for m in ms)
+            assert ranks == list(range(1, len(ranks) + 1))
+            truth = {
+                v
+                for _s, v in sorted(
+                    ((cos(vec[qid], vec[v]), v) for v in vec if v != qid),
+                    key=lambda t: (-round(t[0], 6), t[1]),
+                )[:5]
+            }
+            hits += len({m.match_id for m in ms} & truth)
+            total += 5
+        return hits / total
+
+    assert recall(hyb) >= recall(beam) - 1e-9
