@@ -181,6 +181,13 @@ HEADLINE = [
     # (one representative) + write-staging policy both exclude it.
     "ann_served_mmr_rerank",
     "ann_served_recall_eval",
+    # r11: the two-artifact hybrid (IVF routes entries, graph walks) —
+    # a new composed plan shape worth regression-watching.
+    # stream_graph_upsert_multibatch is NOT benched (multibatch +
+    # write-staging policies); ann_index_stats / graph_index_stats /
+    # ann_graph_recall_eval are NOT benched: their cost is one
+    # aggregate over already-benched scans (no new signal).
+    "ann_hybrid_index_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
