@@ -1560,3 +1560,66 @@ def ann_hybrid_index_topk(spark, sf_dir):
         rounds=_BEAM_R,
         entries=entries,
     )
+
+
+# ---------------------------------------------------------------------------
+# Artifact reuse beyond search: the persisted graph doubles as the
+# candidate-pair feed of a similarity-dedup pipeline.
+# ---------------------------------------------------------------------------
+
+_PAIR_TAU = 0.35
+
+
+def _sql_graph_sim_pairs() -> str:
+    edge_ctes = _knn_edge_ctes_over("e")
+    gaff = "gaffected AS (SELECT DISTINCT code FROM gcodes)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+    ] + edge_ctes[:2] + [gaff] + edge_ctes[2:]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT DISTINCT
+           CAST(least(src_id, dst_id) AS BIGINT) AS id_a,
+           CAST(greatest(src_id, dst_id) AS BIGINT) AS id_b,
+           sim
+    FROM granked
+    WHERE rank <= {_GRAPH_K} AND sim >= {_PAIR_TAU}
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+@query("dedup_graph_pairs_served", sql=_sql_graph_sim_pairs())
+def dedup_graph_pairs_served(spark, sf_dir):
+    """Similarity-pair extraction from the PERSISTED k-NN graph — the
+    same artifact that serves beam search doubles as the
+    candidate-pair feed of an embedding-dedup pipeline (pairs with
+    cosine ≥ τ; τ is the dedup policy knob, and the graph's top-k
+    edges are exactly the bounded candidate set a near-dup pass
+    scores — no second pairwise stage). One filter + canonicalize
+    (least/greatest + distinct: the edge list is directed and a close
+    pair usually appears in both directions) over the at-rest edge
+    table — at 100 TB this reads k·N tiny edge rows and touches no
+    vectors. Downstream is the existing components/keep-first
+    machinery (dedup_components, corpus_dedup_keep_first). The oracle
+    re-derives the edge construction and applies the same filter."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        ensure_knn_graph_index,
+        read_edges,
+    )
+
+    path, _meta = ensure_knn_graph_index(
+        spark, sf_dir, n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    edges = read_edges(spark, path).filter(F.col("sim") >= _PAIR_TAU)
+    return (
+        edges.select(
+            F.least("src_id", "dst_id").alias("id_a"),
+            F.greatest("src_id", "dst_id").alias("id_b"),
+            "sim",
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
