@@ -188,6 +188,11 @@ HEADLINE = [
     # ann_graph_recall_eval are NOT benched: their cost is one
     # aggregate over already-benched scans (no new signal).
     "ann_hybrid_index_topk",
+    # r11: the lexical served index — the probe reads |terms| postings
+    # buckets instead of tokenizing the corpus (text_search_bm25, the
+    # recompute twin, stays benched as the comparison). bm25_index_
+    # upsert/_delete are NOT benched (write-staging policy).
+    "text_bm25_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -963,7 +963,14 @@ _BM25_TERMS = ["spark", "hash", "window"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
 
 
-def _sql_bm25(terms: list[str], k: int, k1: float, b: float) -> str:
+def _sql_bm25(
+    terms: list[str], k: int, k1: float, b: float,
+    src: str = "documents", head: str = "",
+) -> str:
+    """``src``/``head`` let the BM25-index maintenance oracles
+    (plans/round11.py) point the identical scoring chain at a
+    corpus∪batch or corpus∖doomed CTE; defaults produce the
+    byte-identical string text_search_bm25 stamped."""
     from lol_data_pipeline_spark.operators.search import bm25_weight_sql
 
     nt = len(terms)
@@ -979,7 +986,7 @@ def _sql_bm25(terms: list[str], k: int, k1: float, b: float) -> str:
     score = " + ".join(bm25_weight_sql(i, k1, b) for i in range(nt))
     hits = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(nt))
     return f"""
-    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    WITH {head}tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM {src}),
     pd AS (SELECT doc_id, len(t) AS dl, {tf_cols} FROM tok),
     scal AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, {df_cols}

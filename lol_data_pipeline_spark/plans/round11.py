@@ -1623,3 +1623,149 @@ def dedup_graph_pairs_served(spark, sf_dir):
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# The LEXICAL served index — BM25 postings as an at-rest artifact,
+# completing the served-index family's third axis (quantization =
+# vector_index, graph = graph_index, lexical = text_index).
+# ---------------------------------------------------------------------------
+
+_BMUP_LO, _BMUP_HI = 10, 30
+_BMUP_SHIFT = 100000
+_BMDEL_LO, _BMDEL_HI = 5, 25
+
+
+def _bm25_oracle(src: str = "documents", head: str = "") -> str:
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+        _sql_bm25,
+    )
+
+    return _sql_bm25(_BM25_TERMS, _BM25_K, _BM25_K1, _BM25_B, src=src, head=head)
+
+
+@query("text_bm25_served", sql=_bm25_oracle())
+def text_bm25_served(spark, sf_dir):
+    """Serve BM25 top-k from the PERSISTED inverted index (built once
+    per corpus by operators/text_index.py: term-bucket-partitioned
+    postings + doc-length table + exact-integer stats sidecar) — the
+    lexical axis joins the served-index family. The probe: query
+    terms hash driver-side to their buckets (literal partition
+    filters; the term equality pushes into the pruned scan), per-term
+    df comes from the SAME pruned rows, corpus scalars ride as
+    sidecar literals whose doubles equal the in-query aggregates
+    exactly (integer totals), and the score is the shared
+    bm25_weight_sql expression — so this entry shares
+    text_search_bm25's oracle verbatim and returns identical rows.
+    At 100 TB the probe reads |terms| buckets of tiny (doc, term, tf)
+    rows; text_search_bm25's tokenize-everything pass is gone from
+    the query path."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    path, meta = ensure_bm25_index(spark, sf_dir)
+    return served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _sql_bm25_upsert() -> str:
+    head = f"""alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_BMUP_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id >= {_BMUP_LO} AND doc_id < {_BMUP_HI}
+    ),
+    """
+    return _bm25_oracle(src="alldocs", head=head)
+
+
+@query("bm25_index_upsert", sql=_sql_bm25_upsert())
+def bm25_index_upsert_entry(spark, sf_dir):
+    """Incremental LEXICAL-index maintenance, verified through the
+    SERVE path: a document batch (cloned docs under shifted ids — the
+    re-ingest shape) merges into the persisted postings (≤ NB term
+    buckets rewrite; a replaced doc's stale postings are purged even
+    from buckets the new text no longer touches) and doclens (≤ NB
+    doc buckets), and the sidecar's exact integer totals update. The
+    entry then SERVES the standing query from the maintained artifact
+    — what is verified is that maintenance kept the index
+    query-correct (df, N, avgdl all shifted by the batch), against an
+    oracle that recomputes BM25 over corpus∪batch from scratch.
+    Idempotent; own index copy (variant="upsert")."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        bm25_index_upsert,
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    path, meta = ensure_bm25_index(spark, sf_dir, variant="upsert")
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.col("doc_id").between(_BMUP_LO, _BMUP_HI - 1)
+    ).select((F.col("doc_id") + _BMUP_SHIFT).alias("doc_id"), "text")
+    meta = bm25_index_upsert(spark, path, meta, batch)
+    return served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _sql_bm25_delete() -> str:
+    head = f"""survdocs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < {_BMDEL_LO} OR doc_id >= {_BMDEL_HI}
+    ),
+    """
+    return _bm25_oracle(src="survdocs", head=head)
+
+
+@query("bm25_index_delete", sql=_sql_bm25_delete())
+def bm25_index_delete_entry(spark, sf_dir):
+    """LEXICAL-index take-down, verified through the SERVE path: a
+    doomed document range vanishes from postings (only the buckets
+    actually holding its rows rewrite; emptied directories drop) and
+    doclens, the sidecar totals shrink exactly, and the standing
+    query served from the maintained artifact matches an oracle that
+    recomputes BM25 over corpus∖doomed — deletions move every
+    surviving score (df and N fall), so serving-after-delete is a
+    sharp whole-index check, not a row-absence check. Idempotent; own
+    index copy (variant="delete")."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        bm25_index_delete,
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    path, meta = ensure_bm25_index(spark, sf_dir, variant="delete")
+    docs = T(spark, sf_dir, "documents")
+    doomed = docs.filter(
+        F.col("doc_id").between(_BMDEL_LO, _BMDEL_HI - 1)
+    ).select("doc_id")
+    meta = bm25_index_delete(spark, path, meta, doomed)
+    return served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )

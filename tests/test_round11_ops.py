@@ -657,3 +657,139 @@ def test_hybrid_entries_route_the_walk_per_query(spark, sf_dir):
         return hits / total
 
     assert recall(hyb) >= recall(beam) - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# The lexical served index (operators/text_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_term_bucket_matches_spark_crc32(spark):
+    """The driver-side probe hash MUST equal the build's Spark-side
+    crc32 bucket — otherwise probes prune to the wrong directories
+    and silently miss postings."""
+    from lol_data_pipeline_spark.operators.text_index import _NB, term_bucket
+
+    words = ["spark", "hash", "window", "naïve", "a", "zz-top", "東京"]
+    df = spark.createDataFrame([(w,) for w in words], "term string")
+    got = {
+        r.term: r.tb
+        for r in df.select(
+            "term",
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(_NB))
+            .cast("int")
+            .alias("tb"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == term_bucket(w), w
+
+
+def test_bm25_served_equals_inquery(spark, sf_dir):
+    """The served entry and the tokenize-everything operator return
+    the SAME rows — persistence is an optimization, not a semantic
+    change — and the served postings scan is partition-pruned to the
+    query terms' buckets."""
+    from lol_data_pipeline_spark.operators.text_index import term_bucket
+    from lol_data_pipeline_spark.plans.extensions import _BM25_TERMS
+
+    served = REGISTRY["text_bm25_served"].fn(spark, sf_dir)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan
+    s_rows = sorted(map(tuple, served.collect()))
+    inq = REGISTRY["text_search_bm25"].fn(spark, sf_dir)
+    assert sorted(map(tuple, inq.collect())) == s_rows
+    assert {term_bucket(t) for t in _BM25_TERMS}  # probe buckets exist
+
+
+def test_bm25_upsert_replaces_and_is_idempotent(spark, sf_dir, tmp_path_factory):
+    """Re-ingest semantics on a test-owned copy: upserting a CHANGED
+    version of an existing doc purges its stale postings from every
+    bucket (including buckets the new text no longer touches), the
+    sidecar totals track exactly, and a re-run is a no-op."""
+    import json as _json
+
+    from lol_data_pipeline_spark.operators.text_index import (
+        bm25_index_upsert,
+        ensure_bm25_index,
+        postings_path,
+    )
+
+    root = str(tmp_path_factory.mktemp("bm25_index"))
+    path, meta = ensure_bm25_index(spark, sf_dir, root=root)
+    victim = 3
+    old_terms = {
+        r.term
+        for r in spark.read.parquet(postings_path(path))
+        .filter(F.col("doc_id") == victim)
+        .collect()
+    }
+    assert old_terms
+    new_text = "zzqx zzqx yyqk"
+    batch = spark.createDataFrame([(victim, new_text)], "doc_id long, text string")
+    meta2 = bm25_index_upsert(spark, path, meta, batch)
+    now = {
+        (r.term, r.tf)
+        for r in spark.read.parquet(postings_path(path))
+        .filter(F.col("doc_id") == victim)
+        .collect()
+    }
+    assert now == {("zzqx", 2), ("yyqk", 1)}  # stale postings purged
+    assert meta2["n_docs"] == meta["n_docs"]  # replace, not insert
+    # exact totals: re-derive independently from the on-disk lengths
+    from lol_data_pipeline_spark.operators.text_index import doclens_path
+
+    row = (
+        spark.read.parquet(doclens_path(path))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    assert meta2["n_docs"] == row.n and meta2["total_tokens"] == row.tot
+    meta3 = bm25_index_upsert(spark, path, meta2, batch)
+    assert meta3["n_docs"] == meta2["n_docs"]
+    assert meta3["total_tokens"] == meta2["total_tokens"]
+    again = {
+        (r.term, r.tf)
+        for r in spark.read.parquet(postings_path(path))
+        .filter(F.col("doc_id") == victim)
+        .collect()
+    }
+    assert again == now  # idempotent
+
+
+def test_bm25_delete_drops_emptied_buckets(spark, sf_dir, tmp_path_factory):
+    """Deleting every document leaves no postings directories; the
+    sidecar totals go to zero; partial deletes keep other docs'
+    postings byte-identical."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        bm25_index_delete,
+        doclens_path,
+        ensure_bm25_index,
+        postings_path,
+    )
+
+    root = str(tmp_path_factory.mktemp("bm25_del"))
+    path, meta = ensure_bm25_index(spark, sf_dir, root=root)
+    ids = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    before_other = sorted(
+        map(
+            tuple,
+            spark.read.parquet(postings_path(path))
+            .filter(F.col("doc_id") > 1)
+            .collect(),
+        )
+    )
+    meta2 = bm25_index_delete(spark, path, meta, ids)
+    left = spark.read.parquet(postings_path(path))
+    assert left.filter(F.col("doc_id") <= 1).count() == 0
+    after_other = sorted(
+        map(tuple, left.filter(F.col("doc_id") > 1).collect())
+    )
+    assert after_other == before_other
+    assert meta2["n_docs"] == meta["n_docs"] - 2
+    row = (
+        spark.read.parquet(doclens_path(path))
+        .agg(F.sum("dl").alias("tot"))
+        .collect()[0]
+    )
+    assert meta2["total_tokens"] == row.tot
