@@ -193,6 +193,14 @@ HEADLINE = [
     # recompute twin, stays benched as the comparison). bm25_index_
     # upsert/_delete are NOT benched (write-staging policy).
     "text_bm25_served",
+    # r11b: retrieval composed across BOTH served artifacts (BM25
+    # postings leg + IVF+PQ leg, RRF fusion) and the two-probe PRF
+    # expansion — new serve-path compositions worth regression-
+    # watching. bm25_index_stats is NOT benched (stats policy);
+    # stream_bm25_upsert_multibatch is NOT benched (multibatch +
+    # write-staging policies).
+    "retrieval_rrf_served",
+    "text_bm25_prf_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1769,3 +1769,525 @@ def bm25_index_delete_entry(spark, sf_dir):
     return served_bm25_topk(
         spark, path, meta, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-axis retrieval fusion: the lexical and quantization artifacts
+# composed in ONE entry. ann_hybrid_rerank (plans/curation.py) reranks
+# a lexical pool in-query; this is the production two-tower shape —
+# BOTH legs come from PERSISTED indexes (partition-pruned probes, no
+# corpus scan on either side) and fuse union-style: a doc found by
+# only one leg still scores from the legs that found it.
+# ---------------------------------------------------------------------------
+
+_RRF_Q = 100  # query vector: first id of the fair query set
+_RRF_NL = 20  # lexical pool size (BM25-served top-NL)
+_RRF_NV = 20  # vector pool size (IVFPQ-served top-NV)
+_RRF_K = 10  # fused final top-k
+_RRF_C = 60  # standard RRF constant
+
+
+def _sql_rrf_fusion() -> str:
+    """Vector leg re-derives the IVF+PQ serve chain for the single
+    query (codebook train → probe → ADC rank → bounded rescore);
+    lexical leg is the verbatim BM25 chain as a subquery; fusion is
+    a FULL OUTER JOIN so one-leg docs keep their reciprocal-rank
+    contribution (the other leg's term coalesces to 0)."""
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        SQL_COS,
+        _sql_bm25,
+        kmeans_ctes,
+    )
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _NPROBE,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    lex = _sql_bm25(_BM25_TERMS, _RRF_NL, _BM25_K1, _BM25_B)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes()},
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE e.vec_id = {_RRF_Q}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC, cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    vtop AS (
+      SELECT match_id AS doc_id, rank_vec FROM (
+        SELECT a.match_id,
+               CAST(row_number() OVER (
+                 ORDER BY {SQL_COS.format(a='a.qvec', b='e2.embedding')} DESC,
+                          a.match_id
+               ) AS BIGINT) AS rank_vec
+        FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+        WHERE a.arank <= {_REFINE * _RRF_NV}
+      ) WHERE rank_vec <= {_RRF_NV}
+    ),
+    lexleg AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank_lex FROM ({lex})),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             CAST(round(1000000 * (COALESCE(1.0 / ({_RRF_C} + l.rank_lex), 0.0)
+                                   + COALESCE(1.0 / ({_RRF_C} + v.rank_vec), 0.0)))
+                  AS BIGINT) AS rrf_e6
+      FROM lexleg l FULL OUTER JOIN vtop v ON v.doc_id = l.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_e6,
+           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+               AS final_rank
+    FROM fused
+    QUALIFY final_rank <= {_RRF_K}
+    """
+    )
+
+
+@query("retrieval_rrf_served", sql=_sql_rrf_fusion())
+def retrieval_rrf_served(spark, sf_dir):
+    """Two-tower retrieval served ENTIRELY from persisted artifacts:
+    the lexical leg probes the BM25 inverted index (query terms →
+    literal bucket filters; operators/text_index.py) for its top-{nl},
+    the vector leg probes the IVF+PQ index (probe → pruned code scan →
+    bounded rescore; operators/vector_index.py) for the query
+    embedding's top-{nv}, and Reciprocal Rank Fusion merges them
+    union-style — a doc found by only one leg keeps that leg's
+    1/(C+rank) contribution instead of vanishing (FULL OUTER join, the
+    difference from ann_hybrid_rerank's rerank-a-lexical-pool shape).
+    RRF fuses RANKS, so the fusion is exact integer-rational
+    arithmetic at any corpus size. At 100 TB neither leg scans the
+    corpus: the lexical probe reads |terms| postings buckets, the
+    vector probe nprobe/C of the code partitions, and the fusion
+    joins two ≤{nl}+{nv}-row broadcast sets."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _NPROBE, _REFINE
+
+    path, meta = ensure_bm25_index(spark, sf_dir)
+    lex = served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_RRF_NL, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.col("rank").cast("long").alias("rank_lex"))
+    q = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == _RRF_Q)
+    vec = served_ivfpq_topk(
+        spark, sf_dir, q, k=_RRF_NV, refine=_REFINE, nprobe=_NPROBE
+    ).select(
+        F.col("match_id").alias("vdoc"),
+        F.col("rank").cast("long").alias("rank_vec"),
+    )
+    fused = (
+        lex.join(vec, lex.doc_id == vec.vdoc, "full_outer")
+        .select(
+            F.coalesce(lex.doc_id, F.col("vdoc")).alias("doc_id"),
+            "rank_lex",
+            "rank_vec",
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CAST(round(1000000 * (COALESCE(1.0 / ({_RRF_C} + rank_lex), 0.0)"
+                f" + COALESCE(1.0 / ({_RRF_C} + rank_vec), 0.0))) AS BIGINT)"
+            ),
+        )
+    )
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+
+    # no unpartitioned window: TakeOrderedAndProject + the bounded
+    # k×k broadcast rank derivation (operators/relational.py)
+    topk = global_topk_ranked(
+        fused, [("rrf_e6", True), ("doc_id", False)], _RRF_K, rank_col="final_rank"
+    )
+    return topk.select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        "rrf_e6",
+        F.col("final_rank").cast("long").alias("final_rank"),
+    ).orderBy("final_rank")
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-lite) over the SERVED lexical index:
+# probe → feedback docs → expansion terms → expanded re-probe. The
+# oracle cannot pivot tf columns for terms it does not know at SQL-
+# generation time, so it scores RELATIONALLY — per-(doc, term-index)
+# weights folded in index order (list_reduce over list(... ORDER BY i)
+# reproduces the serve path's left-to-right "+"-chain exactly, so the
+# doubles match bit-for-bit before the shared round(..., 6)).
+# ---------------------------------------------------------------------------
+
+_PRF_FB = 5  # feedback depth: top-FB docs of the original query
+_PRF_E = 3  # expansion terms mined from the feedback docs
+
+
+def _sql_bm25_prf() -> str:
+    from lol_data_pipeline_spark.operators.search import bm25_weight_sql
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+        SQL_TOKS,
+        _sql_bm25,
+    )
+
+    nt = len(_BM25_TERMS)
+    phase1 = _sql_bm25(_BM25_TERMS, _PRF_FB, _BM25_K1, _BM25_B)
+    orig_vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_BM25_TERMS)
+    )
+    not_orig = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # the shared per-term BM25 weight, rebased onto relational columns
+    # (tf/df/dl/avgdl live in joined rows, not pivoted pseudo-columns).
+    # avgdl is rewritten FIRST so the bare-"dl" rewrite cannot touch it.
+    wt = (
+        bm25_weight_sql(0, _BM25_K1, _BM25_B)
+        .replace("avgdl", "__AVGDL__")
+        .replace("tf0", "p.tf")
+        .replace("df0", "d.df")
+        .replace("dl", "pl.dl")
+        .replace("n_docs", "s.n_docs")
+        .replace("__AVGDL__", "s.avgdl")
+    )
+    return f"""
+    WITH ptok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    ppd AS (SELECT doc_id, len(t) AS dl FROM ptok),
+    pposts AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM ptok)
+      GROUP BY 1, 2
+    ),
+    pscal AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM ppd
+    ),
+    fb AS (SELECT doc_id FROM ({phase1})),
+    exptok AS (
+      SELECT p.term, CAST(sum(p.tf) AS BIGINT) AS cnt
+      FROM pposts p JOIN fb USING (doc_id)
+      WHERE p.term NOT IN ({not_orig})
+      GROUP BY 1
+    ),
+    expsel AS (
+      SELECT term, rnk FROM (
+        SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM exptok
+      ) WHERE rnk <= {_PRF_E}
+    ),
+    qterms AS (
+      SELECT CAST(i AS INTEGER) AS i, term
+      FROM (VALUES {orig_vals}) AS v(i, term)
+      UNION ALL
+      SELECT CAST({nt - 1} + rnk AS INTEGER) AS i, term FROM expsel
+    ),
+    pdfs AS (
+      SELECT q.i, q.term, CAST(count(*) AS DOUBLE) AS df
+      FROM qterms q JOIN pposts p ON p.term = q.term
+      GROUP BY 1, 2
+    ),
+    pcand AS (
+      SELECT DISTINCT p.doc_id
+      FROM pposts p JOIN qterms q ON q.term = p.term
+    ),
+    pw AS (
+      SELECT c.doc_id, q.i,
+             CAST({wt} AS DOUBLE) AS wt,
+             CASE WHEN p.tf > 0 THEN 1 ELSE 0 END AS hit
+      FROM pcand c
+      CROSS JOIN qterms q
+      JOIN pdfs d ON d.i = q.i
+      JOIN ppd pl ON pl.doc_id = c.doc_id
+      CROSS JOIN pscal s
+      LEFT JOIN pposts p ON p.doc_id = c.doc_id AND p.term = q.term
+    ),
+    pscored AS (
+      SELECT doc_id,
+             round(list_reduce(list(wt ORDER BY i), (a, b) -> a + b), 6)
+                 AS score,
+             CAST(sum(hit) AS BIGINT) AS n_terms_hit
+      FROM pw GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_hit, rank FROM (
+      SELECT doc_id, score, n_terms_hit,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank
+      FROM pscored
+    ) WHERE rank <= {_BM25_K}
+    """
+
+
+@query("text_bm25_prf_served", sql=_sql_bm25_prf())
+def text_bm25_prf_served(spark, sf_dir):
+    """Query expansion by pseudo-relevance feedback (RM3-lite), both
+    phases served from the persisted inverted index: (1) probe the
+    original {nt}-term query for its top-{fb} feedback docs (bounded
+    collect: {fb} ids); (2) mine the top-{e} expansion terms from JUST
+    those docs — one pushed-filter scan of {fb} documents, tokenize,
+    count, tie-broken (count DESC, term ASC); bounded collect: {e}
+    terms; (3) re-probe the index with the expanded term list. The
+    expansion terms become driver-side literals, so phase 3 is the
+    SAME pivoted literal-term serve plan as every BM25 entry — probes
+    read only the expanded query's postings buckets. At 100 TB the
+    corpus is touched exactly once per phase-3 term bucket; feedback
+    mining reads {fb} documents, never the corpus. The oracle re-
+    derives feedback ranking, expansion selection, and the expanded
+    scoring relationally, folding per-term weights in term-index
+    order to reproduce the serve path's "+"-chain doubles exactly."""
+    from lol_data_pipeline_spark.functions.text import tokens
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    path, meta = ensure_bm25_index(spark, sf_dir)
+    fb = served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_PRF_FB, k1=_BM25_K1, b=_BM25_B
+    )
+    fb_ids = [int(r.doc_id) for r in fb.select("doc_id").collect()]
+    docs = T(spark, sf_dir, "documents")
+    exp_rows = (
+        docs.filter(F.col("doc_id").isin(fb_ids))
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(~F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_PRF_E)
+        .collect()
+    )
+    expanded = list(_BM25_TERMS) + [r.term for r in exp_rows]
+    return served_bm25_topk(
+        spark, path, meta, expanded, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance of the LEXICAL index — parity with
+# stream_ann_upsert_multibatch: document micro-batches write THROUGH a
+# foreachBatch sink into the persisted postings/doclens/sidecar, and
+# the standing query served from the maintained artifact must match an
+# oracle recomputing BM25 over corpus∪batch (df, N and avgdl all move,
+# so it is a whole-index check).
+# ---------------------------------------------------------------------------
+
+_SBUP_LO, _SBUP_HI = 30, 50
+_SBUP_SHIFT = 120000
+
+
+def _sql_stream_bm25_upsert() -> str:
+    head = f"""alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_SBUP_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id >= {_SBUP_LO} AND doc_id < {_SBUP_HI}
+    ),
+    """
+    return _bm25_oracle(src="alldocs", head=head)
+
+
+@query("stream_bm25_upsert_multibatch", sql=_sql_stream_bm25_upsert())
+def stream_bm25_upsert_multibatch(spark, sf_dir):
+    """STREAMING lexical-index maintenance end-to-end: a document
+    batch (cloned docs under shifted ids) arrives as a four-micro-
+    batch ordered replay and each epoch WRITES THROUGH a foreachBatch
+    sink into the persisted inverted index via bm25_index_upsert —
+    per epoch, ≤ NB term-bucket partitions and ≤ NB doc-bucket
+    partitions rewrite (dynamic partition overwrite) and the
+    sidecar's exact integer totals advance. The sink re-reads the
+    sidecar at each epoch, so a replayed epoch re-ingests its ids
+    idempotently (stale postings purged before re-insert — identical
+    disk content and identical totals; the exactly-once-by-
+    idempotence discipline streaming/sinks.py documents). What is
+    verified is the SERVE path over the post-stream artifact against
+    an oracle recomputing BM25 over corpus∪batch from scratch. Own
+    index copy (variant="streamup")."""
+    import json as _json
+    import os as _os
+
+    from lol_data_pipeline_spark.operators.text_index import (
+        bm25_index_upsert,
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, _meta = ensure_bm25_index(spark, sf_dir, variant="streamup")
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.col("doc_id").between(_SBUP_LO, _SBUP_HI - 1)
+    ).select((F.col("doc_id") + _SBUP_SHIFT).alias("doc_id"), "text")
+    parts = [batch.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def sink(df, _epoch_id):
+        # current sidecar, not the closure's snapshot — each epoch's
+        # exact totals build on the previous epoch's writes
+        with open(_os.path.join(path, "_text_meta.json")) as f:
+            m = _json.load(f)
+        bm25_index_upsert(spark, path, m, df)
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"bm25_upsert:{sf_dir}",
+        foreach_batch=sink,
+    )
+    with open(_os.path.join(path, "_text_meta.json")) as f:
+        meta = _json.load(f)
+    return served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical index observability — monitoring off the ARTIFACT (postings
+# + doclens + sidecar), completing stats parity across all three
+# served families (ann_index_stats, graph_index_stats, this). The
+# sidecar totals ride along as literals so a sidecar-vs-disk drift
+# (a maintenance bug) fails the oracle comparison.
+# ---------------------------------------------------------------------------
+
+
+def _sql_bm25_stats() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_TOKS
+
+    return f"""
+    WITH ptok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    ppd AS (SELECT doc_id, len(t) AS dl FROM ptok),
+    pposts AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM ptok)
+      GROUP BY 1, 2
+    ),
+    pdfs AS (SELECT term, count(*) AS df FROM pposts GROUP BY 1),
+    pdb AS (SELECT doc_id % 16 AS db, count(*) AS c FROM ppd GROUP BY 1)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM ppd) AS n_docs,
+      (SELECT CAST(sum(dl) AS BIGINT) FROM ppd) AS total_tokens,
+      (SELECT CAST(count(*) AS BIGINT) FROM ppd) AS meta_n_docs,
+      (SELECT CAST(sum(dl) AS BIGINT) FROM ppd) AS meta_total_tokens,
+      (SELECT CAST(count(*) AS BIGINT) FROM pposts) AS n_postings,
+      (SELECT CAST(count(*) AS BIGINT) FROM pdfs) AS n_terms,
+      (SELECT CAST(max(df) AS BIGINT) FROM pdfs) AS max_df,
+      (SELECT CAST(count(*) AS BIGINT) FROM pdb) AS db_buckets,
+      (SELECT CAST(max(c) AS BIGINT) FROM pdb) AS db_max_docs,
+      (SELECT CAST(min(c) AS BIGINT) FROM pdb) AS db_min_docs
+    """
+
+
+@query("bm25_index_stats", sql=_sql_bm25_stats())
+def bm25_index_stats(spark, sf_dir):
+    """Lexical-index OBSERVABILITY: one row of artifact-level health
+    metrics computed from the persisted postings/doclens tables plus
+    the sidecar's totals as literals — so the oracle comparison
+    cross-checks sidecar vs disk (a maintenance bug that drifts the
+    exact integer totals fails here, not in production probes).
+    n_postings is the corpus's (doc, term) surface, max_df its most
+    common term's reach (the skew that makes a postings bucket hot),
+    db_max/min_docs the doc-bucket balance that bounds maintenance
+    rewrite cost. All aggregates run over the index's own partition
+    layout — the source corpus is never read."""
+    from lol_data_pipeline_spark.operators.text_index import (
+        doclens_path,
+        ensure_bm25_index,
+        postings_path,
+    )
+
+    path, meta = ensure_bm25_index(spark, sf_dir)
+    post = spark.read.parquet(postings_path(path))
+    lens = spark.read.parquet(doclens_path(path))
+    lstats = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    pstats = post.agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.countDistinct("term").cast("long").alias("n_terms"),
+    )
+    dfmax = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .agg(F.max("df").cast("long").alias("max_df"))
+    )
+    dbstats = (
+        lens.groupBy("db")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("db_buckets"),
+            F.max("c").cast("long").alias("db_max_docs"),
+            F.min("c").cast("long").alias("db_min_docs"),
+        )
+    )
+    return (
+        lstats.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(dfmax))
+        .crossJoin(F.broadcast(dbstats))
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.lit(int(meta["n_docs"])).cast("long").alias("meta_n_docs"),
+            F.lit(int(meta["total_tokens"]))
+            .cast("long")
+            .alias("meta_total_tokens"),
+            "n_postings",
+            "n_terms",
+            "max_df",
+            "db_buckets",
+            "db_max_docs",
+            "db_min_docs",
+        )
+    )

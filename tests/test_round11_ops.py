@@ -793,3 +793,98 @@ def test_bm25_delete_drops_emptied_buckets(spark, sf_dir, tmp_path_factory):
         .collect()[0]
     )
     assert meta2["total_tokens"] == row.tot
+
+
+# ---------------------------------------------------------------------------
+# Round-11b: cross-axis RRF fusion, PRF expansion, streaming lexical
+# maintenance, lexical index stats.
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_keeps_one_leg_docs(spark, sf_dir):
+    """Union-style fusion: the fused frame must keep docs found by a
+    single leg (NULL in the other leg's rank), and rrf_e6 must equal
+    the reciprocal-rank arithmetic of whichever legs are present."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round11 import _RRF_C, _RRF_K
+
+    rows = REGISTRY["retrieval_rrf_served"].fn(spark, sf_dir).collect()
+    assert len(rows) == _RRF_K
+    assert [r.final_rank for r in rows] == list(range(1, _RRF_K + 1))
+    for r in rows:
+        expect = 0.0
+        if r.rank_lex is not None:
+            expect += 1.0 / (_RRF_C + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += 1.0 / (_RRF_C + r.rank_vec)
+        assert r.rrf_e6 == round(1_000_000 * expect)
+        assert r.rank_lex is not None or r.rank_vec is not None
+
+
+def test_prf_expansion_reprobes_with_new_literal_terms(spark, sf_dir):
+    """The expanded phase-3 probe must hit MORE terms than the
+    original query can (n_terms_hit may exceed len(_BM25_TERMS)), and
+    a second run must serve from the warm index (sidecar untouched)."""
+    import os
+
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.extensions import _BM25_TERMS
+    from lol_data_pipeline_spark.plans.round11 import _PRF_E
+
+    first = REGISTRY["text_bm25_prf_served"].fn(spark, sf_dir).collect()
+    path, _meta = ensure_bm25_index(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(path, "_text_meta.json"))
+    again = REGISTRY["text_bm25_prf_served"].fn(spark, sf_dir).collect()
+    assert first == again
+    assert os.path.getmtime(os.path.join(path, "_text_meta.json")) == mtime
+    max_hit = max(r.n_terms_hit for r in first)
+    assert max_hit <= len(_BM25_TERMS) + _PRF_E
+    # word-salad corpus: the expanded query must actually match more
+    # terms than the original 3-term query possibly could
+    assert max_hit > len(_BM25_TERMS)
+
+
+def test_stream_bm25_upsert_replay_is_idempotent(spark, sf_dir):
+    """Replaying the whole four-epoch stream must leave identical
+    disk content and identical sidecar totals (exactly-once by
+    idempotence — the discipline the sink documents)."""
+    import json
+    import os
+
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+        postings_path,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    fn = REGISTRY["stream_bm25_upsert_multibatch"].fn
+    first = fn(spark, sf_dir).collect()
+    path, _ = ensure_bm25_index(spark, sf_dir, variant="streamup")
+    with open(os.path.join(path, "_text_meta.json")) as f:
+        meta1 = json.load(f)
+    post1 = sorted(map(tuple, spark.read.parquet(postings_path(path)).collect()))
+    again = fn(spark, sf_dir).collect()
+    with open(os.path.join(path, "_text_meta.json")) as f:
+        meta2 = json.load(f)
+    post2 = sorted(map(tuple, spark.read.parquet(postings_path(path)).collect()))
+    assert first == again
+    assert meta1 == meta2
+    assert post1 == post2
+
+
+def test_bm25_stats_crosschecks_sidecar_vs_disk(spark, sf_dir):
+    """The stats row must agree with itself: sidecar literals equal
+    the disk aggregates (the drift alarm the entry exists for), and
+    the doc buckets partition the corpus."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    row = REGISTRY["bm25_index_stats"].fn(spark, sf_dir).collect()[0]
+    assert row.meta_n_docs == row.n_docs
+    assert row.meta_total_tokens == row.total_tokens
+    assert row.n_terms <= row.n_postings
+    assert row.max_df <= row.n_docs
+    assert row.db_buckets <= 16
+    assert row.db_min_docs <= row.db_max_docs

@@ -98,6 +98,19 @@ CROSS_OK = {
     # filtered-IVF family; PQ encode itself is a pure projection)
     "ann_ivfpq_residual_topk",  # same geometry + an 8-row centroid
     # ride-along broadcast for the residual computation
+    "text_bm25_served",  # k×k broadcast rank derivation over the
+    # served top-k (global_topk_ranked) — text_search_bm25's class
+    "bm25_index_upsert",  # same serve-path k×k rank derivation after
+    # maintenance (the upsert itself is equi-join + partition rewrite)
+    "bm25_index_delete",  # same serve-path k×k rank derivation
+    "bm25_index_stats",  # 1-row aggregate crossJoins composing the
+    # single stats row — the ann_index_stats scalar-broadcast class
+    "text_bm25_prf_served",  # two serve probes (each the k×k rank
+    # derivation over bounded top-k) — feedback/expansion collects are
+    # bounded at FB ids / E terms by construction
+    "retrieval_rrf_served",  # both legs end in bounded top-k rank
+    # derivations (≤NL lexical + ≤NV vector rows); the fusion joins
+    # two ≤20-row sets and ranks ≤40 fused rows (k×k broadcast)
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
