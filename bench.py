@@ -201,6 +201,11 @@ HEADLINE = [
     # write-staging policies).
     "retrieval_rrf_served",
     "text_bm25_prf_served",
+    # r11b: the dedup axis served — probe-only signing vs the
+    # recompute twin dedup_incremental_minhash (kept benched as the
+    # comparison). minhash_index_stats is NOT benched (stats policy);
+    # minhash_index_upsert/_delete are NOT benched (write-staging).
+    "dedup_minhash_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1,0 +1,318 @@
+"""Materialized MinHash-LSH dedup index: build ONCE as a band-
+partitioned bucket table + a JSON stats sidecar, then PROBE incoming
+document batches against it and MAINTAIN it band-locally — the DEDUP
+member of the served-index family (quantization =
+operators/vector_index.py, graph = operators/graph_index.py,
+lexical = operators/text_index.py, dedup = this).
+
+operators/dedup.py's minhash_lsh_probe derives BOTH sides from one
+scan and documents the at-rest deployment its oracle models ("in
+production the existing side's (band, bkey) buckets ... are AT REST,
+written bucketed by bkey when each batch was ingested") — this module
+is that deployment:
+
+- BUILD (once): one shingle pass over the index corpus → k-permutation
+  signatures → (id, band, bkey) bucket rows written hive-partitioned
+  by ``band`` and sorted by ``bkey`` within files (a probe's per-band
+  bkey point predicates become row-group skipping — the layout
+  tests/test_data_skipping.py pins), plus a sidecar with the LSH
+  params and source fingerprint.
+- PROBE (per batch): shingle + sign ONLY the incoming batch (the
+  index corpus is never re-tokenized), equi-join its bucket rows
+  against the persisted table on (band, bkey), then verify candidate
+  pairs with EXACT Jaccard — the index side's shingles are recomputed
+  for candidate ids only, via a pushed id join against the source
+  corpus (the index stores 3 small columns per (doc, band), never
+  shingle arrays — at 100 TB storing shingles would duplicate the
+  corpus; the source stays the single copy of the text).
+- MAINTAIN: a document batch touches every band partition (each doc
+  has one row per band) but the partition count is the CONSTANT
+  ``bands``, so upsert/delete rewrite a fixed number of directories
+  regardless of corpus or batch size (dynamic partition overwrite;
+  replaced ids' stale rows purged first). Idempotent by construction.
+
+Reference parity: the reference persists fetched documents and
+re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
+contract, dedup axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.caching import tracked_persist
+from lol_data_pipeline_spark.io import (
+    load_table,
+    write_overwrite,
+    write_upsert_partitions,
+)
+from lol_data_pipeline_spark.operators.dedup import (
+    _affine_params,
+    _doc_shingle_arrays,
+    _jaccard_verify,
+    _minhash_agg_cols,
+    _MINHASH_P,
+    md5_long,
+    minhash_band_buckets,
+)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+MINHASH_ROOT = os.environ.get(
+    "SPARK_GRAFT_MINHASH_INDEX_DIR",
+    os.path.join(_REPO_ROOT, "spark-warehouse", "minhash_index"),
+)
+_META_NAME = "_minhash_meta.json"
+
+
+def buckets_path(path: str) -> str:
+    return os.path.join(path, "buckets")
+
+
+def _batch_buckets(docs: DataFrame, k: int, bands: int, n: int) -> DataFrame:
+    """(id, band, bkey) bucket rows for a document frame — ONE
+    shingle pass, one signature aggregate, one explode (the shared
+    build/probe/maintain derivation, so the three cannot drift)."""
+    base = _doc_shingle_arrays(docs, n, "text", "doc_id")
+    sh = base.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
+    sigs = sh.groupBy("id").agg(*_minhash_agg_cols(k))
+    return minhash_band_buckets(sigs, k, bands)
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    index_where: str = "",
+) -> dict:
+    """One shingle pass over the index corpus → band-partitioned
+    bucket rows, bkey-sorted within files, + params/fingerprint
+    sidecar. ``index_where`` (SQL over documents) selects the index
+    side — '' means the whole corpus."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if index_where:
+        docs = docs.filter(F.expr(index_where))
+    buckets = (
+        _batch_buckets(docs, k, bands, n)
+        .repartition("band")
+        .sortWithinPartitions("bkey")
+    )
+    write_overwrite(buckets, buckets_path(path), partition_by=["band"])
+    n_docs = (
+        spark.read.parquet(buckets_path(path))
+        .select("id")
+        .distinct()
+        .count()
+    )
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir, table="documents"),
+        "params": {"k": k, "bands": bands, "n": n, "index_where": index_where},
+        "n_docs": int(n_docs),
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    variant: str = "",
+    k: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    index_where: str = "",
+) -> tuple[str, dict]:
+    """Build-if-absent-or-stale (the vector_index.ensure_* contract),
+    keyed by corpus basename + optional variant; params + predicate
+    are part of the staleness check."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    root = root or MINHASH_ROOT
+    name = os.path.basename(os.path.normpath(sf_dir)) + (
+        f"_{variant}" if variant else ""
+    )
+    path = os.path.join(root, f"minhash_{name}")
+    meta_path = os.path.join(path, _META_NAME)
+    want_fp = _source_fingerprint(sf_dir, table="documents")
+    want_params = {"k": k, "bands": bands, "n": n, "index_where": index_where}
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == want_params:
+            return path, meta
+    except (OSError, ValueError):
+        pass
+    os.makedirs(path, exist_ok=True)
+    meta = build_minhash_index(
+        spark, sf_dir, path, k=k, bands=bands, n=n, index_where=index_where
+    )
+    return path, meta
+
+
+def served_minhash_probe(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    batch_docs: DataFrame,
+    verify_docs: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Probe a document batch against the PERSISTED index: shingle +
+    sign only the batch, equi-join its (band, bkey) rows against the
+    bucket table, verify candidates with exact Jaccard. The index
+    side's shingle arrays are recomputed ONLY for candidate ids via a
+    join against ``verify_docs`` (the source corpus — plus any
+    synthetic maintenance batch whose text is not in the source).
+    Output (id_new, id_index, jaccard) matches
+    operators/dedup.minhash_lsh_probe row-for-row, which is why the
+    served entry shares dedup_incremental_minhash's oracle shape."""
+    p = meta["params"]
+    k, bands, n = p["k"], p["bands"], p["n"]
+    base_new = tracked_persist(
+        _doc_shingle_arrays(batch_docs, n, "text", "doc_id")
+    )
+    sh = base_new.select("id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "bh", F.pmod(md5_long(F.col("shingle")), F.lit(_MINHASH_P))
+    )
+    sigs = sh.groupBy("id").agg(*_minhash_agg_cols(k))
+    new_buckets = minhash_band_buckets(sigs, k, bands).alias("a")
+    idx = (
+        spark.read.parquet(buckets_path(path))
+        .select("id", F.col("band").cast("int").alias("band"), "bkey")
+        .alias("b")
+    )
+    cand = (
+        new_buckets.join(
+            idx,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_index"))
+        .distinct()
+    )
+    # index-side shingles for candidate ids only — pushed id join
+    # against the text source, never a full-corpus re-shingle
+    idx_ids = cand.select(F.col("id_index").alias("doc_id")).distinct()
+    idx_base = _doc_shingle_arrays(
+        verify_docs.join(idx_ids, "doc_id"), n, "text", "doc_id"
+    )
+    base = base_new.unionByName(idx_base)
+    return _jaccard_verify(cand, base, "id_new", "id_index", threshold).orderBy(
+        "id_new", "id_index"
+    )
+
+
+def minhash_index_upsert(
+    spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
+) -> dict:
+    """Merge a document batch into the persisted index: its bucket
+    rows land in the ``bands`` partitions (existing rows of replaced
+    ids removed first — re-ingesting a changed document replaces,
+    never double-buckets) and the sidecar's doc count updates
+    exactly. Idempotent."""
+    p = meta["params"]
+    buckets = _batch_buckets(new_docs, p["k"], p["bands"], p["n"])
+    batch_ids = buckets.select(F.col("id").alias("doc_id")).distinct()
+    existing = spark.read.parquet(buckets_path(path))
+    replaced = (
+        existing.select("id")
+        .distinct()
+        .join(
+            F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")), "id"
+        )
+        .count()
+    )
+    keep = existing.join(
+        F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")),
+        "id",
+        "left_anti",
+    )
+    merged = keep.unionByName(buckets.select(*keep.columns)).localCheckpoint()
+    write_upsert_partitions(merged, buckets_path(path), ["band"])
+    n_new = batch_ids.count()
+    meta = dict(meta)
+    meta["n_docs"] = int(meta["n_docs"]) - int(replaced) + int(n_new)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_index_delete(
+    spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
+) -> dict:
+    """Take-down: remove a document batch's bucket rows from every
+    band partition and shrink the sidecar count exactly. Idempotent."""
+    ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
+    existing = spark.read.parquet(buckets_path(path))
+    gone = existing.select("id").distinct().join(F.broadcast(ids), "id").count()
+    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
+    write_upsert_partitions(keep, buckets_path(path), ["band"])
+    meta = dict(meta)
+    meta["n_docs"] = int(meta["n_docs"]) - int(gone)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def minhash_sql_ctes(
+    k: int, bands: int, n: int, src: str = "documents", prefix: str = "mh"
+) -> str:
+    """DuckDB CTE chain re-deriving the index's (id, band, bkey)
+    bucket rows from the corpus: distinct word n-gram shingles → base
+    hash (the shared SQL_MD5_LONG twin of functions.hashing.md5_long,
+    mod the Mersenne prime) → k affine-permutation mins → one bkey
+    row per band. The affine (a, b) constants are the SAME
+    _affine_params the Spark aggregate uses — inlined as literals so
+    both engines run identical integer arithmetic."""
+    r = k // bands
+    params = _affine_params(k)
+    md5 = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+    mins = ", ".join(
+        f"min((bh * {a} + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM {pfx}sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+            pfx=prefix,
+        )
+        for b in range(bands)
+    )
+    shingles = (
+        f"list_transform(generate_series(1, greatest(0, len(t) - {n - 1})), "
+        f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+    )
+    return f"""{prefix}tok AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+      FROM {src}
+    ),
+    {prefix}sh AS (
+      SELECT id, unnest(list_distinct({shingles})) AS s FROM {prefix}tok
+    ),
+    {prefix}bh AS (SELECT id, ({md5}) % {_MINHASH_P} AS bh FROM {prefix}sh),
+    {prefix}sigs AS (SELECT id, {mins} FROM {prefix}bh GROUP BY id),
+    {prefix}buckets AS (
+      {band_rows}
+    )"""

@@ -2291,3 +2291,227 @@ def bm25_index_stats(spark, sf_dir):
             "db_min_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The DEDUP axis joins the served-index family: a materialized
+# MinHash-LSH bucket table (operators/minhash_index.py) probed by
+# incoming batches and maintained band-locally. dedup_incremental_
+# minhash (the recompute twin, kept as the comparison) signs BOTH
+# sides per run; these entries sign only the batch.
+# ---------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_N = 16, 8, 3
+_MH_TAU = 0.8
+_MH_IDX_WHERE = "doc_id % 5 <> 0"  # the standing 80% index corpus
+_MHUP_LO, _MHUP_HI = 200, 220
+_MHUP_SHIFT = 140000
+_MHDEL_LO, _MHDEL_HI = 5, 30
+
+
+def _sql_minhash_probe(
+    head: str = "", src: str = "documents",
+    new_cond: str = "a.doc_id % 5 = 0",
+    idx_cond: str = "b.doc_id % 5 <> 0",
+) -> str:
+    """The exact asymmetric all-pairs Jaccard oracle of
+    dedup_incremental_minhash, parameterized over the corpus CTE and
+    the two side predicates so the maintenance entries can point the
+    identical scoring chain at corpus∪batch / corpus∖doomed. LSH
+    recall at s≥0.8 with k=16/8 bands is ≥0.9997 and every candidate
+    is exact-verified, so LSH output and exact output coincide (the
+    dedup_minhash_lsh recall argument, fixture-tested)."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_TOKS, _sql_shingles
+
+    toks = SQL_TOKS.replace("text", "d.text") if False else SQL_TOKS
+    return f"""
+    WITH {head}tok AS (SELECT doc_id, {toks} AS t FROM {src}),
+    sh AS (SELECT doc_id, unnest(list_distinct({_sql_shingles(_MH_N)})) AS s FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_index, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND ({new_cond}) AND ({idx_cond})
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id_new AS BIGINT) AS id_new, CAST(id_index AS BIGINT) AS id_index,
+           CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_new
+    JOIN sizes sb ON sb.doc_id = id_index
+    WHERE CAST(floor((c * 1.0 / (sa.n + sb.n - c)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) >= {_MH_TAU}
+    """
+
+
+@query("dedup_minhash_served", sql=_sql_minhash_probe())
+def dedup_minhash_served(spark, sf_dir):
+    """Probe the daily batch (doc_id % 5 = 0) against the PERSISTED
+    MinHash-LSH index of the standing corpus (the other 80%) — the
+    served twin of dedup_incremental_minhash, which signs both sides
+    per run. Here the index side's (band, bkey) bucket rows are AT
+    REST (band-partitioned, bkey-sorted — operators/minhash_index.py)
+    and the probe shingles/signs ONLY the batch; exact-Jaccard verify
+    recomputes index-side shingles for CANDIDATE ids only via a
+    pushed id join against the source corpus. At 100 TB the daily
+    cost is batch-sized signing + a bucket equi-join + candidate-
+    bounded verification — the standing corpus is never re-tokenized.
+    Shares the recompute twin's oracle shape (exact asymmetric
+    all-pairs ≥ τ)."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        served_minhash_probe,
+    )
+
+    path, meta = ensure_minhash_index(
+        spark, sf_dir, variant="probe",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where=_MH_IDX_WHERE,
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return served_minhash_probe(
+        spark, path, meta, batch, verify_docs=docs, threshold=_MH_TAU
+    )
+
+
+def _sql_mh_upsert() -> str:
+    head = f"""alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_MHUP_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id >= {_MHUP_LO} AND doc_id < {_MHUP_HI}
+    ),
+    """
+    return _sql_minhash_probe(
+        head=head, src="alldocs",
+        new_cond=f"a.doc_id % 5 = 0 AND a.doc_id < {_MHUP_SHIFT}",
+        idx_cond=f"b.doc_id % 5 <> 0 OR b.doc_id >= {_MHUP_SHIFT}",
+    )
+
+
+@query("minhash_index_upsert", sql=_sql_mh_upsert())
+def minhash_index_upsert_entry(spark, sf_dir):
+    """Incremental DEDUP-index maintenance, verified through the
+    PROBE path: a document batch (cloned docs under shifted ids — the
+    re-ingest shape) merges into the persisted bucket table (each doc
+    lands one row in every band; the rewrite touches the CONSTANT
+    ``bands`` partitions regardless of batch or corpus size) and the
+    standing batch probe re-runs against the maintained artifact.
+    Sharp by construction: the clones of batch-side ids (200/205/...)
+    enter the index with IDENTICAL text, so the probe MUST find their
+    jaccard-1.0 pairs — missed maintenance loses rows, stale rows
+    duplicate them. Oracle recomputes the asymmetric exact pairs over
+    corpus∪batch. Idempotent; own index copy (variant="upsert")."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        minhash_index_upsert,
+        served_minhash_probe,
+    )
+
+    path, meta = ensure_minhash_index(
+        spark, sf_dir, variant="upsert",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where=_MH_IDX_WHERE,
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.col("doc_id").between(_MHUP_LO, _MHUP_HI - 1)
+    ).select((F.col("doc_id") + _MHUP_SHIFT).alias("doc_id"), "text")
+    meta = minhash_index_upsert(spark, path, meta, batch)
+    probe = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    verify = docs.select("doc_id", "text").unionByName(batch)
+    return served_minhash_probe(
+        spark, path, meta, probe, verify_docs=verify, threshold=_MH_TAU
+    )
+
+
+def _sql_mh_delete() -> str:
+    return _sql_minhash_probe(
+        idx_cond=(
+            f"b.doc_id % 5 <> 0 AND NOT (b.doc_id >= {_MHDEL_LO} "
+            f"AND b.doc_id < {_MHDEL_HI})"
+        ),
+    )
+
+
+@query("minhash_index_delete", sql=_sql_mh_delete())
+def minhash_index_delete_entry(spark, sf_dir):
+    """DEDUP-index take-down, verified through the PROBE path: a
+    doomed id range vanishes from every band partition, and the
+    standing batch probe against the maintained artifact must lose
+    exactly the doomed side's pairs (the range is chosen so real
+    pairs disappear at both test scales — a row-absence check with
+    teeth). Oracle recomputes the asymmetric exact pairs over
+    corpus∖doomed. Idempotent; own index copy (variant="delete")."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        minhash_index_delete,
+        served_minhash_probe,
+    )
+
+    path, meta = ensure_minhash_index(
+        spark, sf_dir, variant="delete",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where=_MH_IDX_WHERE,
+    )
+    docs = T(spark, sf_dir, "documents")
+    doomed = docs.filter(
+        F.col("doc_id").between(_MHDEL_LO, _MHDEL_HI - 1)
+    ).select("doc_id")
+    meta = minhash_index_delete(spark, path, meta, doomed)
+    probe = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return served_minhash_probe(
+        spark, path, meta, probe, verify_docs=docs, threshold=_MH_TAU
+    )
+
+
+def _sql_mh_stats() -> str:
+    from lol_data_pipeline_spark.operators.minhash_index import minhash_sql_ctes
+
+    return (
+        "WITH "
+        + minhash_sql_ctes(_MH_K, _MH_BANDS, _MH_N)
+        + """,
+    per AS (SELECT band, bkey, count(*) AS cbk FROM mhbuckets GROUP BY 1, 2)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(sum(cbk) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(cbk) AS BIGINT) AS max_bucket
+    FROM per GROUP BY 1 ORDER BY band
+    """
+    )
+
+
+@query("minhash_index_stats", sql=_sql_mh_stats())
+def minhash_index_stats(spark, sf_dir):
+    """DEDUP-index OBSERVABILITY: per-band bucket-occupancy stats off
+    the artifact's own layout (n_rows = docs indexed per band,
+    n_buckets = distinct bkeys, max_bucket = the hottest bucket — the
+    probe-join skew monitor: a mega-bucket is a boilerplate-text
+    cluster whose self-join fans out quadratically, exactly what
+    ngram_jaccard's shingle-DF cap guards; this row says WHEN to
+    care). One aggregate over the bucket table reading 2 small
+    columns + the partition column; the source corpus is never read.
+    The oracle re-derives signatures with the SAME affine constants
+    as literals — a full cross-engine replication of the MinHash
+    construction, not just a count check (full-corpus index,
+    variant='stats')."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        buckets_path,
+        ensure_minhash_index,
+    )
+
+    path, _meta = ensure_minhash_index(
+        spark, sf_dir, variant="stats",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where="",
+    )
+    per = (
+        spark.read.parquet(buckets_path(path))
+        .groupBy(F.col("band").cast("int").alias("band"), "bkey")
+        .agg(F.count("*").alias("cbk"))
+    )
+    return (
+        per.groupBy("band")
+        .agg(
+            F.sum("cbk").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("cbk").cast("long").alias("max_bucket"),
+        )
+        .orderBy("band")
+    )

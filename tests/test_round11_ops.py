@@ -888,3 +888,90 @@ def test_bm25_stats_crosschecks_sidecar_vs_disk(spark, sf_dir):
     assert row.max_df <= row.n_docs
     assert row.db_buckets <= 16
     assert row.db_min_docs <= row.db_max_docs
+
+
+# ---------------------------------------------------------------------------
+# Round-11b cont.: the materialized MinHash-LSH dedup index.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_layout_and_fresh_reuse(spark, sf_dir, tmp_path_factory):
+    """Band-partitioned bucket table + params/fingerprint sidecar; a
+    second ensure on the same corpus+params must NOT rebuild."""
+    import os
+
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        buckets_path,
+        ensure_minhash_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("mh_idx"))
+    path, meta = ensure_minhash_index(spark, sf_dir, root=root, k=16, bands=8)
+    parts = [
+        d for d in os.listdir(buckets_path(path)) if d.startswith("band=")
+    ]
+    assert len(parts) == 8
+    assert meta["params"]["k"] == 16 and meta["n_docs"] > 0
+    mtime = os.path.getmtime(os.path.join(path, "_minhash_meta.json"))
+    path2, meta2 = ensure_minhash_index(spark, sf_dir, root=root, k=16, bands=8)
+    assert path2 == path and meta2 == meta
+    assert os.path.getmtime(os.path.join(path, "_minhash_meta.json")) == mtime
+    # a PARAM change is staleness: different bands must rebuild into
+    # a fresh artifact state
+    _p3, meta3 = ensure_minhash_index(spark, sf_dir, root=root, k=16, bands=4)
+    assert meta3["params"]["bands"] == 4
+
+
+def test_minhash_upsert_is_idempotent_and_replaces(spark, sf_dir, tmp_path_factory):
+    """Re-upserting the same batch leaves identical bucket rows and an
+    identical sidecar count; a replaced id never double-buckets."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        buckets_path,
+        ensure_minhash_index,
+        minhash_index_upsert,
+    )
+
+    root = str(tmp_path_factory.mktemp("mh_up"))
+    path, meta = ensure_minhash_index(spark, sf_dir, root=root)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 990000).alias("doc_id"), "text"
+    )
+    meta1 = minhash_index_upsert(spark, path, meta, batch)
+    rows1 = sorted(map(tuple, spark.read.parquet(buckets_path(path)).collect()))
+    meta2 = minhash_index_upsert(spark, path, meta1, batch)
+    rows2 = sorted(map(tuple, spark.read.parquet(buckets_path(path)).collect()))
+    assert rows1 == rows2
+    assert meta1["n_docs"] == meta2["n_docs"] == meta["n_docs"] + 5
+    per_id = (
+        spark.read.parquet(buckets_path(path))
+        .filter(F.col("id") >= 990000)
+        .groupBy("id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 8 for r in per_id)  # one row per band
+
+
+def test_minhash_delete_removes_every_band_row(spark, sf_dir, tmp_path_factory):
+    """Deleting ids drops their rows from ALL band partitions and the
+    sidecar count shrinks exactly; other ids' rows are untouched."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        buckets_path,
+        ensure_minhash_index,
+        minhash_index_delete,
+    )
+
+    root = str(tmp_path_factory.mktemp("mh_del"))
+    path, meta = ensure_minhash_index(spark, sf_dir, root=root)
+    ids = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    before = (
+        spark.read.parquet(buckets_path(path))
+        .filter(F.col("id") > 1)
+        .count()
+    )
+    meta2 = minhash_index_delete(spark, path, meta, ids)
+    left = spark.read.parquet(buckets_path(path))
+    assert left.filter(F.col("id") <= 1).count() == 0
+    assert left.count() == before
+    assert meta2["n_docs"] == meta["n_docs"] - 2
