@@ -206,6 +206,10 @@ HEADLINE = [
     # comparison). minhash_index_stats is NOT benched (stats policy);
     # minhash_index_upsert/_delete are NOT benched (write-staging).
     "dedup_minhash_served",
+    # r11b: spectral front-end ANN (top-r deflated directions as the
+    # candidate projection) — a new candidate-generation axis
+    # alongside SQ/PQ/IVF/LSH/graph.
+    "ann_pca_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

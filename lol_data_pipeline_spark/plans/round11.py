@@ -648,7 +648,14 @@ def ann_index_compact(spark, sf_dir):
 _PR_DIRS = 2
 
 
-def _sql_power_topr() -> str:
+def _power_cte_list() -> list[str]:
+    """The deflated power-iteration CTE chain (e, p, then per
+    direction d the round/deflation/normalize CTEs ending at
+    d{d}v{R}) — shared by the emb_power_topr oracle and the
+    spectral-front-end ANN oracle so the two derivations cannot
+    drift. The emitted text is byte-identical to what
+    _sql_power_topr inlined before the extraction (fingerprint-
+    stable)."""
     from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
 
     R = _PI_ROUNDS
@@ -690,6 +697,14 @@ def _sql_power_topr() -> str:
             ctes.append(
                 f"d{d}v{r} AS MATERIALIZED (SELECT list_transform(w, y -> y / sqrt(list_inner_product(w, w))) AS v FROM {wname})"
             )
+    return ctes
+
+
+def _sql_power_topr() -> str:
+    from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
+
+    R = _PI_ROUNDS
+    ctes = _power_cte_list()
     finals = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({d} AS BIGINT) AS direction, CAST(p.pos - 1 AS BIGINT) AS pos,"
         f" round((SELECT v FROM d{d}v{R})[p.pos], 6) AS loading FROM p"
@@ -2514,4 +2529,140 @@ def minhash_index_stats(spark, sf_dir):
             F.max("cbk").cast("long").alias("max_bucket"),
         )
         .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral front-end ANN: the top-r deflated directions emb_power_topr
+# discovers become a candidate-generation projection — scan r doubles
+# per vector instead of dim, rescore the bounded survivors exactly.
+# ---------------------------------------------------------------------------
+
+_PCA_REFINE = 8
+
+
+def _sql_pca_topk() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+    from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
+
+    R = _PI_ROUNDS
+    fair = (
+        f"(vec_id >= {_KMQ_LO} AND vec_id < {_KMQ_HI})"
+        f" OR (vec_id >= {_KMQ_TAIL_LO} AND vec_id < {_KMQ_TAIL_HI})"
+    )
+    zq = ",\n             ".join(
+        f"list_inner_product(x, (SELECT v FROM d{d}v{R})) AS qz{d}"
+        for d in range(_PR_DIRS)
+    )
+    zc = ",\n             ".join(
+        f"list_inner_product(x, (SELECT v FROM d{d}v{R})) AS cz{d}"
+        for d in range(_PR_DIRS)
+    )
+    score = " + ".join(f"q.qz{d} * c.cz{d}" for d in range(_PR_DIRS))
+    return (
+        "WITH "
+        + ",\n    ".join(_power_cte_list())
+        + f""",
+    qz AS (
+      SELECT vec_id AS query_id, x AS qvec,
+             {zq}
+      FROM e WHERE {fair}
+    ),
+    cz AS (
+      SELECT vec_id AS match_id,
+             {zc}
+      FROM e
+    ),
+    approx AS (
+      SELECT q.query_id, c.match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {score} DESC, c.match_id
+             ) AS arank
+      FROM qz q JOIN cz c ON c.match_id <> q.query_id
+    )
+    SELECT query_id, match_id, sim, rank FROM (
+      SELECT a.query_id, a.match_id,
+             {SQL_COS.format(a='a.qvec', b='e2.embedding')} AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY a.query_id
+               ORDER BY {SQL_COS.format(a='a.qvec', b='e2.embedding')} DESC,
+                        a.match_id
+             ) AS BIGINT) AS rank
+      FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+      WHERE a.arank <= {_PCA_REFINE * _K}
+    ) WHERE rank <= {_K}
+    """
+    )
+
+
+@query("ann_pca_topk", sql=_sql_pca_topk())
+def ann_pca_topk(spark, sf_dir):
+    """Spectral-front-end ANN: candidates are ranked in the top-{r}
+    PCA subspace (the deflated power-iteration directions of
+    emb_power_topr, computed with the same fixed-point recipe so both
+    engines hold bit-equal directions), then the refine·k survivors
+    are rescored with exact full-dimension cosine. The approximate
+    scan reads {r} doubles per corpus vector instead of dim — the
+    same bytes-per-vector lever as SQ/PQ, bought with spectral
+    structure instead of quantization (at rest the z-projection is a
+    2-column table; here it is a pure projection against literal
+    directions). Queries broadcast (bounded fair set), candidates
+    bounded at refine·k per query, rescore joins the full-precision
+    source only for survivors — the ann_sq_topk geometry with a
+    trained transform. The oracle unrolls the full deflated power
+    chain, projects both sides with the same fold arithmetic, and
+    replays approx-rank + rescore."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.operators.clustering import power_topr
+    from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
+
+    emb = T(spark, sf_dir, "embeddings")
+    dirs = power_topr(emb, r=_PR_DIRS, rounds=_PI_ROUNDS, dim=64)
+    x = F.col("embedding")
+    q = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        *[
+            sim.dot(x, F.array(*[F.lit(float(v)) for v in d])).alias(f"qz{j}")
+            for j, d in enumerate(dirs)
+        ],
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        *[
+            sim.dot(x, F.array(*[F.lit(float(v)) for v in d])).alias(f"cz{j}")
+            for j, d in enumerate(dirs)
+        ],
+    )
+    score = F.expr(" + ".join(f"qz{j} * cz{j}" for j in range(_PR_DIRS)))
+    w_a = Window.partitionBy("query_id").orderBy(
+        score.desc(), F.col("match_id").asc()
+    )
+    cand = (
+        c.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+        .withColumn("arank", F.row_number().over(w_a))
+        .filter(F.col("arank") <= _PCA_REFINE * _K)
+        .select("query_id", "match_id", "qvec")
+    )
+    rescored = cand.join(
+        emb.select(
+            F.col("vec_id").alias("match_id"), F.col("embedding").alias("mvec")
+        ),
+        "match_id",
+    ).select(
+        "query_id",
+        "match_id",
+        F.round(sim.cosine(F.col("qvec"), F.col("mvec")), 6).alias("sim"),
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_r).cast("long"))
+        .filter(F.col("rank") <= _K)
+        .orderBy("query_id", "rank")
     )

@@ -108,6 +108,9 @@ CROSS_OK = {
     "text_bm25_prf_served",  # two serve probes (each the k×k rank
     # derivation over bounded top-k) — feedback/expansion collects are
     # bounded at FB ids / E terms by construction
+    "ann_pca_topk",  # queries-broadcast NLJ vs the reduced-dim corpus
+    # projection (the ann_cosine_topk class; candidates bounded at
+    # refine*k per query before the full-precision rescore join)
     "retrieval_rrf_served",  # both legs end in bounded top-k rank
     # derivations (≤NL lexical + ≤NV vector rows); the fusion joins
     # two ≤20-row sets and ranks ≤40 fused rows (k×k broadcast)
