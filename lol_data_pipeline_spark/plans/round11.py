@@ -2666,3 +2666,78 @@ def ann_pca_topk(spark, sf_dir):
         .filter(F.col("rank") <= _K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming probe of the DEDUP index — the real-time ingest gate: each
+# arriving micro-batch is checked against the persisted corpus index
+# and its near-dup pairs are emitted through an idempotent epoch-
+# partitioned sink. Stateless per batch (a doc's pairs depend only on
+# the doc and the frozen index), so the four-epoch union must equal
+# the one-shot probe row-for-row.
+# ---------------------------------------------------------------------------
+
+
+@query("stream_minhash_probe_multibatch", sql=_sql_minhash_probe())
+def stream_minhash_probe_multibatch(spark, sf_dir):
+    """STREAMING near-dup gating: the daily batch (doc_id % 5 = 0)
+    arrives as a four-micro-batch ordered replay; each epoch signs
+    ONLY its documents, probes the PERSISTED MinHash index
+    (operators/minhash_index.py), and writes its verified pairs to an
+    epoch-partitioned parquet sink (mode=overwrite per epoch — a
+    replayed epoch rewrites identical content, the exactly-once-by-
+    idempotence discipline). The probe is stateless per batch, so the
+    union of all epochs' outputs equals the one-shot
+    dedup_minhash_served probe row-for-row — which is why this entry
+    shares its oracle (the exact asymmetric all-pairs answer). At
+    100 TB this is the ingest-time dedup gate: per trigger, batch-
+    sized signing + a bucket equi-join + candidate-bounded verify;
+    the standing corpus is never re-tokenized and no streaming state
+    accumulates."""
+    import os
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        ensure_minhash_index,
+        served_minhash_probe,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_minhash_index(
+        spark, sf_dir, variant="probe",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where=_MH_IDX_WHERE,
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id", "text"
+    )
+    parts = [
+        batch.filter(F.pmod(F.col("doc_id"), F.lit(20)) == i * 5)
+        for i in range(4)
+    ]
+    out = os.path.join(
+        os.path.dirname(path), f"stream_probe_{os.path.basename(path)}"
+    )
+    _sh.rmtree(out, ignore_errors=True)
+
+    def sink(df, epoch_id):
+        pairs = served_minhash_probe(
+            spark, path, meta, df, verify_docs=docs, threshold=_MH_TAU
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={int(epoch_id)}")
+        )
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"minhash_probe:{sf_dir}",
+        foreach_batch=sink,
+    )
+    return (
+        spark.read.parquet(out)
+        .select("id_new", "id_index", "jaccard")
+        .orderBy("id_new", "id_index")
+    )

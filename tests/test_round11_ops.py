@@ -975,3 +975,17 @@ def test_minhash_delete_removes_every_band_row(spark, sf_dir, tmp_path_factory):
     assert left.filter(F.col("id") <= 1).count() == 0
     assert left.count() == before
     assert meta2["n_docs"] == meta["n_docs"] - 2
+
+
+def test_stream_minhash_probe_equals_oneshot(spark, sf_dir):
+    """Stateless per-batch probing: the four-epoch streamed union
+    must equal the one-shot served probe row-for-row."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    streamed = (
+        REGISTRY["stream_minhash_probe_multibatch"].fn(spark, sf_dir).collect()
+    )
+    oneshot = sorted(
+        map(tuple, REGISTRY["dedup_minhash_served"].fn(spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, streamed)) == oneshot
