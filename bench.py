@@ -210,6 +210,11 @@ HEADLINE = [
     # candidate projection) — a new candidate-generation axis
     # alongside SQ/PQ/IVF/LSH/graph.
     "ann_pca_topk",
+    # r11b: the served tokenizer — encode from the persisted merge
+    # table (0.56 s vs 1.95 s retraining at sf0.01, PERF_NOTES.md).
+    # bpe_vocab_served is NOT benched: its cost is reading a JSON
+    # sidecar (no query-engine signal).
+    "text_bpe_encode_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

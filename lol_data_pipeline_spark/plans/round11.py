@@ -2741,3 +2741,71 @@ def stream_minhash_probe_multibatch(spark, sf_dir):
         .select("id_new", "id_index", "jaccard")
         .orderBy("id_new", "id_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# The tokenizer becomes an at-rest artifact: text_bpe_encode retrains
+# its merge table on every run (the one remaining per-query retraining
+# in the registry); these entries serve train and encode from a
+# persisted, fingerprinted vocabulary instead.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_oracle() -> str:
+    from lol_data_pipeline_spark.plans.round9 import _sql_bpe_train
+
+    return _sql_bpe_train()
+
+
+def _bpe_encode_oracle() -> str:
+    from lol_data_pipeline_spark.plans.round10 import _sql_bpe_encode
+
+    return _sql_bpe_encode()
+
+
+@query("bpe_vocab_served", sql=_bpe_train_oracle())
+def bpe_vocab_served(spark, sf_dir):
+    """Serve the LEARNED merge table from the persisted tokenizer
+    artifact (operators/bpe.py ensure_bpe_vocab: ordered merges +
+    params + source fingerprint in one JSON sidecar — the artifact is
+    driver-literal-sized, so the 'index' is a sidecar alone). Shares
+    text_bpe_train's oracle verbatim: the served rows must equal a
+    from-scratch training run, which is exactly the staleness
+    contract (fingerprint match => the stored merges ARE what
+    training would produce; corpus change => rebuild). Maintenance is
+    re-training by design — BPE merges have no sound incremental
+    update, an early merge decision can flip under new data."""
+    from lol_data_pipeline_spark.operators.bpe import (
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
+    return spark.createDataFrame(
+        vocab_merges(meta),
+        "round bigint, left_sym string, right_sym string, merged string, cnt bigint",
+    )
+
+
+@query("text_bpe_encode_served", sql=_bpe_encode_oracle())
+def text_bpe_encode_served(spark, sf_dir):
+    """ENCODE the corpus with the PERSISTED tokenizer: the merge
+    table loads from the artifact sidecar (no training scans — the
+    vocabulary-sized pair counts and per-round argmax collects of
+    text_bpe_encode are gone from the query path) and the encode is
+    ONE corpus scan of pure projections with the merges as
+    driver-side literals. Shares text_bpe_encode's oracle verbatim —
+    served counts must equal the retraining entry's row-for-row. At
+    100 TB this is the tokenizer deployment shape: train once per
+    corpus snapshot, encode every shard from the frozen artifact."""
+    from lol_data_pipeline_spark.operators.bpe import (
+        bpe_encode_docs,
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
+    docs = T(spark, sf_dir, "documents")
+    return bpe_encode_docs(docs, vocab_merges(meta)).orderBy("doc_id")

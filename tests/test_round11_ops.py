@@ -989,3 +989,38 @@ def test_stream_minhash_probe_equals_oneshot(spark, sf_dir):
         map(tuple, REGISTRY["dedup_minhash_served"].fn(spark, sf_dir).collect())
     )
     assert sorted(map(tuple, streamed)) == oneshot
+
+
+def test_bpe_vocab_artifact_reuse_and_staleness(spark, sf_dir, tmp_path_factory):
+    """Warm ensure returns the stored merges without retraining; a
+    params change is staleness and rebuilds."""
+    import os
+
+    from lol_data_pipeline_spark.operators.bpe import (
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+
+    root = str(tmp_path_factory.mktemp("bpe_vocab"))
+    path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=3, root=root)
+    assert len(vocab_merges(meta)) == 3
+    mtime = os.path.getmtime(os.path.join(path, "_bpe_meta.json"))
+    _p2, meta2 = ensure_bpe_vocab(spark, sf_dir, rounds=3, root=root)
+    assert meta2 == meta
+    assert os.path.getmtime(os.path.join(path, "_bpe_meta.json")) == mtime
+    _p3, meta3 = ensure_bpe_vocab(spark, sf_dir, rounds=2, root=root)
+    assert len(vocab_merges(meta3)) == 2
+
+
+def test_bpe_encode_served_equals_retraining(spark, sf_dir):
+    """The served encode must equal the retraining entry row-for-row
+    (the artifact-freshness contract)."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    served = sorted(
+        map(tuple, REGISTRY["text_bpe_encode_served"].fn(spark, sf_dir).collect())
+    )
+    retrained = sorted(
+        map(tuple, REGISTRY["text_bpe_encode"].fn(spark, sf_dir).collect())
+    )
+    assert served == retrained
