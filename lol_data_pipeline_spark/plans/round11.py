@@ -2809,3 +2809,85 @@ def text_bpe_encode_served(spark, sf_dir):
     _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
     docs = T(spark, sf_dir, "documents")
     return bpe_encode_docs(docs, vocab_merges(meta)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide pair mining entirely OFF the artifact: the in-query
+# dedup_minhash_lsh signs the whole corpus every run; with the bucket
+# table at rest, candidate generation is a self-join of 3 small
+# columns and only candidates ever touch document text again.
+# ---------------------------------------------------------------------------
+
+
+def _sql_pairs_served() -> str:
+    from lol_data_pipeline_spark.plans.extensions import _sql_jaccard_pairs
+
+    return _sql_jaccard_pairs(_MH_TAU)
+
+
+@query("dedup_minhash_pairs_served", sql=_sql_pairs_served())
+def dedup_minhash_pairs_served(spark, sf_dir):
+    """Corpus-wide near-dup PAIRS served from the persisted MinHash
+    index: candidate generation is a (band, bkey) SELF-JOIN of the
+    bucket table — 3 small columns, Σ bucket², zero tokenization —
+    and exact-Jaccard verification re-shingles CANDIDATE ids only via
+    a pushed id join on the source corpus. The in-query twin
+    (dedup_minhash_lsh, kept benched as the comparison) shingles and
+    signs the ENTIRE corpus on every run; at 100 TB that is the
+    difference between scanning the text corpus and scanning an
+    index of (doc, band, key) rows. Shares the twin's oracle verbatim
+    (the exact all-pairs answer — LSH recall ≥0.9997 at these params
+    and every candidate is verified). Reuses the full-corpus index
+    the stats entry maintains (variant='stats')."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _jaccard_verify,
+    )
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        buckets_path,
+        ensure_minhash_index,
+    )
+
+    path, _meta = ensure_minhash_index(
+        spark, sf_dir, variant="stats",
+        k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where="",
+    )
+    # persist the bucket scan: the self-join otherwise reads the
+    # parquet once per side
+    idx = tracked_persist(
+        spark.read.parquet(buckets_path(path)).select(
+            "id", F.col("band").cast("int").alias("band"), "bkey"
+        )
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    # persist the candidate set: it feeds BOTH verify-join sides plus
+    # the id projection below — unpersisted, the bucket self-join
+    # would re-run three times (measured 4.2 s -> see PERF_NOTES)
+    cand = tracked_persist(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = T(spark, sf_dir, "documents")
+    # persist the candidate shingles too: _jaccard_verify joins base
+    # once per pair side, and the O(words²) shingle transform must
+    # run once per candidate doc, not twice
+    base = tracked_persist(
+        _doc_shingle_arrays(
+            docs.join(F.broadcast(ids), "doc_id"), _MH_N, "text", "doc_id"
+        )
+    )
+    return _jaccard_verify(cand, base, "id_a", "id_b", _MH_TAU).orderBy(
+        "id_a", "id_b"
+    )
