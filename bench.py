@@ -215,6 +215,10 @@ HEADLINE = [
     # bpe_vocab_served is NOT benched: its cost is reading a JSON
     # sidecar (no query-engine signal).
     "text_bpe_encode_served",
+    # r11b: filtered search composed with the served artifact (the
+    # predicate prunes candidate lists pre-ADC; one index serves
+    # every predicate).
+    "ann_filtered_served_topk",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -284,6 +284,7 @@ def served_ivfpq_topk(
     nprobe: int = 2,
     index_root: str | None = None,
     keep_vec: bool = False,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from the PERSISTED index: probe → pruned code scan
     → decode → ADC rank → bounded exact rescore. Output schema and
@@ -309,6 +310,16 @@ def served_ivfpq_topk(
         "cell_id",
         pq_decode_expr(meta["seeds"], p["m"], p["dsub"]).alias("xhat"),
     )
+    if filter_ids is not None:
+        # PRE-filter: the metadata predicate prunes candidate lists
+        # BEFORE ADC ranking (post-filtering an unfiltered top-k is
+        # wrong at low selectivity — ann_filtered_topk pins the
+        # semantics). Semi-join keeps the scan narrow.
+        xhat = xhat.join(
+            filter_ids.select(F.col(filter_ids.columns[0]).alias("match_id")),
+            "match_id",
+            "semi",
+        )
     scored = xhat.join(
         F.broadcast(qprobe),
         (F.col("cell_id") == F.col("pcell"))

@@ -2891,3 +2891,117 @@ def dedup_minhash_pairs_served(spark, sf_dir):
     return _jaccard_verify(cand, base, "id_a", "id_b", _MH_TAU).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered search on the SERVED index: the metadata predicate prunes
+# candidate lists BEFORE ADC ranking (pre-filter semantics —
+# ann_filtered_topk pins why post-filtering is wrong), composed with
+# the persisted IVF+PQ artifact instead of the in-query index the
+# round-8 filtered family probes.
+# ---------------------------------------------------------------------------
+
+
+def _sql_filtered_served() -> str:
+    from lol_data_pipeline_spark.plans.curation import _FILT_K, _FILT_LABEL, _FILT_NQ
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _NPROBE,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS, assigns=_KM_ROUNDS + 1, updates=_KM_ROUNDS, dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell, rn AS probe_rank
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE e.vec_id < {_FILT_NQ}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    {_pq_xhat_ctes()},
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, lf.label, q.qvec,
+             CAST(q.probe_rank AS BIGINT) AS probe_rank,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC,
+                        cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN embeddings lf ON lf.vec_id = cl.vec_id AND lf.label = {_FILT_LABEL}
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    rcand AS (
+      SELECT a.query_id, a.match_id, a.label, a.probe_rank,
+             {SQL_COS.format(a='a.qvec', b='e2.embedding')} AS sim
+      FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+      WHERE a.arank <= {_REFINE * _FILT_K}
+    )
+    SELECT query_id, match_id, label, probe_rank, sim, rank FROM (
+      SELECT query_id, match_id, label, probe_rank, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, match_id
+             ) AS BIGINT) AS rank
+      FROM rcand
+    ) WHERE rank <= {_FILT_K}
+    """
+    )
+
+
+@query("ann_filtered_served_topk", sql=_sql_filtered_served())
+def ann_filtered_served_topk(spark, sf_dir):
+    """Filtered vector search on the PERSISTED IVF+PQ index: the
+    metadata predicate (label = 3, ~10% selectivity) semi-joins the
+    decoded candidate lists BEFORE ADC ranking — pre-filter
+    semantics, so the refine·k budget is spent entirely on vectors
+    that satisfy the predicate (post-filtering an unfiltered top-k
+    starves the result at low selectivity; ann_filtered_topk pins the
+    ground truth). Everything else is the served shape: literal
+    partition pruning to the probed cells, codes-only scan, bounded
+    exact rescore. At 100 TB the predicate id-set is a bitmap/bloom
+    pushed into the candidate join; the index itself is untouched —
+    one artifact serves every predicate, which is the point of
+    pre-filtering over per-predicate index builds. Oracle re-derives
+    the full serve chain with the filter applied at the same stage."""
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.curation import _FILT_K, _FILT_LABEL, _FILT_NQ
+    from lol_data_pipeline_spark.plans.round9 import _NPROBE, _REFINE
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _FILT_NQ)
+    fids = emb.filter(F.col("label") == _FILT_LABEL).select("vec_id", "label")
+    served = served_ivfpq_topk(
+        spark,
+        sf_dir,
+        queries,
+        k=_FILT_K,
+        refine=_REFINE,
+        nprobe=_NPROBE,
+        filter_ids=fids.select("vec_id"),
+    )
+    return served.join(
+        F.broadcast(fids.withColumnRenamed("vec_id", "match_id")), "match_id"
+    ).select("query_id", "match_id", "label", "probe_rank", "sim", "rank").orderBy(
+        "query_id", "rank"
+    )
