@@ -2614,11 +2614,16 @@ def ann_pca_topk(spark, sf_dir):
     chain, projects both sides with the same fold arithmetic, and
     replays approx-rank + rescore."""
     from lol_data_pipeline_spark.operators import similarity as sim
-    from lol_data_pipeline_spark.operators.clustering import power_topr
+    from lol_data_pipeline_spark.operators.clustering import ensure_power_dirs
     from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
 
     emb = T(spark, sf_dir, "embeddings")
-    dirs = power_topr(emb, r=_PR_DIRS, rounds=_PI_ROUNDS, dim=64)
+    # directions come from the fingerprinted sidecar (build-if-stale)
+    # — the r·rounds training aggregates amortize across runs; JSON
+    # round-trips the doubles exactly, and emb_power_topr's oracle
+    # parity is the standing proof the stored directions equal a
+    # fresh training run
+    dirs = ensure_power_dirs(spark, sf_dir, r=_PR_DIRS, rounds=_PI_ROUNDS, dim=64)
     x = F.col("embedding")
     q = emb.filter(
         (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))

@@ -1024,3 +1024,27 @@ def test_bpe_encode_served_equals_retraining(spark, sf_dir):
         map(tuple, REGISTRY["text_bpe_encode"].fn(spark, sf_dir).collect())
     )
     assert served == retrained
+
+
+def test_power_dirs_artifact_bit_equals_training(spark, sf_dir, tmp_path_factory):
+    """The stored directions must round-trip bit-equal to a fresh
+    power_topr run (JSON repr/float exactness), and a warm ensure
+    must not retrain."""
+    import os
+
+    from lol_data_pipeline_spark.operators.clustering import (
+        ensure_power_dirs,
+        power_topr,
+    )
+
+    root = str(tmp_path_factory.mktemp("pdirs"))
+    served = ensure_power_dirs(spark, sf_dir, r=2, rounds=3, dim=64, root=root)
+    fresh = power_topr(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), r=2, rounds=3, dim=64
+    )
+    assert served == fresh
+    meta = os.path.join(root, f"dirs_{os.path.basename(sf_dir)}", "_dirs_meta.json")
+    mtime = os.path.getmtime(meta)
+    again = ensure_power_dirs(spark, sf_dir, r=2, rounds=3, dim=64, root=root)
+    assert again == served
+    assert os.path.getmtime(meta) == mtime
