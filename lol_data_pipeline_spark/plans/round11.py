@@ -2541,8 +2541,10 @@ def minhash_index_stats(spark, sf_dir):
 _PCA_REFINE = 8
 
 
-def _sql_pca_topk() -> str:
-    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+def _pca_head() -> str:
+    """The deflated-power-chain + subspace-ranking CTE text shared by
+    the pca top-k oracle and the pca recall oracle (so the candidate
+    derivation cannot drift between them)."""
     from lol_data_pipeline_spark.plans.round10 import _PI_ROUNDS
 
     R = _PI_ROUNDS
@@ -2580,7 +2582,16 @@ def _sql_pca_topk() -> str:
                ORDER BY {score} DESC, c.match_id
              ) AS arank
       FROM qz q JOIN cz c ON c.match_id <> q.query_id
+    )"""
     )
+
+
+def _sql_pca_topk() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return (
+        _pca_head()
+        + f"""
     SELECT query_id, match_id, sim, rank FROM (
       SELECT a.query_id, a.match_id,
              {SQL_COS.format(a='a.qvec', b='e2.embedding')} AS sim,
@@ -3009,4 +3020,99 @@ def ann_filtered_served_topk(spark, sf_dir):
         F.broadcast(fids.withColumnRenamed("vec_id", "match_id")), "match_id"
     ).select("query_id", "match_id", "label", "probe_rank", "sim", "rank").orderBy(
         "query_id", "rank"
+    )
+
+
+def _sql_pca_recall() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS
+
+    return (
+        _pca_head()
+        + f""",
+    pca AS (
+      SELECT query_id, match_id FROM (
+        SELECT a.query_id, a.match_id,
+               row_number() OVER (
+                 PARTITION BY a.query_id
+                 ORDER BY {SQL_COS.format(a='a.qvec', b='e2.embedding')} DESC,
+                          a.match_id
+               ) AS rank
+        FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+        WHERE a.arank <= {_PCA_REFINE * _K}
+      ) WHERE rank <= {_K}
+    ),
+    ex AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.query_id, c.vec_id AS match_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {SQL_COS.format(a='q.qvec', b='c.embedding')} DESC,
+                          c.vec_id
+               ) AS rank
+        FROM qz q JOIN embeddings c ON c.vec_id <> q.query_id
+      ) WHERE rank <= {_K}
+    )
+    SELECT x.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN p.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN p.match_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS recall_at_5
+    FROM ex x LEFT JOIN pca p
+      ON p.query_id = x.query_id AND p.match_id = x.match_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """
+    )
+
+
+@query("ann_pca_recall_eval", sql=_sql_pca_recall())
+def ann_pca_recall_eval(spark, sf_dir):
+    """Recall@{k} of the SPECTRAL front-end against brute-force
+    ground truth, per query — the quality harness for the new
+    candidate-generation axis, mirroring ann_served_recall_eval (IVF)
+    and ann_graph_recall_eval (graph): every deployed
+    candidate-generation strategy gets its recall measured, not
+    inherited, and r (subspace width) / refine are this axis's levers
+    the way nprobe is IVF's. Both sides reuse production operators
+    verbatim: the registered ann_pca_topk plan for the approximate
+    side (served directions from the sidecar), similarity.cosine_topk
+    for the exact side, a (queries×k)-row left join for the
+    comparison. The oracle re-derives the deflated power chain, the
+    subspace ranking + rescore, and the hit join in one CTE chain
+    (the head is shared verbatim with ann_pca_topk's oracle)."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    exact = sim.cosine_topk(emb, queries, k=_K).select("query_id", "match_id")
+    pca = (
+        REGISTRY["ann_pca_topk"]
+        .fn(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("pq"),
+            F.col("match_id").alias("pm"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    return (
+        exact.join(
+            pca,
+            (F.col("query_id") == F.col("pq"))
+            & (F.col("match_id") == F.col("pm")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.expr(
+                "round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / count(*), 6)"
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
     )

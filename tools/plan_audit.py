@@ -108,6 +108,9 @@ CROSS_OK = {
     "text_bm25_prf_served",  # two serve probes (each the k×k rank
     # derivation over bounded top-k) — feedback/expansion collects are
     # bounded at FB ids / E terms by construction
+    "ann_pca_recall_eval",  # exact-side ground truth is the cosine_topk
+    # broadcast query-set NLJ (the ann_recall_eval class); the pca side
+    # is the already-allowlisted bounded geometry
     "ann_pca_topk",  # queries-broadcast NLJ vs the reduced-dim corpus
     # projection (the ann_cosine_topk class; candidates bounded at
     # refine*k per query before the full-precision rescore join)
