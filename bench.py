@@ -219,6 +219,12 @@ HEADLINE = [
     # predicate prunes candidate lists pre-ADC; one index serves
     # every predicate).
     "ann_filtered_served_topk",
+    # r11b: the capstone — all three retrieval axes (BM25 postings,
+    # IVF+PQ codes, kNN-graph edges) fused by RRF off their artifacts.
+    # ann_pca_recall_eval is NOT benched (recall-eval policy: its cost
+    # is the exact side already carried by ann_recall_eval-class
+    # entries).
+    "retrieval_rrf3_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -3116,3 +3116,235 @@ def ann_pca_recall_eval(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The capstone composition: ALL THREE retrieval axes served from
+# their persisted artifacts — BM25 postings (lexical), IVF+PQ codes
+# (vector), kNN-graph edges (graph) — fused by Reciprocal Rank Fusion
+# in one query. The full production retrieval stack, off artifacts.
+# ---------------------------------------------------------------------------
+
+_RRF_NG = 10  # graph pool size (bounded by the beam's scored set)
+
+
+def _sql_rrf3_fusion() -> str:
+    """Three legs re-derived end-to-end: the IVF serve chain and the
+    lexical chain exactly as _sql_rrf_fusion builds them, plus the
+    beam unroll over the persisted-edge construction for the single
+    query (entries = the beam's default lowest-id nodes); fusion
+    chains two FULL OUTER joins through a coalesced doc_id."""
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        SQL_COS,
+        _sql_bm25,
+        kmeans_ctes,
+    )
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _NPROBE,
+        _REFINE,
+        _SAMPLE_WHERE,
+        _pq_xhat_ctes,
+    )
+
+    cells = f"a{_KM_ROUNDS}"
+    trained = f"c{_KM_ROUNDS}"
+    dist = (
+        "list_inner_product(e.x, e.x) - 2 * list_inner_product(e.x, c.c) "
+        "+ list_inner_product(c.c, c.c)"
+    )
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    lex = _sql_bm25(_BM25_TERMS, _RRF_NL, _BM25_K1, _BM25_B)
+    edge_ctes = _knn_edge_ctes_over("e")
+    gaff = "gaffected AS (SELECT DISTINCT code FROM gcodes)"
+    graph_ctes = (
+        ",\n    ".join(edge_ctes[:2] + [gaff] + edge_ctes[2:])
+        + f""",
+    gedges AS (SELECT src_id, dst_id FROM granked WHERE rank <= {_GRAPH_K}),
+    bqset AS (SELECT vec_id AS query_id, x AS qvec FROM e WHERE vec_id = {_RRF_Q}),
+    bf0 AS (
+      SELECT q.query_id, n.vec_id AS cand
+      FROM bqset q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {_BEAM_ENTRY_N}) n
+    )"""
+    )
+    rounds = []
+    for r in range(1, _BEAM_R + 1):
+        rounds.append(f""",
+    bx{r} AS (
+      SELECT query_id, cand FROM bf{r - 1}
+      UNION
+      SELECT f.query_id, ed.dst_id AS cand
+      FROM bf{r - 1} f JOIN gedges ed ON ed.src_id = f.cand
+    ),
+    bs{r} AS (
+      SELECT x2.query_id, x2.cand,
+             {SQL_COS.format(a='q.qvec', b='c.x')} AS sim
+      FROM bx{r} x2
+      JOIN bqset q ON q.query_id = x2.query_id
+      JOIN e c ON c.vec_id = x2.cand
+      WHERE x2.cand <> x2.query_id
+    ),
+    bf{r} AS (
+      SELECT query_id, cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand) AS rn
+        FROM bs{r}
+      ) WHERE rn <= {_BEAM_B}
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    {_pq_xhat_ctes()},
+    qprobe AS (
+      SELECT vec_id AS query_id, x AS qvec, cid AS pcell
+      FROM (
+        SELECT e.vec_id, e.x, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN {trained} c
+        WHERE e.vec_id = {_RRF_Q}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    approx AS (
+      SELECT q.query_id, cl.vec_id AS match_id, q.qvec,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_inner_product(q.qvec, h.xh) DESC, cl.vec_id
+             ) AS arank
+      FROM qprobe q
+      JOIN {cells} cl ON cl.cluster = q.pcell AND cl.vec_id <> q.query_id
+      JOIN xhat h ON h.match_id = cl.vec_id
+    ),
+    vtop AS (
+      SELECT match_id AS doc_id, rank_vec FROM (
+        SELECT a.match_id,
+               CAST(row_number() OVER (
+                 ORDER BY {SQL_COS.format(a='a.qvec', b='e2.embedding')} DESC,
+                          a.match_id
+               ) AS BIGINT) AS rank_vec
+        FROM approx a JOIN embeddings e2 ON e2.vec_id = a.match_id
+        WHERE a.arank <= {_REFINE * _RRF_NV}
+      ) WHERE rank_vec <= {_RRF_NV}
+    ),
+    {graph_ctes}{"".join(rounds)},
+    gtop AS (
+      SELECT cand AS doc_id, rank_graph FROM (
+        SELECT cand,
+               CAST(row_number() OVER (ORDER BY sim DESC, cand) AS BIGINT) AS rank_graph
+        FROM bs{_BEAM_R}
+      ) WHERE rank_graph <= {_RRF_NG}
+    ),
+    lexleg AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank_lex FROM ({lex})),
+    fused2 AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec
+      FROM lexleg l FULL OUTER JOIN vtop v ON v.doc_id = l.doc_id
+    ),
+    fused AS (
+      SELECT COALESCE(f.doc_id, g.doc_id) AS doc_id,
+             f.rank_lex, f.rank_vec, g.rank_graph,
+             CAST(round(1000000 * (COALESCE(1.0 / ({_RRF_C} + f.rank_lex), 0.0)
+                                   + COALESCE(1.0 / ({_RRF_C} + f.rank_vec), 0.0)
+                                   + COALESCE(1.0 / ({_RRF_C} + g.rank_graph), 0.0)))
+                  AS BIGINT) AS rrf_e6
+      FROM fused2 f FULL OUTER JOIN gtop g ON g.doc_id = f.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rank_graph, rrf_e6,
+           CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT)
+               AS final_rank
+    FROM fused
+    QUALIFY final_rank <= {_RRF_K}
+    """
+    )
+
+
+@query("retrieval_rrf3_served", sql=_sql_rrf3_fusion())
+def retrieval_rrf3_served(spark, sf_dir):
+    """The full retrieval stack in one query, every leg an ARTIFACT
+    probe: BM25 postings (lexical, top-{nl}), IVF+PQ codes (vector,
+    top-{nv}), kNN-graph edges (graph beam walk, top-{ng}) — fused by
+    Reciprocal Rank Fusion, union-style across all three (two chained
+    FULL OUTER joins; a doc found by any subset of legs sums exactly
+    those legs' 1/(C+rank) terms). The three axes fail differently —
+    lexical misses paraphrase, IVF misses across cell boundaries, the
+    beam misses across graph components — which is why production
+    fuses them; RRF needs no score normalization because it fuses
+    RANKS (exact integer-rational arithmetic). At 100 TB nothing here
+    scans the corpus: |terms| postings buckets + nprobe/C code
+    partitions + a Q×B bounded walk over the edge table, then rank
+    arithmetic on ≤{nl}+{nv}+{ng} rows. The oracle re-derives all
+    three serve chains and both fusion joins in one statement."""
+    from lol_data_pipeline_spark.operators.graph_index import served_beam_topk
+    from lol_data_pipeline_spark.operators.relational import global_topk_ranked
+    from lol_data_pipeline_spark.operators.text_index import (
+        ensure_bm25_index,
+        served_bm25_topk,
+    )
+    from lol_data_pipeline_spark.operators.vector_index import served_ivfpq_topk
+    from lol_data_pipeline_spark.plans.extensions import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _NPROBE, _REFINE
+
+    path, meta = ensure_bm25_index(spark, sf_dir)
+    lex = served_bm25_topk(
+        spark, path, meta, _BM25_TERMS, k=_RRF_NL, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", F.col("rank").cast("long").alias("rank_lex"))
+    q = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") == _RRF_Q)
+    vec = served_ivfpq_topk(
+        spark, sf_dir, q, k=_RRF_NV, refine=_REFINE, nprobe=_NPROBE
+    ).select(
+        F.col("match_id").alias("vdoc"),
+        F.col("rank").cast("long").alias("rank_vec"),
+    )
+    graph = served_beam_topk(
+        spark, sf_dir, q, k=_RRF_NG, beam=_BEAM_B, rounds=_BEAM_R,
+        entry_n=_BEAM_ENTRY_N,
+    ).select(
+        F.col("match_id").alias("gdoc"),
+        F.col("rank").cast("long").alias("rank_graph"),
+    )
+    fused2 = lex.join(vec, lex.doc_id == vec.vdoc, "full_outer").select(
+        F.coalesce(lex.doc_id, F.col("vdoc")).alias("doc_id"),
+        "rank_lex",
+        "rank_vec",
+    )
+    fused = (
+        fused2.join(graph, fused2.doc_id == graph.gdoc, "full_outer")
+        .select(
+            F.coalesce(fused2.doc_id, F.col("gdoc")).alias("doc_id"),
+            "rank_lex",
+            "rank_vec",
+            "rank_graph",
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CAST(round(1000000 * (COALESCE(1.0 / ({_RRF_C} + rank_lex), 0.0)"
+                f" + COALESCE(1.0 / ({_RRF_C} + rank_vec), 0.0)"
+                f" + COALESCE(1.0 / ({_RRF_C} + rank_graph), 0.0))) AS BIGINT)"
+            ),
+        )
+    )
+    topk = global_topk_ranked(
+        fused, [("rrf_e6", True), ("doc_id", False)], _RRF_K, rank_col="final_rank"
+    )
+    return topk.select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        "rank_graph",
+        "rrf_e6",
+        F.col("final_rank").cast("long").alias("final_rank"),
+    ).orderBy("final_rank")

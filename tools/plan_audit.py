@@ -114,6 +114,10 @@ CROSS_OK = {
     "ann_pca_topk",  # queries-broadcast NLJ vs the reduced-dim corpus
     # projection (the ann_cosine_topk class; candidates bounded at
     # refine*k per query before the full-precision rescore join)
+    "retrieval_rrf3_served",  # three bounded legs: the lexical/vector
+    # geometries of retrieval_rrf_served plus the beam's 1-query x
+    # 4-entry-node seed cross join (the ann_graph_beam_topk class);
+    # fusion joins <=50 rows and ranks via the k x k broadcast
     "retrieval_rrf_served",  # both legs end in bounded top-k rank
     # derivations (≤NL lexical + ≤NV vector rows); the fusion joins
     # two ≤20-row sets and ranks ≤40 fused rows (k×k broadcast)
