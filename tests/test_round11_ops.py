@@ -1048,3 +1048,27 @@ def test_power_dirs_artifact_bit_equals_training(spark, sf_dir, tmp_path_factory
     again = ensure_power_dirs(spark, sf_dir, r=2, rounds=3, dim=64, root=root)
     assert again == served
     assert os.path.getmtime(meta) == mtime
+
+
+def test_rrf3_fusion_sums_present_legs(spark, sf_dir):
+    """Three-axis fusion: rrf_e6 must equal the reciprocal-rank sum
+    of exactly the legs that found each doc, every leg must
+    contribute at least one row on the fixture, and ranks are a
+    permutation prefix."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round11 import _RRF_C, _RRF_K
+
+    rows = REGISTRY["retrieval_rrf3_served"].fn(spark, sf_dir).collect()
+    assert len(rows) == _RRF_K
+    assert [r.final_rank for r in rows] == list(range(1, _RRF_K + 1))
+    assert any(r.rank_lex is not None for r in rows)
+    assert any(r.rank_vec is not None for r in rows)
+    assert any(r.rank_graph is not None for r in rows)
+    for r in rows:
+        expect = sum(
+            1.0 / (_RRF_C + rk)
+            for rk in (r.rank_lex, r.rank_vec, r.rank_graph)
+            if rk is not None
+        )
+        assert r.rrf_e6 == round(1_000_000 * expect)
+        assert expect > 0
