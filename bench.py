@@ -225,6 +225,14 @@ HEADLINE = [
     # is the exact side already carried by ann_recall_eval-class
     # entries).
     "retrieval_rrf3_served",
+    # r11c: trained-model curation — SemDeDup served off the IVF
+    # index's cells, the trained quality classifier (scoring serves
+    # the persisted weights; eval/curriculum are NOT benched — same
+    # scan + trivially different tails), and tokenizer-utilization
+    # stats off the BPE artifact.
+    "corpus_semdedup",
+    "corpus_quality_logreg",
+    "text_bpe_stats_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

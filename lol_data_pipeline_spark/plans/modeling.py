@@ -1,0 +1,598 @@
+"""Round-11 continuation: the TRAINED-MODEL curation family — the
+corpus operations that LEARN something from the corpus and then apply
+it, composed over the artifacts earlier rounds materialized.
+
+- corpus_semdedup: SemDeDup-style semantic deduplication SERVED from
+  the persisted IVF index — the coarse k-means cells the index
+  already maintains ARE the clusters; within-cell exact-cosine pairs
+  above τ mark the younger member dropped. No new clustering pass:
+  the dedup rides the artifact.
+- corpus_quality_logreg / _eval / corpus_curriculum_stages: a
+  distributed-TRAINED linear quality classifier (the fastText-style
+  language/quality filter every LLM data pipeline runs, e.g. the
+  GPT-3/LLaMA corpus filters): full-batch logistic-regression
+  gradient descent where each round is ONE codegen aggregate of
+  fixed-point integer gradient sums (order-independent BIGINT —
+  the power-iteration / kmeans determinism recipe) and a 1-row
+  collect (broadcast-iterate). The learned weights persist as a
+  fingerprinted JSON sidecar (ensure_lr_model — the engine's model
+  registry), so serving never retrains on a warm artifact. Scoring
+  is a pure projection with the weights as driver literals; eval is
+  the confusion matrix;
+  the curriculum entry turns scores into a stage × source training
+  schedule (fixed score bands — pure projection, no global window).
+- text_bpe_stats_served: vocabulary-utilization stats off the
+  persisted tokenizer (which learned merges actually carry corpus
+  mass) — the monitoring row that decides when the tokenizer is due
+  a retrain.
+
+Scale notes (100 TB):
+- corpus_semdedup: candidate pairs are Σ cell² WITHIN coarse cells,
+  never corpus². Cell population is the quantity ann_index_stats
+  monitors and ann_index_compact bounds, so the pair blowup has an
+  enforced ceiling; at production k ≈ √N cells the expected cell is
+  √N rows. The only corpus-sized work is one id-equi join of the
+  (vec_id, cell_id) index scan against the vector table — codes and
+  text never move. The oracle re-derives the index build's cell
+  assignment (the standing kmeans_ctes chain every served-IVF entry
+  stamps), so served assignments are verified, not trusted.
+- corpus_quality_logreg: per training round the shuffle is N_FEAT
+  partial BIGINT rows at ANY corpus size (map-side combined integer
+  sums), driver traffic one row; the feature projection is pure
+  Column arithmetic on exact rationals (counts and count ratios —
+  no transcendental enters until the sigmoid, which is quantized to
+  a 2^-12 grid in both engines before it touches the gradient).
+- corpus_curriculum_stages: fixed score-band staging is a pure
+  projection (a quantile-staged variant would need only 3 broadcast
+  boundary literals); the per-(stage, source) rollup is one
+  map-side-combined aggregate over a bounded key domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.functions import text as tx
+from lol_data_pipeline_spark.plans.queries import T, query
+
+# ---------------------------------------------------------------------------
+# corpus_semdedup — SemDeDup off the persisted IVF index.
+# ---------------------------------------------------------------------------
+
+_SD_TAU = 0.45  # same exact-cosine threshold dedup_embedding_cosine verifies
+
+
+def _sql_semdedup() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    sim = SQL_COS.format(a="a.x", b="b.x")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    pairs AS (
+      SELECT b.vec_id AS vid, a.vec_id AS kid, a.cluster AS cell,
+             {sim} AS sim
+      FROM {cells} a JOIN {cells} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {sim} >= {_SD_TAU}
+    ),
+    keep AS (
+      SELECT vid, kid, sim, cell,
+             row_number() OVER (PARTITION BY vid
+                                ORDER BY sim DESC, kid) AS rn
+      FROM pairs
+    )
+    SELECT CAST(vid AS BIGINT) AS vec_id, CAST(kid AS BIGINT) AS kept_id,
+           sim, CAST(cell AS BIGINT) AS cell_id
+    FROM keep WHERE rn = 1 ORDER BY vec_id
+    """
+    )
+
+
+@query("corpus_semdedup", sql=_sql_semdedup())
+def corpus_semdedup(spark, sf_dir):
+    """SemDeDup (semantic dedup, Abbas et al. 2023 shape) SERVED from
+    the persisted IVF index: the index's coarse k-means cells stand in
+    for the paper's clusters, within-cell EXACT-cosine pairs ≥ τ mark
+    near-duplicate semantics, and the younger (higher-id) member of
+    each pair is dropped in favour of its best keeper (max sim, tie →
+    lowest id) — the repo's keep-first dedup convention (the paper
+    keeps the member farthest from the centroid; keep-first is this
+    repo's uniform, deterministic policy across every dedup entry).
+    No clustering runs in-query: assignment comes from the artifact's
+    (vec_id, cell_id) columns alone (2-column scan, codes and text
+    untouched); exact vectors for verification arrive via one id-equi
+    join against the vector table. Candidate pairs are Σ cell² within
+    cells — the bounded blowup ann_index_stats monitors and
+    ann_index_compact enforces — never corpus². The oracle re-derives
+    the build's cell assignment via the standing kmeans_ctes chain,
+    so the served assignment is verified, not trusted."""
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+    from pyspark.sql import Window
+
+    path, _meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
+    nodes = spark.read.parquet(path).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+    )
+    emb = sim.with_norm(T(spark, sf_dir, "embeddings"), "embedding")
+    cellv = nodes.join(emb, "vec_id")
+    a = cellv.select(
+        F.col("cell_id").alias("cell"),
+        F.col("vec_id").alias("kid"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cellv.select(
+        F.col("cell_id").alias("cell"),
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("kid") < F.col("vid"))
+        .select(
+            "vid",
+            "kid",
+            "cell",
+            F.round(
+                sim.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SD_TAU)
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("kid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("kid").alias("kept_id"),
+            "sim",
+            F.col("cell").alias("cell_id"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_logreg — distributed-trained linear quality filter.
+# ---------------------------------------------------------------------------
+
+_LR_ROUNDS = 16
+_LR_ETA = 8.0
+_LR_GSC = 1048576.0  # 2^20 gradient fixed-point scale (BIGINT sums)
+_LR_PSC = 4096.0  # 2^12 sigmoid quantization grid
+_LR_NF = 5
+_LR_TOPK = 20
+
+
+def _sql_lr_feats() -> str:
+    """Feature CTE: label y = the document meets the length quality
+    bar (n_chars ≥ 300 — the 'large' class mm_binary_meta already
+    defines; n_chars itself is EXCLUDED from the features, so the
+    model must recover the bar from token-level evidence). Features
+    are all EXACT RATIONALS (integer token counts and their ratios)
+    so both engines hold bit-identical doubles before any
+    transcendental runs."""
+    from lol_data_pipeline_spark.plans.extensions import (
+        SQL_TOKS,
+        _sql_stop_hits,
+    )
+
+    return f"""feats AS (
+      SELECT doc_id, source,
+             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             ({_sql_stop_hits('en')} * 1.0 / len(t)) AS x1,
+             (len(t) / 100.0) AS x2,
+             ((len(array_to_string(t, '')) * 1.0 / len(t)) / 8.0) AS x3,
+             (len(list_distinct(t)) * 1.0 / len(t)) AS x4,
+             CAST(len(t) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, n_chars, source, {SQL_TOKS} AS t FROM documents)
+    )"""
+
+
+def _sql_lr_train_ctes() -> list[str]:
+    """Unrolled gradient descent: per round, the quantized-sigmoid
+    score under the previous weights, fixed-point BIGINT gradient
+    sums, then the IEEE-identical weight update — mirrors the Spark
+    loop in _lr_train_weights step for step."""
+    # AS MATERIALIZED: every t{i} is referenced by BOTH g{i} and
+    # t{i+1}, and the scoring expression references it per feature —
+    # left to inlining, the chain re-evaluates upstream rounds once
+    # per reference (multiplicative per round: the 8-round chain never
+    # finishes). Materializing pins each round to one evaluation; the
+    # rows involved are 1-row weight tuples and the feature table.
+    ctes = [
+        _sql_lr_feats().replace("feats AS (", "feats AS MATERIALIZED (", 1),
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+        "t0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_LR_NF))
+        + ")",
+    ]
+    for i in range(_LR_ROUNDS):
+        z = " + ".join(f"t{i}.w{j} * f.x{j}" for j in range(_LR_NF))
+        p = f"floor((1.0 / (1.0 + exp(-({z})))) * {_LR_PSC}) / {_LR_PSC}"
+        sums = ", ".join(
+            f"CAST(sum(CAST(floor(({p} - f.y) * f.x{j} * {_LR_GSC}) "
+            f"AS BIGINT)) AS BIGINT) AS s{j}"
+            for j in range(_LR_NF)
+        )
+        ctes.append(f"g{i} AS MATERIALIZED (SELECT {sums} FROM feats f, t{i})")
+        ws = ", ".join(
+            f"t{i}.w{j} - {_LR_ETA} * ((g{i}.s{j} / {_LR_GSC}) / nn.n) AS w{j}"
+            for j in range(_LR_NF)
+        )
+        ctes.append(
+            f"t{i + 1} AS MATERIALIZED (SELECT {ws} FROM t{i}, g{i}, nn)"
+        )
+    return ctes
+
+
+def _sql_lr_scored() -> str:
+    """CTE chain ending in ``scored`` (doc_id, source, n_tokens,
+    score, label, pred) under the final trained weights."""
+    tfin = f"t{_LR_ROUNDS}"
+    z = " + ".join(f"{tfin}.w{j} * f.x{j}" for j in range(_LR_NF))
+    p = f"floor((1.0 / (1.0 + exp(-({z})))) * {_LR_PSC}) / {_LR_PSC}"
+    return (
+        ",\n".join(_sql_lr_train_ctes())
+        + f""",
+    scored AS (
+      SELECT f.doc_id, f.source, f.n_tokens, {p} AS score,
+             CAST(f.y AS BIGINT) AS label,
+             CAST(CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM feats f, {tfin}
+    )"""
+    )
+
+
+def _sql_lr_topk() -> str:
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + f"""
+    SELECT doc_id, score, label, pred
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_LR_TOPK}
+    """
+    )
+
+
+def _sql_lr_eval() -> str:
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + """
+    SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY label, pred ORDER BY label, pred
+    """
+    )
+
+
+def _sql_curriculum() -> str:
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + """,
+    staged AS (
+      SELECT CAST(CASE WHEN score >= 0.75 THEN 0
+                       WHEN score >= 0.5 THEN 1
+                       WHEN score >= 0.25 THEN 2
+                       ELSE 3 END AS BIGINT) AS stage,
+             source, label, score, n_tokens
+      FROM scored
+    )
+    SELECT stage, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(score) AS min_score, max(score) AS max_score
+    FROM staged GROUP BY stage, source ORDER BY stage, source
+    """
+    )
+
+
+def _lr_feats_df(spark, sf_dir):
+    """Spark twin of the feats CTE: label + exact-rational features."""
+    d = T(spark, sf_dir, "documents")
+    t = tx.tokens("text")
+    tokd = d.select("doc_id", "n_chars", "source", t.alias("t"))
+    nt = F.size("t")
+    return tokd.select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_chars") >= 300, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.lit(1.0).alias("x0"),
+        (tx.stopword_hits(F.col("t"), "en") * F.lit(1.0) / nt).alias("x1"),
+        (nt / F.lit(100.0)).alias("x2"),
+        (
+            (F.length(F.concat_ws("", F.col("t"))) * F.lit(1.0) / nt)
+            / F.lit(8.0)
+        ).alias("x3"),
+        (F.size(F.array_distinct("t")) * F.lit(1.0) / nt).alias("x4"),
+        nt.cast("long").alias("n_tokens"),
+    )
+
+
+def _lr_sigmoid_q(weights: list[float]):
+    """Quantized-sigmoid score Column under literal weights, with the
+    SAME association order and quantization text as the oracle."""
+    z = F.lit(weights[0]) * F.col("x0")
+    for j in range(1, _LR_NF):
+        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.floor(p * F.lit(_LR_PSC)) / F.lit(_LR_PSC)
+
+
+def _lr_train_weights(feats) -> list[float]:
+    """Full-batch GD, ``_LR_ROUNDS`` rounds: per round ONE codegen
+    aggregate of _LR_NF fixed-point BIGINT gradient sums (map-side
+    combined; order-independent at any partitioning) and a 1-row
+    collect — the broadcast-iterate pattern. Weight arithmetic is the
+    byte-identical IEEE sequence the oracle's t{i} CTEs run."""
+    n = float(feats.count())
+    w = [0.0] * _LR_NF
+    for _ in range(_LR_ROUNDS):
+        p = _lr_sigmoid_q(w)
+        sums = feats.agg(
+            *[
+                F.sum(
+                    F.floor(
+                        (p - F.col("y")) * F.col(f"x{j}") * F.lit(_LR_GSC)
+                    ).cast("long")
+                ).alias(f"s{j}")
+                for j in range(_LR_NF)
+            ]
+        ).collect()[0]
+        w = [
+            w[j] - _LR_ETA * ((sums[f"s{j}"] / _LR_GSC) / n)
+            for j in range(_LR_NF)
+        ]
+    return w
+
+
+def ensure_lr_model(spark, sf_dir, root: str | None = None) -> list[float]:
+    """Build-if-absent-or-stale trained-classifier artifact: the
+    _LR_NF learned weights as a fingerprinted JSON sidecar (the
+    ensure_power_dirs / ensure_bpe_vocab shape — the 'model registry'
+    of this engine). Training's _LR_ROUNDS corpus aggregates amortize
+    across the three serving entries and across runs; staleness
+    (corpus or hyperparameters change) retrains. JSON round-trips
+    IEEE doubles exactly, so served weights are bit-equal to a fresh
+    training run — the shared oracle (which always unrolls training)
+    is the standing proof."""
+    import json
+    import os
+
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = root or os.environ.get(
+        "SPARK_GRAFT_LR_MODEL_DIR",
+        os.path.join(repo_root, "spark-warehouse", "quality_model"),
+    )
+    name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(root, f"qlr_{name}")
+    meta_path = os.path.join(path, "_model_meta.json")
+    want_fp = _source_fingerprint(sf_dir, table="documents")
+    want_params = {
+        "rounds": _LR_ROUNDS,
+        "eta": _LR_ETA,
+        "nf": _LR_NF,
+        "label": "n_chars>=300",
+    }
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == want_params:
+            return [float(x) for x in meta["weights"]]
+    except (OSError, ValueError):
+        pass
+    feats = tracked_persist(_lr_feats_df(spark, sf_dir))
+    w = _lr_train_weights(feats)
+    os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(
+            {"fingerprint": want_fp, "params": want_params, "weights": w}, f
+        )
+    return w
+
+
+def _lr_scored_df(spark, sf_dir):
+    """Scored corpus under the SERVED model: weights come from the
+    artifact (training runs only on a cold/stale sidecar), scoring is
+    one pure-projection scan."""
+    w = ensure_lr_model(spark, sf_dir)
+    feats = _lr_feats_df(spark, sf_dir)
+    score = _lr_sigmoid_q(w)
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        score.alias("score"),
+        F.col("y").cast("long").alias("label"),
+        F.when(score >= 0.5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pred"),
+    )
+
+
+@query("corpus_quality_logreg", sql=_sql_lr_topk())
+def corpus_quality_logreg(spark, sf_dir):
+    """TRAIN a linear quality/language classifier on the corpus and
+    score it — the fastText-style filter stage of an LLM data
+    pipeline (labels: the is-English signal; features: stopword
+    ratio, token count, mean token length, distinct ratio — all
+    exact-rational Column arithmetic). Training is full-batch
+    logistic-regression GD: per round one codegen aggregate whose
+    shuffle is {nf} partial BIGINT rows at any corpus size
+    (fixed-point integer gradient sums — the kmeans/power-iteration
+    determinism recipe) plus a 1-row collect; the learned weights
+    ride as driver literals and scoring is a pure projection. The
+    sigmoid is quantized to a 2^-12 grid before the gradient so the
+    one transcendental (exp) can never leak an engine ulp into the
+    BIGINT sums. The trained weights persist as a fingerprinted
+    sidecar (ensure_lr_model — the model-registry shape), so the
+    serving entries pay training only on a cold or stale artifact.
+    Returns the top-{k} highest-scoring docs; the oracle unrolls
+    every round."""
+    return (
+        _lr_scored_df(spark, sf_dir)
+        .select("doc_id", "score", "label", "pred")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_LR_TOPK)
+    )
+
+
+@query("corpus_quality_logreg_eval", sql=_sql_lr_eval())
+def corpus_quality_logreg_eval(spark, sf_dir):
+    """Confusion matrix of the trained quality classifier over the
+    full corpus (label × pred counts) — the evaluation row that
+    decides whether the filter ships. One map-side-combined aggregate
+    over a 4-key domain on top of the pure-projection scoring scan."""
+    return (
+        _lr_scored_df(spark, sf_dir)
+        .groupBy("label", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+@query("corpus_curriculum_stages", sql=_sql_curriculum())
+def corpus_curriculum_stages(spark, sf_dir):
+    """Curriculum schedule from the trained classifier: fixed score
+    bands (≥.75, ≥.5, ≥.25, rest) stage the corpus easiest-first, and
+    the (stage × source) rollup — doc count, positive count, token
+    mass, score bounds — is the sampling plan a curriculum/mixture
+    trainer consumes. Banding is a pure projection (no global
+    window; a quantile-staged variant needs only 3 broadcast boundary
+    literals), and the rollup aggregates a bounded key domain with
+    order-independent integer sums + min/max."""
+    scored = _lr_scored_df(spark, sf_dir)
+    staged = scored.select(
+        F.when(F.col("score") >= 0.75, F.lit(0))
+        .when(F.col("score") >= 0.5, F.lit(1))
+        .when(F.col("score") >= 0.25, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("stage"),
+        "source",
+        "label",
+        "score",
+        "n_tokens",
+    )
+    return (
+        staged.groupBy("stage", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("stage", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_stats_served — vocabulary utilization off the persisted
+# tokenizer artifact.
+# ---------------------------------------------------------------------------
+
+_BPE_STATS_TOPK = 20
+
+
+def _sql_bpe_stats() -> str:
+    from lol_data_pipeline_spark.plans.round9 import (
+        _BPE_ROUNDS,
+        _bpe_train_ctes,
+    )
+
+    return (
+        "WITH "
+        + ",\n".join(_bpe_train_ctes())
+        + f""",
+    toks AS (
+      SELECT unnest(list_filter(string_split(w, chr(183)), x -> x <> '')) AS token, n
+      FROM w{_BPE_ROUNDS}
+    )
+    SELECT token, CAST(sum(n) AS BIGINT) AS cnt,
+           CAST(length(token) AS BIGINT) AS token_len,
+           length(token) > 1 AS is_merged
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT {_BPE_STATS_TOPK}
+    """
+    )
+
+
+@query("text_bpe_stats_served", sql=_sql_bpe_stats())
+def text_bpe_stats_served(spark, sf_dir):
+    """Vocabulary-utilization stats off the PERSISTED tokenizer: the
+    top-{k} symbols by corpus occurrence mass after applying the
+    artifact's merges — which learned merges actually carry weight
+    (is_merged) vs base characters. This is the tokenizer-health
+    monitoring row: a merged symbol falling out of the head, or base
+    chars dominating, means the vocabulary no longer fits the corpus
+    and ensure_bpe_vocab's staleness rebuild is due. Runs entirely on
+    the DISTINCT-WORD table weighted by frequency (vocabulary-sized,
+    Heaps' law ~N^0.5 — the corpus is never rescanned) with the
+    merges as driver literals from the sidecar; the oracle re-derives
+    training and reproduces the same symbol unnest."""
+    from lol_data_pipeline_spark.operators.bpe import (
+        SEP,
+        _apply_merge,
+        corpus_words,
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
+    words = corpus_words(T(spark, sf_dir, "documents"))
+    wcol = F.col("w")
+    for _i, l, r, _m, _c in vocab_merges(meta):
+        wcol = _apply_merge(wcol, l, r)
+    syms = F.filter(F.split(wcol, SEP), lambda x: x != F.lit(""))
+    return (
+        words.select(F.explode(syms).alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .select(
+            "token",
+            "cnt",
+            F.length("token").cast("long").alias("token_len"),
+            (F.length("token") > 1).alias("is_merged"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(_BPE_STATS_TOPK)
+    )
