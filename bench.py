@@ -233,6 +233,12 @@ HEADLINE = [
     "corpus_semdedup",
     "corpus_quality_logreg",
     "text_bpe_stats_served",
+    # corpus_semdedup_cells shares corpus_semdedup's pair kernel
+    # (only the tail rollup differs) and stream_quality_score_
+    # multibatch is covered by the one-multibatch-representative
+    # policy; corpus_mixture_temperature is benched — it is the only
+    # entry of its shape (per-domain aggregate + scalar broadcasts).
+    "corpus_mixture_temperature",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

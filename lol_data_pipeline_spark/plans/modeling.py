@@ -62,7 +62,10 @@ from lol_data_pipeline_spark.plans.queries import T, query
 _SD_TAU = 0.45  # same exact-cosine threshold dedup_embedding_cosine verifies
 
 
-def _sql_semdedup() -> str:
+def _sql_semdedup_head() -> tuple[str, str]:
+    """Shared oracle head for the SemDeDup family: the index-build
+    re-derivation + within-cell pair mining + per-dropped-id keeper
+    ranking. Returns (cte_block, cells_cte_name)."""
     from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
     from lol_data_pipeline_spark.plans.round9 import (
         _IVF_CELLS,
@@ -79,7 +82,7 @@ def _sql_semdedup() -> str:
     )
     cells = f"a{_KM_ROUNDS}"
     sim = SQL_COS.format(a="a.x", b="b.x")
-    return (
+    head = (
         "WITH "
         + ",\n".join(ctes)
         + f""",
@@ -95,7 +98,16 @@ def _sql_semdedup() -> str:
              row_number() OVER (PARTITION BY vid
                                 ORDER BY sim DESC, kid) AS rn
       FROM pairs
+    )"""
     )
+    return head, cells
+
+
+def _sql_semdedup() -> str:
+    head, _cells = _sql_semdedup_head()
+    return (
+        head
+        + """
     SELECT CAST(vid AS BIGINT) AS vec_id, CAST(kid AS BIGINT) AS kept_id,
            sim, CAST(cell AS BIGINT) AS cell_id
     FROM keep WHERE rn = 1 ORDER BY vec_id
@@ -103,36 +115,31 @@ def _sql_semdedup() -> str:
     )
 
 
-@query("corpus_semdedup", sql=_sql_semdedup())
-def corpus_semdedup(spark, sf_dir):
-    """SemDeDup (semantic dedup, Abbas et al. 2023 shape) SERVED from
-    the persisted IVF index: the index's coarse k-means cells stand in
-    for the paper's clusters, within-cell EXACT-cosine pairs ≥ τ mark
-    near-duplicate semantics, and the younger (higher-id) member of
-    each pair is dropped in favour of its best keeper (max sim, tie →
-    lowest id) — the repo's keep-first dedup convention (the paper
-    keeps the member farthest from the centroid; keep-first is this
-    repo's uniform, deterministic policy across every dedup entry).
-    No clustering runs in-query: assignment comes from the artifact's
-    (vec_id, cell_id) columns alone (2-column scan, codes and text
-    untouched); exact vectors for verification arrive via one id-equi
-    join against the vector table. Candidate pairs are Σ cell² within
-    cells — the bounded blowup ann_index_stats monitors and
-    ann_index_compact enforces — never corpus². The oracle re-derives
-    the build's cell assignment via the standing kmeans_ctes chain,
-    so the served assignment is verified, not trusted."""
-    from lol_data_pipeline_spark.operators import similarity as sim
+def _semdedup_nodes(spark, sf_dir):
+    """(vec_id, cell_id) scan of the persisted IVF index — the served
+    cluster assignment, 2 columns, codes untouched."""
     from lol_data_pipeline_spark.operators.vector_index import (
         ensure_ivfpq_index,
     )
     from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
-    from pyspark.sql import Window
 
     path, _meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
-    nodes = spark.read.parquet(path).select(
+    return spark.read.parquet(path).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cell_id").cast("long").alias("cell_id"),
     )
+
+
+def _semdedup_dropped(spark, sf_dir):
+    """The dropped→keeper frame (vid, kid, sim, cell) shared by the
+    pair listing and the cell-observability rollup: within-cell
+    exact-cosine pairs ≥ τ off the served assignment, best keeper
+    per dropped id (max sim, tie → lowest id)."""
+    from pyspark.sql import Window
+
+    from lol_data_pipeline_spark.operators import similarity as sim
+
+    nodes = _semdedup_nodes(spark, sf_dir)
     emb = sim.with_norm(T(spark, sf_dir, "embeddings"), "embedding")
     cellv = nodes.join(emb, "vec_id")
     a = cellv.select(
@@ -166,6 +173,30 @@ def corpus_semdedup(spark, sf_dir):
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("corpus_semdedup", sql=_sql_semdedup())
+def corpus_semdedup(spark, sf_dir):
+    """SemDeDup (semantic dedup, Abbas et al. 2023 shape) SERVED from
+    the persisted IVF index: the index's coarse k-means cells stand in
+    for the paper's clusters, within-cell EXACT-cosine pairs ≥ τ mark
+    near-duplicate semantics, and the younger (higher-id) member of
+    each pair is dropped in favour of its best keeper (max sim, tie →
+    lowest id) — the repo's keep-first dedup convention (the paper
+    keeps the member farthest from the centroid; keep-first is this
+    repo's uniform, deterministic policy across every dedup entry).
+    No clustering runs in-query: assignment comes from the artifact's
+    (vec_id, cell_id) columns alone (2-column scan, codes and text
+    untouched); exact vectors for verification arrive via one id-equi
+    join against the vector table. Candidate pairs are Σ cell² within
+    cells — the bounded blowup ann_index_stats monitors and
+    ann_index_compact enforces — never corpus². The oracle re-derives
+    the build's cell assignment via the standing kmeans_ctes chain,
+    so the served assignment is verified, not trusted."""
+    return (
+        _semdedup_dropped(spark, sf_dir)
         .select(
             F.col("vid").alias("vec_id"),
             F.col("kid").alias("kept_id"),
@@ -173,6 +204,64 @@ def corpus_semdedup(spark, sf_dir):
             F.col("cell").alias("cell_id"),
         )
         .orderBy("vec_id")
+    )
+
+
+def _sql_semdedup_cells() -> str:
+    head, cells = _sql_semdedup_head()
+    return (
+        head
+        + f""",
+    members AS (
+      SELECT CAST(cluster AS BIGINT) AS cell_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM {cells} GROUP BY 1
+    ),
+    drops AS (
+      SELECT CAST(cell AS BIGINT) AS cell_id,
+             CAST(count(*) AS BIGINT) AS n_dropped
+      FROM keep WHERE rn = 1 GROUP BY 1
+    )
+    SELECT m.cell_id, m.n_members,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           m.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM members m LEFT JOIN drops d USING (cell_id)
+    ORDER BY cell_id
+    """
+    )
+
+
+@query("corpus_semdedup_cells", sql=_sql_semdedup_cells())
+def corpus_semdedup_cells(spark, sf_dir):
+    """SemDeDup OBSERVABILITY: per-cell members / dropped / kept off
+    the served assignment — the rollup that prices the dedup (how
+    much corpus the τ threshold removes, and whether drops
+    concentrate in a few hot cells — the re-curation / compaction
+    trigger). Two bounded-key aggregates + a broadcast join of ≤ k
+    rows; pair mining is the same Σ cell²-bounded kernel as
+    corpus_semdedup (one definition, _semdedup_dropped)."""
+    nodes = _semdedup_nodes(spark, sf_dir)
+    members = nodes.groupBy("cell_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    drops = (
+        _semdedup_dropped(spark, sf_dir)
+        .groupBy(F.col("cell").alias("cell_id"))
+        .agg(F.count("*").cast("long").alias("n_dropped"))
+    )
+    return (
+        members.join(F.broadcast(drops), "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell_id")
     )
 
 
@@ -314,9 +403,10 @@ def _sql_curriculum() -> str:
     )
 
 
-def _lr_feats_df(spark, sf_dir):
-    """Spark twin of the feats CTE: label + exact-rational features."""
-    d = T(spark, sf_dir, "documents")
+def _lr_feats_over(d):
+    """Spark twin of the feats CTE over ANY (doc_id, n_chars, source,
+    text) frame — batch and stream share this one definition, so the
+    streaming scorer cannot drift from the batch oracle."""
     t = tx.tokens("text")
     tokd = d.select("doc_id", "n_chars", "source", t.alias("t"))
     nt = F.size("t")
@@ -336,6 +426,10 @@ def _lr_feats_df(spark, sf_dir):
         (F.size(F.array_distinct("t")) * F.lit(1.0) / nt).alias("x4"),
         nt.cast("long").alias("n_tokens"),
     )
+
+
+def _lr_feats_df(spark, sf_dir):
+    return _lr_feats_over(T(spark, sf_dir, "documents"))
 
 
 def _lr_sigmoid_q(weights: list[float]):
@@ -427,12 +521,11 @@ def ensure_lr_model(spark, sf_dir, root: str | None = None) -> list[float]:
     return w
 
 
-def _lr_scored_df(spark, sf_dir):
-    """Scored corpus under the SERVED model: weights come from the
-    artifact (training runs only on a cold/stale sidecar), scoring is
-    one pure-projection scan."""
-    w = ensure_lr_model(spark, sf_dir)
-    feats = _lr_feats_df(spark, sf_dir)
+def _lr_scored_over(d, w):
+    """Score ANY document frame under literal weights — the one
+    scoring definition batch entries and the streaming scorer share
+    (stateless pure projection: no state, no shuffle)."""
+    feats = _lr_feats_over(d)
     score = _lr_sigmoid_q(w)
     return feats.select(
         "doc_id",
@@ -444,6 +537,15 @@ def _lr_scored_df(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("long")
         .alias("pred"),
+    )
+
+
+def _lr_scored_df(spark, sf_dir):
+    """Scored corpus under the SERVED model: weights come from the
+    artifact (training runs only on a cold/stale sidecar), scoring is
+    one pure-projection scan."""
+    return _lr_scored_over(
+        T(spark, sf_dir, "documents"), ensure_lr_model(spark, sf_dir)
     )
 
 
@@ -595,4 +697,133 @@ def text_bpe_stats_served(spark, sf_dir):
         )
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(_BPE_STATS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_temperature — temperature-scaled domain sampling
+# weights from per-source token mass.
+# ---------------------------------------------------------------------------
+
+_MIX_TAU = 0.7
+_MIX_QSC = 1048576.0  # 2^20 grid for the one transcendental (pow)
+
+
+def _sql_mixture_temp() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_TOKS
+
+    return f"""
+    WITH tok AS (SELECT source, len({SQL_TOKS}) AS nt FROM documents),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tokens
+      FROM tok GROUP BY 1
+    ),
+    t AS (SELECT sum(tokens) AS tt FROM m),
+    q AS (
+      SELECT m.source, m.n_docs, m.tokens,
+             (m.tokens * 1.0 / t.tt) AS share_raw,
+             floor(pow((m.tokens * 1.0 / t.tt), {_MIX_TAU}) * {_MIX_QSC}) / {_MIX_QSC} AS qt
+      FROM m, t
+    ),
+    s AS (SELECT sum(qt) AS st FROM q)
+    SELECT q.source, q.n_docs, q.tokens, q.share_raw,
+           (q.qt / s.st) AS weight_temp
+    FROM q, s ORDER BY q.source
+    """
+
+
+@query("corpus_mixture_temperature", sql=_sql_mixture_temp())
+def corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled DOMAIN MIXTURE weights — the multinomial
+    sampling distribution multi-domain pretraining uses (p_s ∝
+    share_s^τ, τ={tau}: the unigram-LM / multilingual-sampling
+    recipe that upsamples tail domains relative to raw token share).
+    One map-side-combined aggregate per source (bounded key domain),
+    two 1-row totals broadcast back — nothing corpus-sized moves.
+    Determinism across engines: the raw shares are exact rationals;
+    pow (the one transcendental) is floor-quantized to a 2^-20 grid,
+    and the grid values are exact binary fractions whose small-count
+    sum is exact in double on ANY aggregation order, so the final
+    normalization divides bit-identical doubles in both engines."""
+    from lol_data_pipeline_spark.functions import text as tx2
+
+    d = T(spark, sf_dir, "documents")
+    m = (
+        d.select("source", F.size(tx2.tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+    )
+    t = m.agg(F.sum("tokens").alias("tt"))
+    share = F.col("tokens") * F.lit(1.0) / F.col("tt")
+    q = m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        share.alias("share_raw"),
+        (
+            F.floor(F.pow(share, F.lit(_MIX_TAU)) * F.lit(_MIX_QSC))
+            / F.lit(_MIX_QSC)
+        ).alias("qt"),
+    )
+    s = q.agg(F.sum("qt").alias("st"))
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "share_raw",
+            (F.col("qt") / F.col("st")).alias("weight_temp"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_quality_score_multibatch — the trained classifier serving a
+# document stream.
+# ---------------------------------------------------------------------------
+
+
+def _sql_stream_quality() -> str:
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + """
+    SELECT doc_id, score, label, pred FROM scored ORDER BY doc_id
+    """
+    )
+
+
+@query("stream_quality_score_multibatch", sql=_sql_stream_quality())
+def stream_quality_score_multibatch(spark, sf_dir):
+    """STREAMING model serving: documents arrive as a four-batch
+    ordered replay and are scored by the FROZEN persisted classifier
+    (ensure_lr_model's sidecar weights as literals) — the ingest-time
+    quality gate of a production pipeline: train in batch, serve on
+    the stream, never retrain in the hot path. The per-batch
+    transform is STATELESS pure projection (no watermark, no state
+    store, no shuffle inside a micro-batch — the cheapest streaming
+    operator shape), so any batch split yields the same rows; scoring
+    shares _lr_scored_over with the batch entries, so stream and
+    batch provably cannot drift. Oracle: the batch scoring of the
+    whole corpus — streamed micro-batches must union to exactly the
+    batch answer."""
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    w = ensure_lr_model(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents")
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def build(stream):
+        return _lr_scored_over(stream, w).select(
+            "doc_id", "score", "label", "pred"
+        )
+
+    return replay_multibatch(
+        spark, parts, build, mode="append", key=f"quality_score:{sf_dir}"
     )

@@ -19,9 +19,12 @@ from lol_data_pipeline_spark.plans.modeling import (
 
 ENTRIES = [
     "corpus_semdedup",
+    "corpus_semdedup_cells",
     "corpus_quality_logreg",
     "corpus_quality_logreg_eval",
     "corpus_curriculum_stages",
+    "corpus_mixture_temperature",
+    "stream_quality_score_multibatch",
     "text_bpe_stats_served",
 ]
 
@@ -150,6 +153,63 @@ def test_curriculum_stages_partition_the_corpus(spark, sf_dir):
         assert r.max_score < hi or (r.stage == 0 and r.max_score <= 1.0)
         assert 0 <= r.n_pos <= r.n_docs
         assert r.sum_tokens > 0
+
+
+def test_semdedup_cells_reconcile_with_pair_listing(spark, sf_dir):
+    """The observability rollup must account for every index member
+    and agree with the pair listing's drop count per cell."""
+    cells = REGISTRY["corpus_semdedup_cells"].fn(spark, sf_dir).collect()
+    dropped = REGISTRY["corpus_semdedup"].fn(spark, sf_dir).collect()
+    per_cell = {}
+    for r in dropped:
+        per_cell[r.cell_id] = per_cell.get(r.cell_id, 0) + 1
+    assert sum(r.n_dropped for r in cells) == len(dropped)
+    total_members = 0
+    for r in cells:
+        assert r.n_kept + r.n_dropped == r.n_members
+        assert r.n_dropped == per_cell.get(r.cell_id, 0)
+        total_members += r.n_members
+    emb_n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert total_members == emb_n
+
+
+def test_mixture_temperature_flattens_the_distribution(spark, sf_dir):
+    """τ < 1 must pull weights toward uniform: the head domain's
+    weight shrinks vs its raw share, the tail domain's grows, and the
+    weights form a distribution."""
+    rows = REGISTRY["corpus_mixture_temperature"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.weight_temp for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_raw for r in rows) - 1.0) < 1e-9
+    head = max(rows, key=lambda r: r.share_raw)
+    tail = min(rows, key=lambda r: r.share_raw)
+    assert head.weight_temp < head.share_raw
+    assert tail.weight_temp > tail.share_raw
+
+
+def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
+    """The streamed micro-batches must union to exactly the batch
+    scoring — one scoring definition, so drift is structurally
+    impossible; this pins it anyway."""
+    from lol_data_pipeline_spark.plans.modeling import (
+        _lr_scored_df,
+    )
+
+    streamed = sorted(
+        (r.doc_id, r.score, r.label, r.pred)
+        for r in REGISTRY["stream_quality_score_multibatch"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    batch = sorted(
+        (r.doc_id, r.score, r.label, r.pred)
+        for r in _lr_scored_df(spark, sf_dir)
+        .select("doc_id", "score", "label", "pred")
+        .collect()
+    )
+    assert streamed == batch
 
 
 def test_bpe_stats_reflect_learned_merges(spark, sf_dir):

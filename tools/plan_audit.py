@@ -121,6 +121,9 @@ CROSS_OK = {
     "retrieval_rrf_served",  # both legs end in bounded top-k rank
     # derivations (≤NL lexical + ≤NV vector rows); the fusion joins
     # two ≤20-row sets and ranks ≤40 fused rows (k×k broadcast)
+    "corpus_mixture_temperature",  # two 1-row scalar totals (token
+    # mass, quantized-weight mass) crossJoined over the ≤|sources|
+    # per-domain frame — the ann_index_stats scalar-broadcast class
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
