@@ -239,6 +239,10 @@ HEADLINE = [
     # policy; corpus_mixture_temperature is benched — it is the only
     # entry of its shape (per-domain aggregate + scalar broadcasts).
     "corpus_mixture_temperature",
+    # r11c: semi-supervised labeling off the graph artifact — the
+    # walk-free consumer of the persisted edge table (two id-equi
+    # join rounds), a different cost shape from the beam entry.
+    "graph_label_prop_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

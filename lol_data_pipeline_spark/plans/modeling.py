@@ -827,3 +827,136 @@ def stream_quality_score_multibatch(spark, sf_dir):
     return replay_multibatch(
         spark, parts, build, mode="append", key=f"quality_score:{sf_dir}"
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_prop_served — semi-supervised label propagation over
+# the persisted kNN graph.
+# ---------------------------------------------------------------------------
+
+_LP_SEED_MOD = 5  # labels known for vec_id % 5 == 0 (20% seed set)
+_LP_ROUNDS = 2
+
+
+def _sql_label_prop() -> str:
+    from lol_data_pipeline_spark.plans.round11 import (
+        _GRAPH_K,
+        _knn_edge_ctes_over,
+    )
+
+    edge_ctes = _knn_edge_ctes_over("e")
+    gaff = "gaffected AS (SELECT DISTINCT code FROM gcodes)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)"
+    ] + edge_ctes[:2] + [gaff] + edge_ctes[2:]
+    ctes.append(
+        f"gedges AS (SELECT src_id, dst_id FROM granked WHERE rank <= {_GRAPH_K})"
+    )
+    ctes.append(
+        f"l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings "
+        f"WHERE vec_id % {_LP_SEED_MOD} = 0)"
+    )
+    for r in range(1, _LP_ROUNDS + 1):
+        prev = f"l{r - 1}"
+        ctes.append(f"""n{r} AS (
+      SELECT g.src_id AS vec_id, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM gedges g JOIN {prev} l ON g.dst_id = l.vec_id
+      WHERE g.src_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""p{r} AS (
+      SELECT vec_id, lab FROM (
+        SELECT vec_id, lab,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, lab) AS rn
+        FROM n{r}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(
+            f"l{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM p{r})"
+        )
+    rounds_union = "\n    UNION ALL ".join(
+        f"SELECT vec_id, lab AS label, CAST({r} AS BIGINT) AS round FROM p{r}"
+        for r in range(1, _LP_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    {rounds_union}
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("graph_label_prop_served", sql=_sql_label_prop())
+def graph_label_prop_served(spark, sf_dir):
+    """Semi-supervised LABEL PROPAGATION over the persisted kNN
+    graph: labels are known for a 20% deterministic seed set
+    (vec_id % {m} == 0); each round, every still-unlabeled node
+    adopts the MAJORITY label among its currently-labeled graph
+    neighbours (count desc, tie → smallest label) and the adopted
+    set freezes — committed propagation, so {r} rounds are {r}
+    bounded joins, not a fixed-point search. The classic cheap
+    labeler for pretraining-corpus metadata (domain/topic tags from
+    a small curated seed set, propagated through embedding
+    similarity). The graph comes from the AT-REST artifact (edge
+    scan: 2 small columns; the Σ bucket² build cost was paid once at
+    index time) — in-query work per round is one id-equi edge join
+    + an id anti-join + a bounded-key majority aggregate, nothing
+    corpus² anywhere. Returns propagated (non-seed) labels with the
+    round that committed them; the oracle re-derives the graph and
+    unrolls both rounds."""
+    from pyspark.sql import Window
+
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.graph_index import (
+        ensure_knn_graph_index,
+        read_edges,
+    )
+    from lol_data_pipeline_spark.plans.round11 import (
+        _GRAPH_K,
+        _GRAPH_PLANES,
+    )
+
+    path, _meta = ensure_knn_graph_index(
+        spark, sf_dir, n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    edges = tracked_persist(
+        read_edges(spark, path)
+        .filter(F.col("rank") <= _GRAPH_K)
+        .select("src_id", "dst_id")
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") % _LP_SEED_MOD == 0).select(
+        "vec_id", F.col("label").cast("long").alias("lab")
+    )
+    out = None
+    w = Window.partitionBy("src_id").orderBy(F.desc("c"), F.asc("lab"))
+    for r in range(1, _LP_ROUNDS + 1):
+        nbr = edges.join(
+            labeled.withColumnRenamed("vec_id", "dst_id"), "dst_id"
+        ).select("src_id", "lab")
+        nbr = nbr.join(
+            labeled.select(F.col("vec_id").alias("src_id")),
+            "src_id",
+            "left_anti",
+        )
+        # persist each round's committed labels: they feed BOTH the
+        # next round's labeled set and the output union, and the
+        # persist truncates the per-round lineage growth
+        new = tracked_persist(
+            nbr.groupBy("src_id", "lab")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src_id").alias("vec_id"), "lab")
+        )
+        labeled = labeled.unionByName(new)
+        tagged = new.select(
+            "vec_id", "lab", F.lit(r).cast("long").alias("round")
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.select(
+        "vec_id", F.col("lab").alias("label"), "round"
+    ).orderBy("vec_id")

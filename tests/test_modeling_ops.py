@@ -26,6 +26,7 @@ ENTRIES = [
     "corpus_mixture_temperature",
     "stream_quality_score_multibatch",
     "text_bpe_stats_served",
+    "graph_label_prop_served",
 ]
 
 
@@ -210,6 +211,52 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_label_prop_commit_semantics(spark, sf_dir):
+    """Committed propagation invariants: seeds never re-labeled, a
+    node is labeled at most once, a round-r label requires a
+    neighbour labeled before round r, and every label is a real
+    class id."""
+    from lol_data_pipeline_spark.operators.graph_index import (
+        ensure_knn_graph_index,
+        read_edges,
+    )
+    from lol_data_pipeline_spark.plans.modeling import _LP_SEED_MOD
+    from lol_data_pipeline_spark.plans.round11 import (
+        _GRAPH_K,
+        _GRAPH_PLANES,
+    )
+
+    rows = REGISTRY["graph_label_prop_served"].fn(spark, sf_dir).collect()
+    assert rows
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    classes = {
+        r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    labeled_at = {}
+    for r in rows:
+        assert r.vec_id % _LP_SEED_MOD != 0, "seed ids must not re-label"
+        assert r.label in classes
+        labeled_at[r.vec_id] = r.round
+    path, _meta = ensure_knn_graph_index(
+        spark, sf_dir, n_planes=_GRAPH_PLANES, k=_GRAPH_K
+    )
+    nbrs = {}
+    for e in read_edges(spark, path).collect():
+        nbrs.setdefault(e.src_id, []).append(e.dst_id)
+    for r in rows:
+        prior = [
+            d
+            for d in nbrs.get(r.vec_id, [])
+            if d % _LP_SEED_MOD == 0 or labeled_at.get(d, 99) < r.round
+        ]
+        assert prior, "a committed label needs an earlier-labeled neighbour"
 
 
 def test_bpe_stats_reflect_learned_merges(spark, sf_dir):
