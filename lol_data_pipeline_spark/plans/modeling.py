@@ -960,3 +960,148 @@ def graph_label_prop_served(spark, sf_dir):
     return out.select(
         "vec_id", F.col("lab").alias("label"), "round"
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_semdedup_probe_multibatch — ingest-time semantic near-dup
+# gating against the persisted IVF cells.
+# ---------------------------------------------------------------------------
+
+_SDP_MOD = 5  # the arriving batch: vec_id % 5 == 0
+
+
+def _sql_semdedup_probe() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    sim = SQL_COS.format(a="q.x", b="s.x")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    q AS (SELECT vec_id, x, cluster FROM {cells} WHERE vec_id % {_SDP_MOD} = 0),
+    s AS (SELECT vec_id, x, cluster FROM {cells} WHERE vec_id % {_SDP_MOD} <> 0)
+    SELECT q.vec_id, s.vec_id AS match_id, {sim} AS sim,
+           CAST(q.cluster AS BIGINT) AS cell_id
+    FROM q JOIN s ON s.cluster = q.cluster
+    WHERE {sim} >= {_SD_TAU}
+    ORDER BY 1, 2
+    """
+    )
+
+
+@query("stream_semdedup_probe_multibatch", sql=_sql_semdedup_probe())
+def stream_semdedup_probe_multibatch(spark, sf_dir):
+    """STREAMING semantic near-dup gating: the arriving vector batch
+    (vec_id % {m} == 0) replays as four ordered micro-batches; each
+    epoch assigns ONLY its vectors to the FROZEN persisted codebook
+    (pure projection against sidecar literals — the
+    stream_ann_assign equivalence), probes the standing in-cell
+    members (an id-equi join against the index's 2-column node scan,
+    vectors fetched once outside the stream), and writes flagged
+    pairs to an epoch-partitioned sink (overwrite per epoch —
+    exactly-once by idempotence). Stateless per batch, so the union
+    of epochs equals the one-shot asymmetric probe — the oracle is
+    that batch answer (new × standing within-cell pairs ≥ τ). At
+    100 TB this is the ingest-time SemDeDup gate: per trigger,
+    batch-sized assignment + a cell-local candidate join; the
+    standing corpus is never re-scanned per epoch and no streaming
+    state accumulates."""
+    import os
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators import similarity as sim
+    from lol_data_pipeline_spark.operators.clustering import _assign_expr
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
+    emb = sim.with_norm(T(spark, sf_dir, "embeddings"), "embedding")
+    standing = tracked_persist(
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") % _SDP_MOD != 0)
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("vec_id").alias("match_id"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("match_id"),
+                F.col("embedding").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "match_id",
+        )
+    )
+    batch = emb.filter(F.col("vec_id") % _SDP_MOD == 0).select(
+        "vec_id", "embedding", "nrm"
+    )
+    parts = [
+        batch.filter(F.pmod(F.col("vec_id"), F.lit(_SDP_MOD * 4)) == i * _SDP_MOD)
+        for i in range(4)
+    ]
+    out = os.path.join(
+        os.path.dirname(path), f"stream_sdprobe_{os.path.basename(path)}"
+    )
+    _sh.rmtree(out, ignore_errors=True)
+    cents = [
+        (int(c), [float(v) for v in cv]) for c, cv in meta["cents"]
+    ]
+
+    def sink(df, epoch_id):
+        x = F.col("embedding").cast("array<double>")
+        assigned = df.select(
+            "vec_id",
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            _assign_expr(x, sim.dot(x, x), cents).cast("long").alias(
+                "cell_id"
+            ),
+        )
+        pairs = (
+            assigned.join(standing, "cell_id")
+            .select(
+                "vec_id",
+                "match_id",
+                F.round(
+                    sim.dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                ).alias("sim"),
+                "cell_id",
+            )
+            .filter(F.col("sim") >= _SD_TAU)
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={int(epoch_id)}")
+        )
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"sdprobe:{sf_dir}",
+        foreach_batch=sink,
+    )
+    return (
+        spark.read.parquet(out)
+        .select("vec_id", "match_id", "sim", "cell_id")
+        .orderBy("vec_id", "match_id")
+    )

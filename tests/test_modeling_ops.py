@@ -27,6 +27,7 @@ ENTRIES = [
     "stream_quality_score_multibatch",
     "text_bpe_stats_served",
     "graph_label_prop_served",
+    "stream_semdedup_probe_multibatch",
 ]
 
 
@@ -211,6 +212,33 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_semdedup_probe_is_asymmetric_and_cell_local(spark, sf_dir):
+    """The streamed probe flags only new×standing pairs, every pair
+    is same-cell under the served assignment, and the flagged sims
+    clear τ."""
+    from lol_data_pipeline_spark.plans.modeling import _SDP_MOD
+
+    rows = (
+        REGISTRY["stream_semdedup_probe_multibatch"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    nodes = {
+        r.vec_id: r.cell_id
+        for r in _modeling_nodes(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.vec_id % _SDP_MOD == 0, "left side must be the batch"
+        assert r.match_id % _SDP_MOD != 0, "right side must be standing"
+        assert r.sim >= _SD_TAU
+        assert nodes[r.vec_id] == r.cell_id == nodes[r.match_id]
+
+
+def _modeling_nodes(spark, sf_dir):
+    from lol_data_pipeline_spark.plans.modeling import _semdedup_nodes
+
+    return _semdedup_nodes(spark, sf_dir)
 
 
 def test_label_prop_commit_semantics(spark, sf_dir):
