@@ -243,6 +243,11 @@ HEADLINE = [
     # walk-free consumer of the persisted edge table (two id-equi
     # join rounds), a different cost shape from the beam entry.
     "graph_label_prop_served",
+    # r11c: negatives mined from the served index's next rank band —
+    # the contrastive-training feed; corpus_mixture_shard_plan is NOT
+    # benched (mixture kernel + a ≤|sources|-row window — covered by
+    # corpus_mixture_temperature).
+    "retrieval_hard_negatives_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

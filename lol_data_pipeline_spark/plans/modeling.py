@@ -733,19 +733,10 @@ def _sql_mixture_temp() -> str:
     """
 
 
-@query("corpus_mixture_temperature", sql=_sql_mixture_temp())
-def corpus_mixture_temperature(spark, sf_dir):
-    """Temperature-scaled DOMAIN MIXTURE weights — the multinomial
-    sampling distribution multi-domain pretraining uses (p_s ∝
-    share_s^τ, τ={tau}: the unigram-LM / multilingual-sampling
-    recipe that upsamples tail domains relative to raw token share).
-    One map-side-combined aggregate per source (bounded key domain),
-    two 1-row totals broadcast back — nothing corpus-sized moves.
-    Determinism across engines: the raw shares are exact rationals;
-    pow (the one transcendental) is floor-quantized to a 2^-20 grid,
-    and the grid values are exact binary fractions whose small-count
-    sum is exact in double on ANY aggregation order, so the final
-    normalization divides bit-identical doubles in both engines."""
+def _mixture_df(spark, sf_dir):
+    """(source, n_docs, tokens, share_raw, weight_temp): the one
+    mixture-weight definition the temperature entry and the shard
+    apportionment share."""
     from lol_data_pipeline_spark.functions import text as tx2
 
     d = T(spark, sf_dir, "documents")
@@ -779,8 +770,23 @@ def corpus_mixture_temperature(spark, sf_dir):
             "share_raw",
             (F.col("qt") / F.col("st")).alias("weight_temp"),
         )
-        .orderBy("source")
     )
+
+
+@query("corpus_mixture_temperature", sql=_sql_mixture_temp())
+def corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled DOMAIN MIXTURE weights — the multinomial
+    sampling distribution multi-domain pretraining uses (p_s ∝
+    share_s^τ, τ={tau}: the unigram-LM / multilingual-sampling
+    recipe that upsamples tail domains relative to raw token share).
+    One map-side-combined aggregate per source (bounded key domain),
+    two 1-row totals broadcast back — nothing corpus-sized moves.
+    Determinism across engines: the raw shares are exact rationals;
+    pow (the one transcendental) is floor-quantized to a 2^-20 grid,
+    and the grid values are exact binary fractions whose small-count
+    sum is exact in double on ANY aggregation order, so the final
+    normalization divides bit-identical doubles in both engines."""
+    return _mixture_df(spark, sf_dir).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
@@ -1104,4 +1110,153 @@ def stream_semdedup_probe_multibatch(spark, sf_dir):
         spark.read.parquet(out)
         .select("vec_id", "match_id", "sim", "cell_id")
         .orderBy("vec_id", "match_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval_hard_negatives_served — contrastive-training negatives
+# mined from the served index's candidate band below the positives.
+# ---------------------------------------------------------------------------
+
+_NEG = 5  # negatives per query: the (k, k+_NEG] band
+
+
+def _sql_hard_negatives() -> str:
+    from lol_data_pipeline_spark.plans.round9 import _K, _sql_ivfpq_kmeans
+
+    return _sql_ivfpq_kmeans(
+        rank_pred=f"rank > {_K} AND rank <= {_K + _NEG}"
+    )
+
+
+@query("retrieval_hard_negatives_served", sql=_sql_hard_negatives())
+def retrieval_hard_negatives_served(spark, sf_dir):
+    """HARD-NEGATIVE MINING off the served IVF+PQ index: for each
+    query, the candidates ranked just BELOW the top-k positives —
+    near-misses similar enough to fool a retriever, the standard
+    negative set for contrastive retriever/embedding training (the
+    DPR/ANCE recipe, run as a batch pipeline stage). Implementation
+    is the served top-k plan verbatim with a widened k and the
+    refine budget rescaled so the ADC candidate band (refine·k = 20)
+    is IDENTICAL to the flagship's — the negatives come from the
+    same candidate list production serving ranks, just the next band
+    down. The oracle is the flagship chain with the final rank
+    window swapped to (k, k+neg]."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        served_ivfpq_topk,
+    )
+    from lol_data_pipeline_spark.plans.round9 import (
+        _K,
+        _KMQ_HI,
+        _KMQ_LO,
+        _KMQ_TAIL_HI,
+        _KMQ_TAIL_LO,
+        _NPROBE,
+        _REFINE,
+    )
+
+    k2 = _K + _NEG
+    refine2, rem = divmod(_REFINE * _K, k2)
+    assert rem == 0, "band must equal the flagship's refine*k"
+    queries = T(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
+        | (F.col("vec_id").between(_KMQ_TAIL_LO, _KMQ_TAIL_HI - 1))
+    )
+    return served_ivfpq_topk(
+        spark, sf_dir, queries, k=k2, refine=refine2, nprobe=_NPROBE
+    ).filter(F.col("rank") > _K)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture_shard_plan — the temperature weights turned into an
+# integral shard allocation (largest-remainder apportionment).
+# ---------------------------------------------------------------------------
+
+_SHARDS_TOTAL = 64
+
+
+def _sql_mixture_shards() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_TOKS
+
+    s = _SHARDS_TOTAL
+    return f"""
+    WITH tok AS (SELECT source, len({SQL_TOKS}) AS nt FROM documents),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tokens
+      FROM tok GROUP BY 1
+    ),
+    t AS (SELECT sum(tokens) AS tt FROM m),
+    q AS (
+      SELECT m.source, m.n_docs, m.tokens,
+             floor(pow((m.tokens * 1.0 / t.tt), {_MIX_TAU}) * {_MIX_QSC}) / {_MIX_QSC} AS qt
+      FROM m, t
+    ),
+    sq AS (SELECT sum(qt) AS st FROM q),
+    w AS (
+      SELECT q.source, q.n_docs, q.tokens, (q.qt / sq.st) AS weight_temp
+      FROM q, sq
+    ),
+    alloc AS (
+      SELECT source, n_docs, tokens, weight_temp,
+             CAST(floor(weight_temp * {s}) AS BIGINT) AS base,
+             weight_temp * {s} - floor(weight_temp * {s}) AS rem
+      FROM w
+    ),
+    lo AS (SELECT {s} - sum(base) AS leftover FROM alloc),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+      FROM alloc
+    )
+    SELECT r.source, r.n_docs, r.tokens, r.weight_temp,
+           CAST(r.base + CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS n_shards
+    FROM r, lo ORDER BY r.source
+    """
+
+
+@query("corpus_mixture_shard_plan", sql=_sql_mixture_shards())
+def corpus_mixture_shard_plan(spark, sf_dir):
+    """The temperature mixture turned into an INTEGRAL shard
+    allocation: {s} output shards apportioned across sources by
+    largest-remainder rounding of the τ-scaled weights (floor each
+    source's fair share, then hand the leftover shards to the
+    largest fractional remainders, ties → source asc) — the writer
+    manifest a mixture-aware sharding job executes, guaranteed to
+    sum exactly to {s} with every source's count within one shard of
+    its fair share. Same bounded shapes as
+    corpus_mixture_temperature (per-source aggregate + 1-row scalar
+    broadcasts) plus one window over the ≤|sources| allocation frame
+    — bounded by construction, never corpus-sized."""
+    from pyspark.sql import Window
+
+    s = _SHARDS_TOTAL
+    mix = _mixture_df(spark, sf_dir)
+    alloc = mix.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight_temp",
+        F.floor(F.col("weight_temp") * s).cast("long").alias("base"),
+        (
+            F.col("weight_temp") * s - F.floor(F.col("weight_temp") * s)
+        ).alias("rem"),
+    )
+    lo = alloc.agg((F.lit(s) - F.sum("base")).alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        alloc.withColumn("rr", F.row_number().over(w))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "weight_temp",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_shards"),
+        )
+        .orderBy("source")
     )

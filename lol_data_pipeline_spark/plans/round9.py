@@ -403,7 +403,11 @@ def _sql_ivf_kmeans(train_where: str = "") -> str:
     )
 
 
-def _sql_ivfpq_kmeans() -> str:
+def _sql_ivfpq_kmeans(rank_pred: str | None = None) -> str:
+    """``rank_pred`` overrides the final rank window (default
+    ``rank <= {_K}`` — byte-identical to the stamped oracle); the
+    hard-negative entry (plans/modeling.py) passes the (k, k+neg]
+    band over the SAME candidate chain."""
     from lol_data_pipeline_spark.plans.extensions import SQL_COS, kmeans_ctes
 
     ctes = kmeans_ctes(
@@ -458,7 +462,7 @@ def _sql_ivfpq_kmeans() -> str:
       FROM cand
     )
     SELECT query_id, match_id, probe_rank, sim, rank
-    FROM ranked WHERE rank <= {_K}
+    FROM ranked WHERE {rank_pred or f"rank <= {_K}"}
     """
     )
 

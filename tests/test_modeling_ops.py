@@ -28,6 +28,8 @@ ENTRIES = [
     "text_bpe_stats_served",
     "graph_label_prop_served",
     "stream_semdedup_probe_multibatch",
+    "retrieval_hard_negatives_served",
+    "corpus_mixture_shard_plan",
 ]
 
 
@@ -212,6 +214,47 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_hard_negatives_are_the_band_below_the_positives(spark, sf_dir):
+    """Negatives occupy exactly the (k, k+neg] rank band of the SAME
+    served candidate list: disjoint from the top-k positives, at most
+    neg per query, and for each query every negative scores <= the
+    weakest positive."""
+    from lol_data_pipeline_spark.plans.modeling import _NEG
+    from lol_data_pipeline_spark.plans.round9 import _K
+
+    negs = (
+        REGISTRY["retrieval_hard_negatives_served"].fn(spark, sf_dir).collect()
+    )
+    pos = REGISTRY["ann_ivfpq_served_topk"].fn(spark, sf_dir).collect()
+    assert negs
+    pos_pairs = {(r.query_id, r.match_id) for r in pos}
+    worst_pos = {}
+    for r in pos:
+        worst_pos[r.query_id] = min(
+            worst_pos.get(r.query_id, 1e9), r.sim
+        )
+    per_q = {}
+    for r in negs:
+        assert _K < r.rank <= _K + _NEG
+        assert (r.query_id, r.match_id) not in pos_pairs
+        assert r.sim <= worst_pos[r.query_id]
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= _NEG for n in per_q.values())
+
+
+def test_shard_plan_apportions_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: shard counts sum exactly to
+    the total and every source sits within one shard of its fair
+    share."""
+    from lol_data_pipeline_spark.plans.modeling import _SHARDS_TOTAL
+
+    rows = REGISTRY["corpus_mixture_shard_plan"].fn(spark, sf_dir).collect()
+    assert sum(r.n_shards for r in rows) == _SHARDS_TOTAL
+    for r in rows:
+        fair = r.weight_temp * _SHARDS_TOTAL
+        assert abs(r.n_shards - fair) < 1.0
 
 
 def test_semdedup_probe_is_asymmetric_and_cell_local(spark, sf_dir):

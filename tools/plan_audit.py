@@ -124,6 +124,8 @@ CROSS_OK = {
     "corpus_mixture_temperature",  # two 1-row scalar totals (token
     # mass, quantized-weight mass) crossJoined over the ≤|sources|
     # per-domain frame — the ann_index_stats scalar-broadcast class
+    "corpus_mixture_shard_plan",  # same scalar-broadcast class: the
+    # 1-row leftover total crossJoined over the allocation frame
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
@@ -138,6 +140,9 @@ GLOBAL_WINDOW_OK = {
     # bounded at 50 rows by the lexical top-k, never by corpus size
     "stat_acf_daily",  # rank window over the DAY-grain series —
     # calendar-bounded (36.5k rows/century), like stat_cusum_changepoint
+    "corpus_mixture_shard_plan",  # remainder-rank window over the
+    # per-source allocation frame — bounded by the source domain
+    # (≤|sources| rows), never by corpus size
 }
 # streaming plans materialize through a memory sink; their batch-side
 # plan is not what executes
@@ -152,6 +157,7 @@ SINGLE_PARTITION_OK = {
     "corpus_quality_adaptive",  # score histogram, ≤10001 rows by domain
     "ann_hybrid_rerank",  # ≤50 BM25 candidates by construction
     "stat_acf_daily",  # day-grain series, calendar-bounded
+    "corpus_mixture_shard_plan",  # ≤|sources| allocation rows
 }
 
 # tables whose cardinality does NOT scale with data volume (TPC-H:
