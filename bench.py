@@ -248,6 +248,11 @@ HEADLINE = [
     # benched (mixture kernel + a ≤|sources|-row window — covered by
     # corpus_mixture_temperature).
     "retrieval_hard_negatives_served",
+    # r11c: model-score PSI drift (serves the weights sidecar; the
+    # scoring scan dominates). text_bpe_fertility_served is NOT
+    # benched: its corpus scan is text_bpe_encode_served's (already
+    # in the set) plus a bounded per-source rollup.
+    "dq_model_score_drift",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

@@ -1260,3 +1260,183 @@ def corpus_mixture_shard_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_model_score_drift — PSI drift of the served model's score
+# distribution between two corpus cohorts.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 8
+
+
+def _sql_model_drift() -> str:
+    from lol_data_pipeline_spark.plans.behavior import _PSI_TERM
+
+    b = _DRIFT_BINS
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + f""",
+    binned AS (
+      SELECT doc_id % 2 AS cohort,
+             CAST(floor(score * {b}) AS BIGINT) AS bin
+      FROM scored
+    ),
+    spine AS (SELECT unnest(generate_series(0, {b - 1})) AS bin),
+    ca AS (
+      SELECT s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_a FROM spine s
+      LEFT JOIN (SELECT bin, count(*) AS n FROM binned WHERE cohort = 0 GROUP BY 1) c
+      USING (bin)
+    ),
+    cb AS (
+      SELECT s.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_b FROM spine s
+      LEFT JOIN (SELECT bin, count(*) AS n FROM binned WHERE cohort = 1 GROUP BY 1) c
+      USING (bin)
+    ),
+    tot AS (
+      SELECT CAST(sum(bin_a) AS BIGINT) AS n_a FROM ca
+    ),
+    totb AS (
+      SELECT CAST(sum(bin_b) AS BIGINT) AS n_b FROM cb
+    ),
+    terms AS (
+      SELECT ca.bin, ca.bin_a, cb.bin_b, tot.n_a, totb.n_b
+      FROM ca JOIN cb USING (bin), tot, totb
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(floor((CAST(sum({_PSI_TERM}) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS psi
+    FROM terms
+    """
+    )
+
+
+@query("dq_model_score_drift", sql=_sql_model_drift())
+def dq_model_score_drift(spark, sf_dir):
+    """MODEL-SCORE DRIFT monitoring: PSI between the served
+    classifier's score distributions over two corpus cohorts
+    (doc_id parity standing in for yesterday/today snapshots) on a
+    fixed {b}-band score grid — the production alarm that the model
+    or the corpus moved and the quality filter needs requalifying
+    (the stat_psi_drift formula, pointed at the model artifact's
+    output instead of raw event values; >0.25 = significant shift).
+    One scoring scan + two bounded-bin aggregates + the shared
+    fixed-point PSI term (each ln term frozen to nano-units before
+    the sum, empty bins clamped at 1e-6), so the score stays
+    bit-identical across engines."""
+    from lol_data_pipeline_spark.plans.behavior import _PSI_TERM
+
+    b = _DRIFT_BINS
+    scored = _lr_scored_df(spark, sf_dir)
+    binned = scored.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("cohort"),
+        F.floor(F.col("score") * b).cast("long").alias("bin"),
+    )
+    spine = spark.range(b).select(F.col("id").cast("long").alias("bin"))
+    ca = spine.join(
+        binned.filter(F.col("cohort") == 0)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n")),
+        "bin",
+        "left",
+    ).select("bin", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("bin_a"))
+    cb = spine.join(
+        binned.filter(F.col("cohort") == 1)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n")),
+        "bin",
+        "left",
+    ).select("bin", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("bin_b"))
+    tot = ca.agg(F.sum("bin_a").cast("long").alias("n_a"))
+    totb = cb.agg(F.sum("bin_b").cast("long").alias("n_b"))
+    terms = (
+        ca.join(cb, "bin")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+    )
+    return terms.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        (
+            F.floor(
+                (
+                    F.sum(F.expr(_PSI_TERM)).cast("double")
+                    / F.lit(1000000000.0).cast("double")
+                )
+                * 1000000
+                + 0.5
+            ).cast("long")
+            / F.lit(1000000.0).cast("double")
+        ).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_fertility_served — per-source tokens/word off the
+# persisted tokenizer (which domains the vocabulary serves poorly).
+# ---------------------------------------------------------------------------
+
+
+def _sql_bpe_fertility() -> str:
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+    from lol_data_pipeline_spark.plans.round10 import _sql_bpe_doc_ctes
+
+    fert = snap_sql("CAST(toks AS DOUBLE) / words")
+    return (
+        "WITH "
+        + ",\n".join(_sql_bpe_doc_ctes())
+        + f""",
+    agg AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS words,
+             CAST(sum(len(list_filter(string_split(w.w, chr(183)), x -> x <> ''))) AS BIGINT) AS toks
+      FROM dw{_BPE_ROUNDS} w JOIN documents d USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT source, words, toks, {fert} AS fertility
+    FROM agg ORDER BY source
+    """
+    )
+
+
+@query("text_bpe_fertility_served", sql=_sql_bpe_fertility())
+def text_bpe_fertility_served(spark, sf_dir):
+    """Tokenizer FERTILITY by domain off the PERSISTED vocabulary:
+    tokens-per-word for each source after applying the artifact's
+    merges — the monitoring row that shows WHICH domains the learned
+    vocabulary compresses poorly (high fertility = the domain's words
+    rarely hit a merge = more tokens per text unit = higher training
+    cost for that domain; the canonical multilingual-tokenizer
+    equity metric). ONE corpus scan of pure projections with the
+    merges as sidecar literals, then a bounded-key per-source
+    aggregate of exact integers; fertility is the tie-safe snap of
+    an exact rational."""
+    from lol_data_pipeline_spark.functions.scalar import snap
+    from lol_data_pipeline_spark.operators.bpe import (
+        bpe_encode_docs,
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
+    docs = T(spark, sf_dir, "documents")
+    enc = bpe_encode_docs(docs, vocab_merges(meta), keep_cols=("source",))
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("bpe_tokens").cast("long").alias("toks"),
+        )
+        .select(
+            "source",
+            "words",
+            "toks",
+            snap(F.col("toks").cast("double") / F.col("words")).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("source")
+    )

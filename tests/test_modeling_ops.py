@@ -30,6 +30,8 @@ ENTRIES = [
     "stream_semdedup_probe_multibatch",
     "retrieval_hard_negatives_served",
     "corpus_mixture_shard_plan",
+    "dq_model_score_drift",
+    "text_bpe_fertility_served",
 ]
 
 
@@ -214,6 +216,31 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_model_drift_accounts_for_every_doc(spark, sf_dir):
+    """The drift row's cohort totals cover the scored corpus and the
+    PSI is finite and non-negative."""
+    from lol_data_pipeline_spark.plans.modeling import _lr_scored_df
+
+    row = REGISTRY["dq_model_score_drift"].fn(spark, sf_dir).collect()[0]
+    total = _lr_scored_df(spark, sf_dir).count()
+    assert row.n_a + row.n_b == total
+    assert row.psi >= 0.0
+    assert row.psi == row.psi and abs(row.psi) < 1e9  # finite
+
+
+def test_bpe_fertility_reconciles_with_encode(spark, sf_dir):
+    """Per-source word/token masses must sum to the served encode's
+    corpus totals, and fertility is always >= 1 (a word is at least
+    one token)."""
+    rows = REGISTRY["text_bpe_fertility_served"].fn(spark, sf_dir).collect()
+    enc = REGISTRY["text_bpe_encode_served"].fn(spark, sf_dir).collect()
+    assert sum(r.words for r in rows) == sum(e.n_words for e in enc)
+    assert sum(r.toks for r in rows) == sum(e.bpe_tokens for e in enc)
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.toks >= r.words
 
 
 def test_hard_negatives_are_the_band_below_the_positives(spark, sf_dir):
