@@ -253,6 +253,10 @@ HEADLINE = [
     # benched: its corpus scan is text_bpe_encode_served's (already
     # in the set) plus a bounded per-source rollup.
     "dq_model_score_drift",
+    # r11c capstone: the all-served training-data pipeline — quality
+    # gate (model sidecar) -> SemDeDup drop (index cells) -> BPE
+    # tokenize (vocab sidecar) -> per-source packing.
+    "corpus_training_data_e2e",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

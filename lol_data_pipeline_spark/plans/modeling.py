@@ -1440,3 +1440,104 @@ def text_bpe_fertility_served(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_training_data_e2e — the capstone composition: every LEARNED
+# stage served from its artifact, end to end.
+# ---------------------------------------------------------------------------
+
+_E2E_BUDGET = 2048
+
+
+def _sql_training_e2e() -> str:
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+    from lol_data_pipeline_spark.plans.round10 import _sql_bpe_doc_ctes
+
+    head, _cells = _sql_semdedup_head()
+    return (
+        head
+        + ",\n"
+        + _sql_lr_scored()
+        + ",\n"
+        + ",\n".join(_sql_bpe_doc_ctes())
+        + f""",
+    survivors AS (
+      SELECT s.doc_id, s.source FROM scored s
+      WHERE s.pred = 1
+        AND s.doc_id NOT IN (SELECT vid FROM keep WHERE rn = 1)
+    ),
+    etok AS (
+      SELECT w.doc_id, sv.source,
+             CAST(sum(len(list_filter(string_split(w.w, chr(183)), x -> x <> ''))) AS BIGINT) AS n_tok
+      FROM dw{_BPE_ROUNDS} w JOIN survivors sv USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    ecum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM etok
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum - 1) // {_E2E_BUDGET} AS BIGINT) AS bin_id
+    FROM ecum ORDER BY source, doc_id
+    """
+    )
+
+
+@query("corpus_training_data_e2e", sql=_sql_training_e2e())
+def corpus_training_data_e2e(spark, sf_dir):
+    """The CAPSTONE training-data pipeline, every learned stage
+    SERVED from its persisted artifact: quality-gate the corpus with
+    the classifier sidecar (keep pred = 1), drop SemDeDup casualties
+    from the IVF index's cells (ids sharing the embedding id space;
+    docs without a vector pass through), tokenize survivors with the
+    frozen BPE vocabulary, and pack on the REAL token counts into
+    {b}-token bins per source (the corpus_pack_bpe_budget window).
+    This is the daily production run: no stage retrains or rebuilds
+    anything — one model sidecar read, one 2-column index scan, one
+    merges sidecar read, one corpus tokenize scan, one pack shuffle.
+    The oracle chains all three training derivations (kmeans cells →
+    pairs, GD rounds → scores, BPE merges → per-doc tokens) into a
+    single CTE graph — the composed proof that serving equals
+    training end to end."""
+    from pyspark.sql import Window
+
+    from lol_data_pipeline_spark.operators.bpe import (
+        bpe_encode_docs,
+        ensure_bpe_vocab,
+        vocab_merges,
+    )
+    from lol_data_pipeline_spark.plans.round9 import _BPE_ROUNDS
+
+    kept = (
+        _lr_scored_df(spark, sf_dir)
+        .filter(F.col("pred") == 1)
+        .select("doc_id")
+        .join(
+            _semdedup_dropped(spark, sf_dir).select(
+                F.col("vid").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    docs = T(spark, sf_dir, "documents").join(kept, "doc_id")
+    _path, meta = ensure_bpe_vocab(spark, sf_dir, rounds=_BPE_ROUNDS)
+    tok = bpe_encode_docs(docs, vocab_merges(meta), keep_cols=("source",)).select(
+        "doc_id", "source", F.col("bpe_tokens").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - 1) / F.lit(_E2E_BUDGET))
+        .cast("long")
+        .alias("bin_id"),
+    ).orderBy("source", "doc_id")

@@ -32,6 +32,7 @@ ENTRIES = [
     "corpus_mixture_shard_plan",
     "dq_model_score_drift",
     "text_bpe_fertility_served",
+    "corpus_training_data_e2e",
 ]
 
 
@@ -216,6 +217,37 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_training_e2e_composes_its_stages(spark, sf_dir):
+    """The capstone's population is exactly (quality-kept docs) minus
+    (semdedup-dropped ids) that tokenize to at least one word, and
+    packing is contiguous per source (bin ids start at 0 and never
+    skip)."""
+    from lol_data_pipeline_spark.plans.modeling import (
+        _lr_scored_df,
+        _semdedup_dropped,
+    )
+
+    rows = REGISTRY["corpus_training_data_e2e"].fn(spark, sf_dir).collect()
+    assert rows
+    got_ids = {r.doc_id for r in rows}
+    kept = {
+        r.doc_id
+        for r in _lr_scored_df(spark, sf_dir)
+        .filter(F.col("pred") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    dropped = {r.vid for r in _semdedup_dropped(spark, sf_dir).collect()}
+    assert got_ids <= kept - dropped
+    assert not (dropped & got_ids)
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.bin_id)
+    for bins in per_source.values():
+        assert min(bins) == 0
+        assert set(bins) == set(range(max(bins) + 1)), "no skipped bins"
 
 
 def test_model_drift_accounts_for_every_doc(spark, sf_dir):
