@@ -1541,3 +1541,145 @@ def corpus_training_data_e2e(spark, sf_dir):
         .cast("long")
         .alias("bin_id"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_logreg_weights — the model registry read: the served
+# artifact's coefficients as rows.
+# ---------------------------------------------------------------------------
+
+_LR_FEATURE_NAMES = [
+    "bias",
+    "stopword_ratio",
+    "token_count",
+    "avg_token_len",
+    "distinct_ratio",
+]
+
+
+def _sql_lr_weights() -> str:
+    tfin = f"t{_LR_ROUNDS}"
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS feature_idx, "
+        f"'{_LR_FEATURE_NAMES[j]}' AS feature_name, w{j} AS weight FROM {tfin}"
+        for j in range(_LR_NF)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_sql_lr_train_ctes())
+        + f"""
+    SELECT * FROM ({rows}) ORDER BY feature_idx
+    """
+    )
+
+
+@query("corpus_quality_logreg_weights", sql=_sql_lr_weights())
+def corpus_quality_logreg_weights(spark, sf_dir):
+    """The MODEL-REGISTRY read: the served classifier's coefficients
+    as rows (feature_idx, feature_name, weight) — what a reviewer
+    inspects before shipping the filter (is token_count carrying the
+    signal? did a feature flip sign since last train?). Serves the
+    sidecar (driver-literal rows, no corpus access on a warm
+    artifact); the oracle unrolls the full training chain, so this
+    row set IS the standing proof that the stored weights equal what
+    training produces — the same artifact-equals-training contract
+    every served index stamps."""
+    w = ensure_lr_model(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (j, _LR_FEATURE_NAMES[j], float(w[j]))
+            for j in range(_LR_NF)
+        ],
+        "feature_idx bigint, feature_name string, weight double",
+    ).orderBy("feature_idx")
+
+
+# ---------------------------------------------------------------------------
+# stream_mixture_weights_multibatch — the mixture weights MAINTAINED
+# by the stream: per-source token-mass GroupState across epochs.
+# ---------------------------------------------------------------------------
+
+_MIX_MB_OUTPUT_DDL = "source string, n_docs bigint, tokens bigint"
+_MIX_MB_STATE_DDL = "n_docs bigint, tokens bigint"
+
+
+def _update_source_totals(key, pdfs, state):
+    """Running (doc count, token mass) per source — integer state, so
+    accumulation is bit-exact under any batch split."""
+    import pandas as pd
+
+    if state.exists:
+        docs, toks = state.get
+    else:
+        docs, toks = 0, 0
+    for pdf in pdfs:
+        docs += len(pdf)
+        toks += int(pdf["nt"].sum())
+    state.update((docs, toks))
+    yield pd.DataFrame(
+        {"source": [key[0]], "n_docs": [docs], "tokens": [toks]}
+    )
+
+
+@query("stream_mixture_weights_multibatch", sql=_sql_mixture_temp())
+def stream_mixture_weights_multibatch(spark, sf_dir):
+    """The domain-mixture weights MAINTAINED BY THE STREAM: documents
+    arrive as a four-batch ordered replay, per-source (doc count,
+    token mass) accumulates in integer GroupState (restored and added
+    to at every trigger — a lost batch or reset state would collapse
+    the masses to the last slice's and fail the oracle), and the
+    τ-normalization runs on the FINAL state snapshot with the exact
+    arithmetic of corpus_mixture_temperature, whose oracle this entry
+    shares verbatim. The production shape: the router's sampling
+    weights stay current as the corpus grows, with state bounded by
+    the SOURCE domain (≤|sources| rows — the cheapest possible
+    stateful-aggregate key space), never by document volume."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tx.tokens("text")).alias("nt")
+    )
+    parts = [d.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def build(stream):
+        return stream.groupBy("source").applyInPandasWithState(
+            _update_source_totals,
+            outputStructType=_MIX_MB_OUTPUT_DDL,
+            stateStructType=_MIX_MB_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    res = replay_multibatch(
+        spark, parts, build, "update", f"mixture_mb:{sf_dir}"
+    )
+    m = res.groupBy("source").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max_by("tokens", "n_docs").cast("long").alias("tokens"),
+    )
+    t = m.agg(F.sum("tokens").alias("tt"))
+    share = F.col("tokens") * F.lit(1.0) / F.col("tt")
+    q = m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        share.alias("share_raw"),
+        (
+            F.floor(F.pow(share, F.lit(_MIX_TAU)) * F.lit(_MIX_QSC))
+            / F.lit(_MIX_QSC)
+        ).alias("qt"),
+    )
+    s = q.agg(F.sum("qt").alias("st"))
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "share_raw",
+            (F.col("qt") / F.col("st")).alias("weight_temp"),
+        )
+        .orderBy("source")
+    )

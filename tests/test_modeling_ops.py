@@ -33,6 +33,8 @@ ENTRIES = [
     "dq_model_score_drift",
     "text_bpe_fertility_served",
     "corpus_training_data_e2e",
+    "corpus_quality_logreg_weights",
+    "stream_mixture_weights_multibatch",
 ]
 
 
@@ -214,6 +216,41 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         (r.doc_id, r.score, r.label, r.pred)
         for r in _lr_scored_df(spark, sf_dir)
         .select("doc_id", "score", "label", "pred")
+        .collect()
+    )
+    assert streamed == batch
+
+
+def test_weights_entry_serves_the_sidecar_exactly(spark, sf_dir):
+    """The registry read returns the artifact's coefficients
+    bit-for-bit, named and ordered."""
+    from lol_data_pipeline_spark.plans.modeling import (
+        _LR_FEATURE_NAMES,
+        ensure_lr_model,
+    )
+
+    rows = (
+        REGISTRY["corpus_quality_logreg_weights"].fn(spark, sf_dir).collect()
+    )
+    w = ensure_lr_model(spark, sf_dir)
+    assert [r.feature_idx for r in rows] == list(range(len(w)))
+    assert [r.feature_name for r in rows] == _LR_FEATURE_NAMES
+    assert [r.weight for r in rows] == w
+
+
+def test_stream_mixture_equals_batch_mixture(spark, sf_dir):
+    """The stream-maintained weights must equal the batch entry
+    row-for-row — state accumulated across all four epochs."""
+    streamed = sorted(
+        (r.source, r.n_docs, r.tokens, r.share_raw, r.weight_temp)
+        for r in REGISTRY["stream_mixture_weights_multibatch"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    batch = sorted(
+        (r.source, r.n_docs, r.tokens, r.share_raw, r.weight_temp)
+        for r in REGISTRY["corpus_mixture_temperature"]
+        .fn(spark, sf_dir)
         .collect()
     )
     assert streamed == batch
