@@ -130,13 +130,10 @@ def _semdedup_nodes(spark, sf_dir):
     )
 
 
-def _semdedup_dropped(spark, sf_dir):
-    """The dropped→keeper frame (vid, kid, sim, cell) shared by the
-    pair listing and the cell-observability rollup: within-cell
-    exact-cosine pairs ≥ τ off the served assignment, best keeper
-    per dropped id (max sim, tie → lowest id)."""
-    from pyspark.sql import Window
-
+def _semdedup_pairs(spark, sf_dir):
+    """ALL within-cell exact-cosine pairs ≥ τ off the served
+    assignment (kid < vid) — the raw pair frame the one-hop keeper
+    ranking AND the transitive components entry both consume."""
     from lol_data_pipeline_spark.operators import similarity as sim
 
     nodes = _semdedup_nodes(spark, sf_dir)
@@ -169,9 +166,19 @@ def _semdedup_dropped(spark, sf_dir):
         )
         .filter(F.col("sim") >= _SD_TAU)
     )
+    return pairs
+
+
+def _semdedup_dropped(spark, sf_dir):
+    """The dropped→keeper frame (vid, kid, sim, cell): best keeper
+    per dropped id (max sim, tie → lowest id) over the shared pair
+    frame."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("kid"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        _semdedup_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
@@ -1682,4 +1689,81 @@ def stream_mixture_weights_multibatch(spark, sf_dir):
             (F.col("qt") / F.col("st")).alias("weight_temp"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_semdedup_components — transitive semantic dedup groups.
+# ---------------------------------------------------------------------------
+
+_SDC_ITERS = 4
+
+
+def _sql_semdedup_components() -> str:
+    head, _cells = _sql_semdedup_head()
+    rounds = []
+    prev = "sl0"
+    for i in range(1, _SDC_ITERS + 1):
+        cur = f"sl{i}"
+        rounds.append(f""",
+    {cur} AS (
+      SELECT l.v, least(l.label, coalesce(m.nl, l.label)) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT e.dst AS nv, min(p.label) AS nl
+        FROM sedges e JOIN {prev} p ON p.v = e.src GROUP BY 1
+      ) m ON m.nv = l.v
+    )""")
+        prev = cur
+    return (
+        head
+        + f""",
+    sedges AS (
+      SELECT kid AS src, vid AS dst FROM pairs
+      UNION ALL
+      SELECT vid AS src, kid AS dst FROM pairs
+    ),
+    sl0 AS (SELECT DISTINCT src AS v, src AS label FROM sedges){''.join(rounds)},
+    ssizes AS (
+      SELECT label AS component, CAST(count(*) AS BIGINT) AS group_size
+      FROM {prev} GROUP BY 1
+    )
+    SELECT CAST(l.v AS BIGINT) AS vec_id,
+           CAST(l.label AS BIGINT) AS keep_id,
+           s.group_size,
+           (l.v != l.label) AS drop
+    FROM {prev} l JOIN ssizes s ON s.component = l.label
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("corpus_semdedup_components", sql=_sql_semdedup_components())
+def corpus_semdedup_components(spark, sf_dir):
+    """TRANSITIVE SemDeDup: connected components of the within-cell
+    semantic pair graph (4 rounds of synchronous min-label
+    propagation — operators/graph.py, the dedup_components kernel
+    pointed at the served assignment's pairs instead of the Jaccard
+    graph), emitting each member's canonical keep id, group size,
+    and drop verdict. Closes the A~B~C chains the one-hop keeper
+    policy of corpus_semdedup leaves open — the difference between
+    "drop anything with an earlier near-twin" and "keep exactly one
+    per semantic cluster". Pairs cannot cross cells (the graph is
+    cell-local by construction), so components are cell-bounded and
+    the propagation rounds touch pair-graph vertices only — never
+    the corpus. The oracle unrolls the identical 4 integer-only
+    rounds over the shared pair CTE."""
+    from lol_data_pipeline_spark.operators import graph as g
+
+    pairs = _semdedup_pairs(spark, sf_dir).select(
+        F.col("kid").alias("id_a"), F.col("vid").alias("id_b")
+    )
+    return (
+        g.dedup_groups(pairs, iters=_SDC_ITERS)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "keep_id",
+            "group_size",
+            "drop",
+        )
+        .orderBy("vec_id")
     )

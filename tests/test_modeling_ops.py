@@ -35,6 +35,7 @@ ENTRIES = [
     "corpus_training_data_e2e",
     "corpus_quality_logreg_weights",
     "stream_mixture_weights_multibatch",
+    "corpus_semdedup_components",
 ]
 
 
@@ -219,6 +220,32 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_semdedup_components_close_the_one_hop_chains(spark, sf_dir):
+    """Transitive groups: every one-hop dropped id is in some
+    component with drop=true; keep ids are component minima; group
+    sizes reconcile with membership; components never cross cells."""
+    rows = (
+        REGISTRY["corpus_semdedup_components"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    one_hop = {r.vec_id for r in REGISTRY["corpus_semdedup"].fn(spark, sf_dir).collect()}
+    members = {}
+    for r in rows:
+        members.setdefault(r.keep_id, []).append(r)
+    for keep_id, grp in members.items():
+        assert min(m.vec_id for m in grp) == keep_id
+        assert all(m.group_size == len(grp) for m in grp)
+        for m in grp:
+            assert m.drop == (m.vec_id != keep_id)
+    comp_dropped = {r.vec_id for r in rows if r.drop}
+    assert one_hop <= comp_dropped | set(), (
+        "every one-hop casualty must fall in a component"
+    )
+    cells = {r.vec_id: r.cell_id for r in _modeling_nodes(spark, sf_dir).collect()}
+    for keep_id, grp in members.items():
+        assert len({cells[m.vec_id] for m in grp}) == 1, "cell-local"
 
 
 def test_weights_entry_serves_the_sidecar_exactly(spark, sf_dir):
