@@ -257,7 +257,9 @@ HEADLINE = [
     # gate (model sidecar) -> SemDeDup drop (index cells) -> BPE
     # tokenize (vocab sidecar) -> per-source packing.
     "corpus_training_data_e2e",
-    # corpus_semdedup_components, corpus_quality_logreg_weights and
+    # corpus_semdedup_components, corpus_quality_logreg_weights,
+    # corpus_quality_calibration (dq_model_score_drift's scan + a
+    # trivially different tail) and
     # stream_mixture_weights_multibatch are NOT benched: the first
     # shares corpus_semdedup's pair kernel plus label rounds over the
     # pair-graph vertices, the second is a sidecar read, the third is

@@ -1767,3 +1767,69 @@ def corpus_semdedup_components(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_calibration — the classifier's reliability curve.
+# ---------------------------------------------------------------------------
+
+
+def _sql_lr_calibration() -> str:
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+
+    b = _DRIFT_BINS
+    frac = snap_sql("CAST(n_pos AS DOUBLE) / n")
+    return (
+        "WITH "
+        + _sql_lr_scored()
+        + f""",
+    binned AS (
+      SELECT CAST(floor(score * {b}) AS BIGINT) AS band, label
+      FROM scored
+    ),
+    agg AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1
+    )
+    SELECT band, n, n_pos, {frac} AS frac_pos
+    FROM agg ORDER BY band
+    """
+    )
+
+
+@query("corpus_quality_calibration", sql=_sql_lr_calibration())
+def corpus_quality_calibration(spark, sf_dir):
+    """The served classifier's RELIABILITY CURVE: per score band
+    (the drift entry's fixed {b}-band grid), how often the label is
+    actually positive — the calibration check that tells an operator
+    whether a 0.8 score means 80% (well-calibrated) or just
+    'probably positive' (needs a threshold re-fit before the filter
+    gates data). Completes the model-evaluation loop alongside the
+    confusion matrix (discrimination) and PSI drift (stability).
+    One scoring scan + a bounded-band aggregate of exact integers;
+    frac_pos is the tie-safe snap of an exact rational."""
+    from lol_data_pipeline_spark.functions.scalar import snap
+
+    b = _DRIFT_BINS
+    scored = _lr_scored_df(spark, sf_dir)
+    return (
+        scored.select(
+            F.floor(F.col("score") * b).cast("long").alias("band"),
+            "label",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .select(
+            "band",
+            "n",
+            "n_pos",
+            snap(F.col("n_pos").cast("double") / F.col("n")).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -36,6 +36,7 @@ ENTRIES = [
     "corpus_quality_logreg_weights",
     "stream_mixture_weights_multibatch",
     "corpus_semdedup_components",
+    "corpus_quality_calibration",
 ]
 
 
@@ -220,6 +221,25 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_calibration_reconciles_with_eval(spark, sf_dir):
+    """Band totals must cover the scored corpus, positives must sum
+    to the confusion matrix's positive-label mass, and a calibrated-
+    ish model puts higher empirical positive rates in higher bands
+    (monotone between the extreme occupied bands)."""
+    rows = REGISTRY["corpus_quality_calibration"].fn(spark, sf_dir).collect()
+    ev = {
+        (r.label, r.pred): r.n
+        for r in REGISTRY["corpus_quality_logreg_eval"].fn(spark, sf_dir).collect()
+    }
+    assert sum(r.n for r in rows) == sum(ev.values())
+    assert sum(r.n_pos for r in rows) == ev.get((1, 0), 0) + ev.get((1, 1), 0)
+    for r in rows:
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert r.n_pos <= r.n
+    lo, hi = rows[0], rows[-1]
+    assert lo.frac_pos <= hi.frac_pos
 
 
 def test_semdedup_components_close_the_one_hop_chains(spark, sf_dir):
