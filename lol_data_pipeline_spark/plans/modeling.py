@@ -21,10 +21,27 @@ it, composed over the artifacts earlier rounds materialized.
   the confusion matrix;
   the curriculum entry turns scores into a stage × source training
   schedule (fixed score bands — pure projection, no global window).
-- text_bpe_stats_served: vocabulary-utilization stats off the
-  persisted tokenizer (which learned merges actually carry corpus
-  mass) — the monitoring row that decides when the tokenizer is due
-  a retrain.
+- text_bpe_stats_served / text_bpe_fertility_served: vocabulary
+  utilization and per-domain tokens/word off the persisted tokenizer
+  — the monitoring rows that decide when the vocabulary is due a
+  retrain and which domains it serves poorly.
+
+The family grew in-round into the full model lifecycle: TRAIN
+(fixed-point GD), REGISTER (ensure_lr_model sidecar +
+corpus_quality_logreg_weights, the registry read), SERVE (batch
+scoring, stream_quality_score_multibatch), EVALUATE (confusion
+matrix, corpus_quality_calibration reliability curve), MONITOR
+(dq_model_score_drift PSI) — mirrored for the other learned
+artifacts: SemDeDup gains a streaming ingest gate
+(stream_semdedup_probe_multibatch), a per-cell observability rollup
+(corpus_semdedup_cells) and transitive components
+(corpus_semdedup_components); the mixture gains an integral shard
+apportionment (corpus_mixture_shard_plan) and stream-maintained
+weights (stream_mixture_weights_multibatch); the served vector index
+feeds contrastive training (retrieval_hard_negatives_served); the
+graph artifact labels the corpus (graph_label_prop_served); and
+corpus_training_data_e2e composes quality gate → semantic drop →
+tokenize → pack with every stage served from its artifact.
 
 Scale notes (100 TB):
 - corpus_semdedup: candidate pairs are Σ cell² WITHIN coarse cells,
