@@ -126,6 +126,8 @@ CROSS_OK = {
     # per-domain frame — the ann_index_stats scalar-broadcast class
     "corpus_mixture_shard_plan",  # same scalar-broadcast class: the
     # 1-row leftover total crossJoined over the allocation frame
+    "dq_model_score_drift",  # two 1-row cohort totals crossJoined
+    # over the fixed 8-bin spine — the ann_index_stats scalar class
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
