@@ -151,11 +151,16 @@ def _semdedup_pairs(spark, sf_dir):
     """ALL within-cell exact-cosine pairs ≥ τ off the served
     assignment (kid < vid) — the raw pair frame the one-hop keeper
     ranking AND the transitive components entry both consume."""
+    from lol_data_pipeline_spark.caching import tracked_persist
     from lol_data_pipeline_spark.operators import similarity as sim
 
     nodes = _semdedup_nodes(spark, sf_dir)
     emb = sim.with_norm(T(spark, sf_dir, "embeddings"), "embedding")
-    cellv = nodes.join(emb, "vec_id")
+    # persist the (cell, id, vector, norm) frame: BOTH self-join sides
+    # read it — unpersisted, the nodes×vectors id join (the only
+    # corpus-sized work here) executes twice (the dedup_minhash_pairs
+    # lesson, PERF_NOTES.md)
+    cellv = tracked_persist(nodes.join(emb, "vec_id"))
     a = cellv.select(
         F.col("cell_id").alias("cell"),
         F.col("vec_id").alias("kid"),
