@@ -769,6 +769,10 @@ def _mixture_df(spark, sf_dir):
     from lol_data_pipeline_spark.functions import text as tx2
 
     d = T(spark, sf_dir, "documents")
+    # NOT persisted: the totals re-derive the per-source aggregate,
+    # but the toggle A/B measured the rescan cheaper than caching
+    # (0.85 s vs 1.43 s at sf0.1) — same finding as the drift entry:
+    # narrow fused scans beat a materialization barrier at this width
     m = (
         d.select("source", F.size(tx2.tokens("text")).alias("nt"))
         .groupBy("source")
@@ -1358,6 +1362,11 @@ def dq_model_score_drift(spark, sf_dir):
 
     b = _DRIFT_BINS
     scored = _lr_scored_df(spark, sf_dir)
+    # NOT persisted: the two cohort subtrees each rescan the scoring
+    # projection, but a same-session toggle A/B measured the double
+    # scan CHEAPER than the cache materialization barrier (1.24 s vs
+    # 1.90 s at sf0.1) — the projection is narrow and codegen-fused,
+    # while caching forces a full materialization between stages
     binned = scored.select(
         F.pmod(F.col("doc_id"), F.lit(2)).alias("cohort"),
         F.floor(F.col("score") * b).cast("long").alias("bin"),
