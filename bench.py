@@ -253,6 +253,9 @@ HEADLINE = [
     # benched: its corpus scan is text_bpe_encode_served's (already
     # in the set) plus a bounded per-source rollup.
     "dq_model_score_drift",
+    # r11c: DSIR-style importance selection (one explode+hash pass,
+    # bounded-bucket aggregates, broadcast scoring join).
+    "corpus_dsir_select",
     # r11c capstone: the all-served training-data pipeline — quality
     # gate (model sidecar) -> SemDeDup drop (index cells) -> BPE
     # tokenize (vocab sidecar) -> per-source packing.

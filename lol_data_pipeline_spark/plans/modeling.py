@@ -1864,3 +1864,136 @@ def corpus_quality_calibration(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dsir_select — DSIR-style importance ranking toward a target
+# distribution over hashed n-gram features.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed-feature buckets
+_DSIR_K = 50  # selected documents
+
+
+def _sql_dsir() -> str:
+    from lol_data_pipeline_spark.plans.extensions import (
+        SQL_MD5_LONG,
+        SQL_TOKS,
+    )
+
+    b = _DSIR_B
+    # scientific-notation literals on purpose: Spark's ANSI parser
+    # types a bare decimal literal as DECIMAL, and the whole ratio
+    # would then compute in truncating decimal arithmetic (measured
+    # 0.44 micro-nats off); 1e0/{b}e0 parse as DOUBLE in BOTH engines
+    w = (
+        "CAST(round(ln(((ct + 1e0) * (nc + {b}e0)) / "
+        "((cc + 1e0) * (nt + {b}e0))) * 1000000) AS BIGINT)"
+    ).format(b=b)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, n_chars >= 300 AS is_t,
+             {SQL_MD5_LONG.format(expr='t')} % {b} AS bkt
+      FROM (SELECT doc_id, n_chars, unnest({SQL_TOKS}) AS t FROM documents)
+    ),
+    cc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cc FROM tok GROUP BY 1),
+    ct AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE is_t GROUP BY 1),
+    tots AS (
+      SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt
+      FROM tok
+    ),
+    w AS (
+      SELECT cc.bkt, {w} AS w_e6
+      FROM cc LEFT JOIN (SELECT bkt, ct FROM ct) USING (bkt), tots,
+           (SELECT coalesce(NULL, 0)) _x
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w.w_e6) AS BIGINT) AS sum_w_e6
+      FROM tok t JOIN w ON w.bkt = t.bkt
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, sum_w_e6,
+           CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_w
+    FROM scored ORDER BY avg_w DESC, doc_id LIMIT {_DSIR_K}
+    """
+
+
+@query("corpus_dsir_select", sql=_sql_dsir())
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR-style DATA SELECTION (importance resampling toward a
+    target distribution, Xie et al. 2023 shape): hashed-unigram
+    bucket distributions are estimated for the TARGET slice (docs
+    meeting the length quality bar — the same signal the classifier
+    family trains on) and the RAW corpus; each bucket's importance
+    is the smoothed log-ratio ln(p_target/p_corpus), frozen to
+    fixed-point micro-nats BEFORE any aggregation (the
+    text_unigram_loglik determinism recipe); each document scores
+    the integer sum of its tokens' bucket weights and the top-{k}
+    per-token importers are selected. Production DSIR Gumbel-samples
+    with these same weights — the ranking IS the weight computation;
+    sampling is a hash draw away (corpus_sample_stratified's
+    deterministic-hash machinery). Plan: ONE explode+hash pass
+    (persisted — three aggregates and the scoring join read it; the
+    md5 work dominates rescans), two bounded-B bucket aggregates, a
+    1-row totals broadcast, and a broadcast scoring join — nothing
+    corpus² anywhere."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    b = _DSIR_B
+    d = T(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select(
+            "doc_id",
+            (F.col("n_chars") >= 300).alias("is_t"),
+            F.explode(tx.tokens("text")).alias("t"),
+        ).select(
+            "doc_id", "is_t", F.pmod(md5_long("t"), F.lit(b)).alias("bkt")
+        )
+    )
+    cc = tok.groupBy("bkt").agg(F.count("*").cast("long").alias("cc"))
+    ct = (
+        tok.filter(F.col("is_t"))
+        .groupBy("bkt")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tots = tok.agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("nt"),
+    )
+    w = (
+        cc.join(ct, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            # 1e0/{b}e0, NOT 1.0/{b}.0: bare decimal literals parse
+            # as DECIMAL under Spark ANSI and poison the whole ratio
+            # into truncating decimal arithmetic
+            F.expr(
+                f"CAST(round(ln(((ct + 1e0) * (nc + {b}e0)) / "
+                f"((cc + 1e0) * (nt + {b}e0))) * 1000000) AS BIGINT)"
+            ).alias("w_e6"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_e6").cast("long").alias("sum_w_e6"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "sum_w_e6",
+            F.expr(
+                "CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+            ).alias("avg_w"),
+        )
+        .orderBy(F.desc("avg_w"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )

