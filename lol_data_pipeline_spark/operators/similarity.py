@@ -839,85 +839,109 @@ def mmr_greedy(pool: DataFrame, lam: float, k: int) -> DataFrame:
     selected} sim(c, s), k−1 rounds after the relevance argmax.
 
     ``pool`` carries (query_id, cand, cvec, rel) with rel already
-    rounded to 6 decimals; scores take the tie-safe snap (λ·rel is
-    RATIONAL over 6-decimal inputs and lands on exact .5 ties —
-    plans/round10.py's finding). Every structure is bounded: the pool
-    is Q×P rows (broadcast on every join), the selected set grows to
-    k, rounds are a driver loop over lazy plans with no collect; each
-    pick is lineage-truncated because later rounds reference it twice
-    (anti-join + div join) and the plan would otherwise double per
-    round. This is the selection kernel of plans/round10.py's
-    ann_mmr_rerank, factored so the served-pool composition
-    (plans/round11.py) runs the IDENTICAL rounds over an index-served
-    pool; equivalence is covered by
+    rounded to 6 decimals. The selection is per-query LOCAL, so the
+    whole greedy loop runs as ONE ``applyInPandas`` stage grouped on
+    query_id — one shuffle of the Q×P pool, zero driver-synchronized
+    rounds (the r11 shape was k−1 sequential anti-join/broadcast/
+    window jobs: ~k Spark jobs of scheduling overhead per retrieval
+    call, the wrong serving latency at any corpus size). Arithmetic
+    is replicated EXACTLY so the existing oracles keep hash-matching:
+      - pairwise sim: the sequential left-fold dot / (norm·norm) of
+        cosine() (Python floats ARE IEEE doubles; same op order),
+        then Spark round(x, 6) = BigDecimal-of-shortest-repr HALF_UP
+        (Decimal(repr(x)).quantize, identical boundary behavior);
+      - score: snap6 = floor(x·1e6 + 0.5)/1e6 over
+        (λ·rel) − (μ·div), μ = round(1−λ, 6) — λ·rel is RATIONAL
+        over 6-decimal inputs and lands on exact .5 ties
+        (plans/round10.py's finding), hence the tie-safe snap;
+      - tie order: score desc, cand asc.
+    This is the selection kernel of plans/round10.py's
+    ann_mmr_rerank; the served-pool composition (plans/round11.py)
+    runs the IDENTICAL kernel over an index-served pool; equivalence
+    is covered by
     tests/test_round11_ops.py::test_served_mmr_shares_selection_kernel.
 
     Returns (query_id, cand, rel, score, pick)."""
-    from lol_data_pipeline_spark.caching import truncate_lineage
-    from lol_data_pipeline_spark.functions.scalar import snap
-
     mu = round(1 - lam, 6)
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("cand").asc()
+    types = {f.name: f.dataType.simpleString() for f in pool.schema.fields}
+    out_schema = (
+        f"query_id {types['query_id']}, cand {types['cand']}, "
+        "rel double, score double, pick int"
     )
-    selected = (
-        pool.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "cand",
-            "cvec",
-            "rel",
-            snap(F.lit(lam) * F.col("rel")).alias("score"),
-            F.lit(1).alias("pick"),
-        )
-    )
-    frames = [selected]
-    for t in range(2, k + 1):
-        sel_all = frames[0]
-        for fr in frames[1:]:
-            sel_all = sel_all.unionByName(fr)
-        sel_ids = sel_all.select("query_id", "cand")
-        remaining = pool.join(
-            F.broadcast(sel_ids), ["query_id", "cand"], "left_anti"
-        )
-        div = (
-            remaining.join(
-                F.broadcast(
-                    sel_all.select("query_id", F.col("cvec").alias("svec"))
-                ),
-                "query_id",
+
+    def _kernel(pdf):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        cols = ["query_id", "cand", "rel", "score", "pick"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        q6 = Decimal("0.000001")
+
+        def r6(x):
+            # Spark round(x, 6) on DOUBLE: BigDecimal(Double.toString
+            # (x)).setScale(6, HALF_UP) — shortest-repr decimal, then
+            # half-up. repr() is Python's shortest-repr twin.
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+        def snap6(x):
+            # functions/scalar.snap: floor(x*1e6 + 0.5) -> long / 1e6
+            return int(math.floor(x * 1000000 + 0.5)) / 1000000.0
+
+        def sdot(a, b):
+            # cosine()'s sequential left fold: acc + x*y from 0.0
+            acc = 0.0
+            for i in range(len(a)):
+                acc += a[i] * b[i]
+            return acc
+
+        qid = pdf["query_id"].iloc[0]
+        cands = list(pdf["cand"])
+        rels = [float(r) for r in pdf["rel"]]
+        vecs = [[float(x) for x in v] for v in pdf["cvec"]]
+        norms = [math.sqrt(sdot(v, v)) for v in vecs]
+        n = len(cands)
+        # pick 1: argmax rel (ties: cand asc); score = snap(λ·rel)
+        first = min(range(n), key=lambda i: (-rels[i], cands[i]))
+        out = [(qid, cands[first], rels[first], snap6(lam * rels[first]), 1)]
+        remaining = [i for i in range(n) if i != first]
+        # div[i] = max over selected of round(cosine(c_i, s), 6);
+        # max is associative, so the incremental update equals the
+        # per-round recompute over the full selected set
+        div = [None] * n
+        last = first
+        for t in range(2, k + 1):
+            if not remaining:
+                break
+            for i in remaining:
+                ps = r6(
+                    sdot(vecs[i], vecs[last]) / (norms[i] * norms[last])
+                )
+                if div[i] is None or ps > div[i]:
+                    div[i] = ps
+            best = min(
+                remaining,
+                key=lambda i: (-snap6((lam * rels[i]) - (mu * div[i])), cands[i]),
             )
-            .select(
-                "query_id",
-                "cand",
-                "cvec",
-                "rel",
-                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("ps"),
+            out.append(
+                (
+                    qid,
+                    cands[best],
+                    rels[best],
+                    snap6((lam * rels[best]) - (mu * div[best])),
+                    t,
+                )
             )
-            .groupBy("query_id", "cand", "cvec", "rel")
-            .agg(F.max("ps").alias("div"))
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            snap(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")).desc(),
-            F.col("cand").asc(),
-        )
-        pick_t = (
-            div.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "cand",
-                "cvec",
-                "rel",
-                snap(
-                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")
-                ).alias("score"),
-                F.lit(t).alias("pick"),
-            )
-        )
-        frames.append(truncate_lineage(pick_t))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out.select("query_id", "cand", "rel", "score", "pick")
+            remaining.remove(best)
+            last = best
+        res = pd.DataFrame(out, columns=cols)
+        res["query_id"] = res["query_id"].astype(pdf["query_id"].dtype)
+        res["cand"] = res["cand"].astype(pdf["cand"].dtype)
+        res["rel"] = res["rel"].astype("float64")
+        res["score"] = res["score"].astype("float64")
+        res["pick"] = res["pick"].astype("int32")
+        return res
+
+    return pool.groupBy("query_id").applyInPandas(_kernel, out_schema)

@@ -340,8 +340,9 @@ def _sql_lr_train_ctes() -> list[str]:
     # AS MATERIALIZED: every t{i} is referenced by BOTH g{i} and
     # t{i+1}, and the scoring expression references it per feature —
     # left to inlining, the chain re-evaluates upstream rounds once
-    # per reference (multiplicative per round: the 8-round chain never
-    # finishes). Materializing pins each round to one evaluation; the
+    # per reference (multiplicative per round: the _LR_ROUNDS-round
+    # chain never finishes). Materializing pins each round to one
+    # evaluation; the
     # rows involved are 1-row weight tuples and the feature table.
     ctes = [
         _sql_lr_feats().replace("feats AS (", "feats AS MATERIALIZED (", 1),
@@ -527,10 +528,19 @@ def ensure_lr_model(spark, sf_dir, root: str | None = None) -> list[float]:
     path = os.path.join(root, f"qlr_{name}")
     meta_path = os.path.join(path, "_model_meta.json")
     want_fp = _source_fingerprint(sf_dir, table="documents")
+    # EVERY constant that changes the trained weights must key the
+    # sidecar: gsc/psc (fixed-point scales) and the feature recipe
+    # included so a hyperparameter or feature change can never serve
+    # stale weights (advice r11 — the SQL oracle always unrolls with
+    # current constants, so a stale sidecar is a warm-only parity
+    # failure a fresh checkout cannot reproduce)
     want_params = {
         "rounds": _LR_ROUNDS,
         "eta": _LR_ETA,
         "nf": _LR_NF,
+        "gsc": _LR_GSC,
+        "psc": _LR_PSC,
+        "features": "v1:bias,stopratio,ntok/100,avgtoklen/8,distinctratio",
         "label": "n_chars>=300",
     }
     try:
@@ -1886,8 +1896,12 @@ def _sql_dsir() -> str:
     # types a bare decimal literal as DECIMAL, and the whole ratio
     # would then compute in truncating decimal arithmetic (measured
     # 0.44 micro-nats off); 1e0/{b}e0 parse as DOUBLE in BOTH engines
+    # coalesce BEFORE the +1 smoothing: a bucket with zero target
+    # tokens must contribute its smoothed NEGATIVE weight
+    # ln((0+1)(nc+B)/((cc+1)(nt+B))), not a NULL that silently drops
+    # it from sum_w_e6 while n_tokens still counts it (advice r11)
     w = (
-        "CAST(round(ln(((ct + 1e0) * (nc + {b}e0)) / "
+        "CAST(round(ln(((coalesce(ct, 0) + 1e0) * (nc + {b}e0)) / "
         "((cc + 1e0) * (nt + {b}e0))) * 1000000) AS BIGINT)"
     ).format(b=b)
     return f"""
@@ -1971,8 +1985,10 @@ def corpus_dsir_select(spark, sf_dir):
             # 1e0/{b}e0, NOT 1.0/{b}.0: bare decimal literals parse
             # as DECIMAL under Spark ANSI and poison the whole ratio
             # into truncating decimal arithmetic
+            # coalesce BEFORE the +1 smoothing: zero-target buckets
+            # get their smoothed negative weight, not NULL (advice r11)
             F.expr(
-                f"CAST(round(ln(((ct + 1e0) * (nc + {b}e0)) / "
+                f"CAST(round(ln(((coalesce(ct, 0) + 1e0) * (nc + {b}e0)) / "
                 f"((cc + 1e0) * (nt + {b}e0))) * 1000000) AS BIGINT)"
             ).alias("w_e6"),
         )

@@ -414,12 +414,14 @@ def ann_mmr_rerank(spark, sf_dir):
     at any corpus size once the pool stage (any ANN entry) has run.
     All scores are rounded to 6 before comparison, so the greedy
     argmax (score DESC, id) is engine-deterministic and the oracle
-    unrolls the identical selection rounds."""
-    from lol_data_pipeline_spark.caching import tracked_persist, truncate_lineage
-    from lol_data_pipeline_spark.functions.scalar import snap
-    from lol_data_pipeline_spark.operators.similarity import cosine
+    unrolls the identical selection rounds. Selection runs as the
+    shared single-stage grouped kernel (operators/similarity.
+    mmr_greedy) — one applyInPandas over query_id groups, not k−1
+    driver-synchronized rounds."""
+    from lol_data_pipeline_spark.caching import tracked_persist
+    from lol_data_pipeline_spark.operators.similarity import cosine, mmr_greedy
 
-    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 6)
+    lam = _MMR_LAM
     emb = T(spark, sf_dir, "embeddings")
     q = emb.filter(
         (F.col("vec_id").between(_KMQ_LO, _KMQ_HI - 1))
@@ -439,80 +441,7 @@ def ann_mmr_rerank(spark, sf_dir):
         .filter(F.col("rn") <= _MMR_POOL)
         .select("query_id", "cand", "cvec", "rel")
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("cand").asc()
-    )
-    selected = (
-        pool.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "cand",
-            "cvec",
-            "rel",
-            snap(F.lit(lam) * F.col("rel")).alias("score"),
-            F.lit(1).alias("pick"),
-        )
-    )
-    frames = [selected]
-    for t in range(2, _MMR_K + 1):
-        sel_all = frames[0]
-        for fr in frames[1:]:
-            sel_all = sel_all.unionByName(fr)
-        sel_ids = sel_all.select("query_id", F.col("cand").alias("sel_cand"))
-        remaining = pool.join(
-            F.broadcast(
-                sel_ids.withColumnRenamed("sel_cand", "cand")
-            ),
-            ["query_id", "cand"],
-            "left_anti",
-        )
-        div = (
-            remaining.join(
-                F.broadcast(
-                    sel_all.select(
-                        "query_id", F.col("cvec").alias("svec")
-                    )
-                ),
-                "query_id",
-            )
-            .select(
-                "query_id",
-                "cand",
-                "cvec",
-                "rel",
-                F.round(cosine(F.col("cvec"), F.col("svec")), 6).alias("ps"),
-            )
-            .groupBy("query_id", "cand", "cvec", "rel")
-            .agg(F.max("ps").alias("div"))
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            snap(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")).desc(),
-            F.col("cand").asc(),
-        )
-        pick_t = (
-            div.withColumn("rn", F.row_number().over(wt))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "cand",
-                "cvec",
-                "rel",
-                snap(
-                    F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("div")
-                ).alias("score"),
-                F.lit(t).alias("pick"),
-            )
-        )
-        # Each pick is referenced TWICE by every later round (the
-        # anti-join and the div join), so without a cut the plan
-        # embeds the previous pick's tree twice per round —
-        # O(2^k) analysis cost for a Q-row frame. Same fix as the
-        # iterative graph kernels.
-        frames.append(truncate_lineage(pick_t))
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
+    out = mmr_greedy(pool, lam=lam, k=_MMR_K)
     return out.select(
         "query_id",
         F.col("cand").alias("match_id"),

@@ -128,6 +128,11 @@ CROSS_OK = {
     # 1-row leftover total crossJoined over the allocation frame
     "dq_model_score_drift",  # two 1-row cohort totals crossJoined
     # over the fixed 8-bin spine — the ann_index_stats scalar class
+    "corpus_dsir_select",  # 1-row corpus/target token totals
+    # crossJoined over the bounded B=256 bucket spine — the
+    # dq_model_score_drift scalar-broadcast class
+    "corpus_dsir_sample",  # same 1-row totals broadcast as
+    # corpus_dsir_select; the Gumbel draw adds no join shape
 }
 # global windows whose input is bounded by construction (state-sized,
 # not data-sized) — the only shapes where a single partition is fine
