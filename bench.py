@@ -255,11 +255,21 @@ HEADLINE = [
     "dq_model_score_drift",
     # r11c: DSIR-style importance selection (one explode+hash pass,
     # bounded-bucket aggregates, broadcast scoring join).
+    # corpus_dsir_sample is NOT benched: it is this entry's kernel
+    # plus one hash/log projection over the same top-k sort.
     "corpus_dsir_select",
     # r11c capstone: the all-served training-data pipeline — quality
     # gate (model sidecar) -> SemDeDup drop (index cells) -> BPE
     # tokenize (vocab sidecar) -> per-source packing.
     "corpus_training_data_e2e",
+    # r12: the closed maintenance loop (fresh build + stats gate +
+    # compaction — the build dominates; ann_index_autosize is NOT
+    # benched: one count aggregate + a ≤5×32 literal grid).
+    "ann_index_quota_trigger",
+    # r12: exact-substring REMOVAL — chunk-hash window + per-doc
+    # re-assembly (a different cost shape from dedup_substring's
+    # posting-count join: the window and the wide text rebuild).
+    "corpus_substring_dedup",
     # corpus_semdedup_components, corpus_quality_logreg_weights,
     # corpus_quality_calibration (dq_model_score_drift's scan + a
     # trivially different tail) and

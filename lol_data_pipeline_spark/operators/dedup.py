@@ -583,3 +583,86 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def substring_dedup(docs: DataFrame, c: int = 8) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", chunk-wise shape):
+    split each document into non-overlapping ``c``-token chunks, hash
+    each chunk, and keep only the GLOBALLY FIRST occurrence of every
+    chunk (order: doc_id, then chunk_idx — deterministic and
+    partition-independent); later occurrences are removed from their
+    documents and the cleaned text is re-assembled from the surviving
+    chunks in order. This upgrades substring_dup_stats from
+    measurement to action: a boilerplate paragraph shared by a
+    thousand pages survives in exactly one of them.
+
+    Returns (doc_id, n_chunks, n_removed, clean_text) with clean_text
+    NULL when every chunk of the document was removed.
+
+    Plan shape — posting lists, never pair generation: one chunking
+    projection (array-sliced lambda over the materialized token
+    array, no O(words²) shingling — chunks tile the doc), a
+    row_number window over the chunk-hash partitions (group size =
+    that chunk's posting list, bounded by duplication density, never
+    corpus-sized), and one per-doc re-assembly aggregate. Only
+    (doc_id, chunk_idx, chunk, h) rows shuffle. At 100 TB: both
+    exchanges are keyed hash shuffles (h, then doc_id) with AQE
+    handling hot boilerplate hashes; nothing collects.
+    """
+    from lol_data_pipeline_spark.functions.text import tokens
+
+    base = widen(docs).select("doc_id", tokens("text").alias("t"))
+    nch = F.ceil(F.size("t") / F.lit(float(c))).cast("int")
+    idx = F.when(nch > 0, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # explode_OUTER + null-drop (not plain explode) for the same
+    # InferFiltersFromGenerate reason substring_dup_stats documents
+    chunked = (
+        base.select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.array_join(
+                            F.slice("t", i * c + 1, F.lit(c)), " "
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch").isNotNull())
+        .select("doc_id", "ch.chunk_idx", "ch.chunk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(md5_long("chunk")).orderBy(
+        F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    )
+    ranked = chunked.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

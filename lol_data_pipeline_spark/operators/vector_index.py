@@ -161,11 +161,27 @@ def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return hashlib.md5(repr(sorted(stats)).encode()).hexdigest()
 
 
+def auto_cells(n: int, lo: int = 8) -> int:
+    """The k ∝ √N IVF sizing rule (SCALE.md), as CODE: the smallest
+    power of two k with k² ≥ n, clamped below at ``lo``. Exact
+    integer arithmetic (no float log2 near power boundaries), so a
+    SQL oracle reproduces the decision bit-for-bit — see
+    plans/round12.ann_index_autosize. Rationale: average cell size
+    n/k ≈ √n keeps probe cost (nprobe·n/k) and the Σ cell² pair
+    kernels (SemDeDup, compaction quota math) bounded by the build
+    rule instead of degrading superlinearly under a fixed k — the
+    measured fixed-k failure is PERF_NOTES.md's 15.1× 8× curve."""
+    k = lo
+    while k * k < n:
+        k <<= 1
+    return k
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
     path: str,
-    k: int = 8,
+    k: int | None = 8,
     rounds: int = 5,
     m: int = 8,
     dsub: int = 8,
@@ -182,6 +198,11 @@ def build_ivfpq_index(
     from lol_data_pipeline_spark.io import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if k is None:
+        # auto-size from the corpus: k ∝ √N (registry entries pin an
+        # explicit k so their unrolled cross-engine oracles stay
+        # static; production builds pass k=None)
+        k = auto_cells(emb.count())
     cents = kmeans_train(
         emb.filter(F.col("vec_id") % sample_mod == 0),
         k=k,
@@ -250,6 +271,17 @@ def ensure_ivfpq_index(
         k=8, rounds=5, m=8, dsub=8, ncent=16, sample_mod=4, dim=64
     )
     defaults.update(params)
+    if defaults["k"] is None or os.environ.get("SPARK_GRAFT_IVF_AUTOK"):
+        # resolve the k ∝ √N rule BEFORE the staleness compare so the
+        # sidecar records the concrete k it was built with.
+        # SPARK_GRAFT_IVF_AUTOK force-overrides pinned k — scale-probe
+        # use ONLY (tools/scale_probe.py): the unrolled SQL oracles
+        # assume the pinned k, so parity checks must run without it.
+        from lol_data_pipeline_spark.io import load_table
+
+        defaults["k"] = auto_cells(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
     try:
         with open(meta_path) as f:
             meta = json.load(f)

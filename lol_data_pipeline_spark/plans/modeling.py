@@ -1885,7 +1885,10 @@ _DSIR_B = 256  # hashed-feature buckets
 _DSIR_K = 50  # selected documents
 
 
-def _sql_dsir() -> str:
+def _sql_dsir_ctes() -> str:
+    """The WITH-chain through ``ranked`` (per-doc token count, integer
+    weight sum, snapped avg importance) — shared by the select and
+    sample oracles so the weight derivation exists once."""
     from lol_data_pipeline_spark.plans.extensions import (
         SQL_MD5_LONG,
         SQL_TOKS,
@@ -1927,32 +1930,32 @@ def _sql_dsir() -> str:
              CAST(sum(w.w_e6) AS BIGINT) AS sum_w_e6
       FROM tok t JOIN w ON w.bkt = t.bkt
       GROUP BY 1
-    )
-    SELECT doc_id, n_tokens, sum_w_e6,
-           CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_w
-    FROM scored ORDER BY avg_w DESC, doc_id LIMIT {_DSIR_K}
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, sum_w_e6,
+             CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE) AS avg_w
+      FROM scored
+    )"""
+
+
+def _sql_dsir() -> str:
+    return (
+        _sql_dsir_ctes()
+        + f"""
+    SELECT doc_id, n_tokens, sum_w_e6, avg_w
+    FROM ranked ORDER BY avg_w DESC, doc_id LIMIT {_DSIR_K}
     """
+    )
 
 
-@query("corpus_dsir_select", sql=_sql_dsir())
-def corpus_dsir_select(spark, sf_dir):
-    """DSIR-style DATA SELECTION (importance resampling toward a
-    target distribution, Xie et al. 2023 shape): hashed-unigram
-    bucket distributions are estimated for the TARGET slice (docs
-    meeting the length quality bar — the same signal the classifier
-    family trains on) and the RAW corpus; each bucket's importance
-    is the smoothed log-ratio ln(p_target/p_corpus), frozen to
-    fixed-point micro-nats BEFORE any aggregation (the
-    text_unigram_loglik determinism recipe); each document scores
-    the integer sum of its tokens' bucket weights and the top-{k}
-    per-token importers are selected. Production DSIR Gumbel-samples
-    with these same weights — the ranking IS the weight computation;
-    sampling is a hash draw away (corpus_sample_stratified's
-    deterministic-hash machinery). Plan: ONE explode+hash pass
-    (persisted — three aggregates and the scoring join read it; the
-    md5 work dominates rescans), two bounded-B bucket aggregates, a
-    1-row totals broadcast, and a broadcast scoring join — nothing
-    corpus² anywhere."""
+def _dsir_ranked(spark, sf_dir):
+    """Per-doc DSIR importance frame (doc_id, n_tokens, sum_w_e6,
+    avg_w) — the weight derivation shared by corpus_dsir_select and
+    corpus_dsir_sample. Plan: ONE explode+hash pass (persisted —
+    three aggregates and the scoring join read it; the md5 work
+    dominates rescans), two bounded-B bucket aggregates, a 1-row
+    totals broadcast, and a broadcast scoring join — nothing corpus²
+    anywhere."""
     from lol_data_pipeline_spark.caching import tracked_persist
     from lol_data_pipeline_spark.functions.scalar import md5_long
 
@@ -2001,15 +2004,115 @@ def corpus_dsir_select(spark, sf_dir):
             F.sum("w_e6").cast("long").alias("sum_w_e6"),
         )
     )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w_e6",
+        F.expr(
+            "CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+        ).alias("avg_w"),
+    )
+
+
+@query("corpus_dsir_select", sql=_sql_dsir())
+def corpus_dsir_select(spark, sf_dir):
+    """DSIR-style DATA SELECTION (importance resampling toward a
+    target distribution, Xie et al. 2023 shape): hashed-unigram
+    bucket distributions are estimated for the TARGET slice (docs
+    meeting the length quality bar — the same signal the classifier
+    family trains on) and the RAW corpus; each bucket's importance
+    is the smoothed log-ratio ln(p_target/p_corpus), frozen to
+    fixed-point micro-nats BEFORE any aggregation (the
+    text_unigram_loglik determinism recipe); each document scores
+    the integer sum of its tokens' bucket weights and the top-{k}
+    per-token importers are selected. Production DSIR Gumbel-samples
+    with these same weights — corpus_dsir_sample is that half; this
+    entry is the τ→0 limit (the pin
+    tests/test_modeling_ops.py::test_dsir_sample_recovers_select_at_zero_temperature
+    holds the two together). Plan shape: see _dsir_ranked."""
     return (
-        scored.select(
-            "doc_id",
-            "n_tokens",
-            "sum_w_e6",
-            F.expr(
-                "CAST(floor((CAST(sum_w_e6 AS DOUBLE) / n_tokens / CAST(1000000 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) / CAST(1000000 AS DOUBLE)"
-            ).alias("avg_w"),
-        )
+        _dsir_ranked(spark, sf_dir)
         .orderBy(F.desc("avg_w"), F.asc("doc_id"))
         .limit(_DSIR_K)
     )
+
+
+# Gumbel-top-k sampling temperature: score = w/τ + g, integerized as
+# w_e6·TAU_INV + g_e6 (τ = 1/TAU_INV). τ=0.25 sharpens toward the
+# high-importance head while keeping real sampling spread.
+_DSIR_TAU_INV = 4
+
+
+def _sql_dsir_sample() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    u = f"({SQL_MD5_LONG.format(expr=_DSIR_GUMBEL_KEY_SQL)} % 1000000 + 5e-1) / 1000000e0"
+    return (
+        _sql_dsir_ctes()
+        + f""",
+    perturbed AS (
+      SELECT doc_id, n_tokens, avg_w,
+             CAST(round(avg_w * 1000000) AS BIGINT) AS w_e6,
+             CAST(round(-ln(-ln({u})) * 1000000) AS BIGINT) AS g_e6
+      FROM ranked
+    )
+    SELECT doc_id, n_tokens, avg_w, g_e6,
+           w_e6 * {_DSIR_TAU_INV} + g_e6 AS score_e6
+    FROM perturbed ORDER BY score_e6 DESC, doc_id LIMIT {_DSIR_K}
+    """
+    )
+
+
+# the per-doc uniform draw's key — domain-tagged so this draw is
+# independent of every other hash family in the repo
+_DSIR_GUMBEL_KEY_SQL = "concat('gmb:', CAST(doc_id AS VARCHAR))"
+
+
+def _dsir_sample_frame(spark, sf_dir, tau_inv: int):
+    """The Gumbel-top-k frame at an arbitrary integer 1/τ — the
+    registry entry pins τ = 1/{_DSIR_TAU_INV}; the τ→0 test passes a
+    huge tau_inv and must recover corpus_dsir_select's ranking."""
+    from lol_data_pipeline_spark.functions.scalar import md5_long
+
+    u = (
+        F.pmod(
+            md5_long(F.concat(F.lit("gmb:"), F.col("doc_id").cast("string"))),
+            F.lit(1000000),
+        )
+        + F.expr("5e-1")
+    ) / F.expr("1000000e0")
+    ranked = _dsir_ranked(spark, sf_dir)
+    perturbed = ranked.select(
+        "doc_id",
+        "n_tokens",
+        "avg_w",
+        F.round(F.col("avg_w") * 1000000).cast("long").alias("w_e6"),
+        F.round(-F.log(-F.log(u)) * 1000000).cast("long").alias("g_e6"),
+    )
+    return (
+        perturbed.select(
+            "doc_id",
+            "n_tokens",
+            "avg_w",
+            "g_e6",
+            (F.col("w_e6") * tau_inv + F.col("g_e6")).alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+
+
+@query("corpus_dsir_sample", sql=_sql_dsir_sample())
+def corpus_dsir_sample(spark, sf_dir):
+    """DSIR's SAMPLING half (Xie et al. 2023): Gumbel-top-k draws
+    with the frozen micro-nat importance weights — score = w/τ + g,
+    integerized as w_e6·{tau_inv} + g_e6 so the comparison is exact
+    BIGINT arithmetic. The per-doc Gumbel g = −ln(−ln(u)) uses a
+    DETERMINISTIC uniform u = (md5₆₀('gmb:'||doc_id) mod 10⁶ + ½)/10⁶
+    (corpus_sample_stratified's hash machinery: partition- and
+    engine-independent, never exactly 0 or 1), rounded to micro-nats
+    before the integer perturbation. τ→0 (tau_inv→∞) recovers
+    corpus_dsir_select's pure importance ranking — pinned by test.
+    Plan: _dsir_ranked's bounded kernel + one hash/log projection;
+    the sort is the same top-k TakeOrdered as the select entry."""
+    return _dsir_sample_frame(spark, sf_dir, _DSIR_TAU_INV)

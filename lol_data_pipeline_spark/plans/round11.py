@@ -511,7 +511,13 @@ def ann_served_mmr_rerank(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _sql_index_compact() -> str:
+def _compact_chain_sql() -> tuple[str, str]:
+    """(prefix, cells): the WITH-chain build → decode → quota →
+    keep-rank → next-nearest reassignment, through ``newassign`` —
+    shared by the ann_index_compact oracle and the quota-trigger
+    oracle (plans/round12.py) so the two compaction derivations
+    cannot drift. Emitted text is byte-identical to what
+    _sql_index_compact inlined before the extraction."""
     from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
     from lol_data_pipeline_spark.plans.round9 import (
         _IVF_CELLS,
@@ -533,7 +539,7 @@ def _sql_index_compact() -> str:
         "list_inner_product({x}, {x}) - 2 * list_inner_product({x}, c.c) "
         "+ list_inner_product(c.c, c.c)"
     )
-    return (
+    prefix = (
         "WITH "
         + ",\n".join(ctes)
         + f""",
@@ -575,7 +581,16 @@ def _sql_index_compact() -> str:
     newassign AS (
       SELECT a.vec_id, CAST(COALESCE(s.to_cell, a.cluster) AS BIGINT) AS cell_id
       FROM {cells} a LEFT JOIN second s ON s.vec_id = a.vec_id
-    ),
+    )"""
+    )
+    return prefix, cells
+
+
+def _sql_index_compact() -> str:
+    prefix, _cells = _compact_chain_sql()
+    return (
+        prefix
+        + """,
     affcells AS (
       SELECT cluster AS cell FROM overq
       UNION

@@ -275,6 +275,34 @@ def test_dsir_weights_and_ranking_are_correct(spark, sf_dir):
         assert (w > 0) == (pt > pcv)
 
 
+def test_dsir_sample_recovers_select_at_zero_temperature(spark, sf_dir):
+    """τ→0 (tau_inv→∞): the importance term dominates every Gumbel
+    perturbation, so Gumbel-top-k degenerates to corpus_dsir_select's
+    pure ranking — the pin that holds the sampling half to the
+    selection half. Also checks the entry's own draw is a real
+    perturbation (some rank differs from the deterministic order,
+    else the noise is dead) and the Gumbel arithmetic is within the
+    analytic range implied by u ∈ [5e-7, 1-5e-7]."""
+    import math
+
+    from lol_data_pipeline_spark.plans.modeling import (
+        _dsir_sample_frame,
+    )
+
+    sel = [r.doc_id for r in REGISTRY["corpus_dsir_select"].fn(spark, sf_dir).collect()]
+    frozen = [
+        r.doc_id for r in _dsir_sample_frame(spark, sf_dir, 10**9).collect()
+    ]
+    assert frozen == sel
+    rows = REGISTRY["corpus_dsir_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(sel)
+    assert [r.doc_id for r in rows] != sel  # the draw perturbs
+    g_hi = -math.log(-math.log(1 - 5e-7)) * 1e6  # u max
+    g_lo = -math.log(-math.log(5e-7)) * 1e6  # u min
+    for r in rows:
+        assert g_lo - 1 <= r.g_e6 <= g_hi + 1
+
+
 def test_calibration_reconciles_with_eval(spark, sf_dir):
     """Band totals must cover the scored corpus, positives must sum
     to the confusion matrix's positive-label mass, and a calibrated-

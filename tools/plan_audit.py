@@ -128,6 +128,9 @@ CROSS_OK = {
     # 1-row leftover total crossJoined over the allocation frame
     "dq_model_score_drift",  # two 1-row cohort totals crossJoined
     # over the fixed 8-bin spine — the ann_index_stats scalar class
+    "ann_index_autosize",  # 1-row corpus-count broadcast over the
+    # 5-row scale ladder + a ≤5×32 exponent theta-grid — every input
+    # bounded by construction, nothing data-sized past the count
     "corpus_dsir_select",  # 1-row corpus/target token totals
     # crossJoined over the bounded B=256 bucket spine — the
     # dq_model_score_drift scalar-broadcast class
