@@ -270,6 +270,12 @@ HEADLINE = [
     # re-assembly (a different cost shape from dedup_substring's
     # posting-count join: the window and the wide text rebuild).
     "corpus_substring_dedup",
+    # r12: the served twin — batch-only chunking + one keyed join
+    # against the artifact's h column (chunk_index_stats NOT benched:
+    # stats policy; upsert/delete NOT benched: write-staging;
+    # stream_chunk_probe_multibatch NOT benched: the
+    # one-multibatch-representative policy).
+    "corpus_substring_dedup_served",
     # corpus_semdedup_components, corpus_quality_logreg_weights,
     # corpus_quality_calibration (dq_model_score_drift's scan + a
     # trivially different tail) and

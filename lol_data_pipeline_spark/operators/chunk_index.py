@@ -1,0 +1,250 @@
+"""Materialized exact-substring (chunk-hash) dedup index: build ONCE
+as a hash-bucket-partitioned chunk table + a JSON stats sidecar, then
+PROBE incoming document batches against it and MAINTAIN it with
+constant-partition-count rewrites — the EXACT-SUBSTRING member of the
+served-index family (quantization = operators/vector_index.py, graph
+= operators/graph_index.py, lexical = operators/text_index.py,
+near-dup = operators/minhash_index.py, exact substring = this).
+
+operators/dedup.substring_dedup is the one-shot GLOBAL removal (every
+chunk survives in exactly one document of the corpus); this module is
+its incremental production shape: the standing corpus's chunk hashes
+are AT REST and each incoming batch is cleaned against them without
+re-chunking a single standing document.
+
+- BUILD (once): one chunking pass over the index corpus →
+  (id, chunk_idx, h) rows, hive-partitioned by ``hb = h mod NB``
+  (NB constant) and h-sorted within files (a probe's hash point
+  predicates become row-group skipping), plus a sidecar with the
+  chunk width, bucket count, doc/chunk counts and source fingerprint.
+- PROBE (per batch): chunk ONLY the incoming batch, LEFT JOIN its
+  hashes against the persisted table's h column (2-column scan: h is
+  the only data column read; the text is never stored in the index —
+  the source corpus stays the single copy). A matched chunk is a
+  duplicated span; the batch doc's cleaned text re-assembles from its
+  unmatched chunks. Exact-match semantics: equal 60-bit md5 ⇔ equal
+  chunk text at any practical corpus size (the repo-wide md5_long
+  collision argument).
+- MAINTAIN: upsert/delete rewrite the CONSTANT ``NB`` bucket
+  partitions (replaced ids' stale rows purged first) — batch-sized
+  work at any corpus size, idempotent by construction.
+
+Reference parity: the reference persists fetched documents and
+re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
+contract, exact-substring axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.functions.scalar import md5_long
+from lol_data_pipeline_spark.io import (
+    load_table,
+    write_overwrite,
+    write_upsert_partitions,
+)
+from lol_data_pipeline_spark.operators.dedup import doc_chunks
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+CHUNK_ROOT = os.environ.get(
+    "SPARK_GRAFT_CHUNK_INDEX_DIR",
+    os.path.join(_REPO_ROOT, "spark-warehouse", "chunk_index"),
+)
+_META_NAME = "_chunk_meta.json"
+N_BUCKETS = 16  # constant partition count — the maintenance unit
+
+
+def chunks_path(path: str) -> str:
+    return os.path.join(path, "chunks")
+
+
+def _batch_chunk_rows(docs: DataFrame, c: int) -> DataFrame:
+    """(id, chunk_idx, h, hb) chunk-hash rows for a document frame —
+    the shared build/probe/maintain derivation (doc_chunks +
+    md5_long), so the three cannot drift."""
+    return doc_chunks(docs, c).select(
+        F.col("doc_id").alias("id"),
+        "chunk_idx",
+        md5_long("chunk").alias("h"),
+    ).withColumn("hb", F.pmod(F.col("h"), F.lit(N_BUCKETS)).cast("int"))
+
+
+def build_chunk_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    c: int = 8,
+    index_where: str = "",
+) -> dict:
+    """One chunking pass over the index corpus → hash-bucket-
+    partitioned chunk rows, h-sorted within files, + sidecar.
+    ``index_where`` (SQL over documents) selects the index side —
+    '' means the whole corpus."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if index_where:
+        docs = docs.filter(F.expr(index_where))
+    rows = (
+        _batch_chunk_rows(docs, c)
+        .repartition("hb")
+        .sortWithinPartitions("h")
+    )
+    write_overwrite(rows, chunks_path(path), partition_by=["hb"])
+    disk = spark.read.parquet(chunks_path(path))
+    agg = disk.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("id").alias("n_docs"),
+    ).collect()[0]
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir, table="documents"),
+        "params": {"c": c, "nb": N_BUCKETS, "index_where": index_where},
+        "n_docs": int(agg.n_docs),
+        "n_chunks": int(agg.n_chunks),
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_chunk_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    variant: str = "",
+    c: int = 8,
+    index_where: str = "",
+) -> tuple[str, dict]:
+    """Build-if-absent-or-stale (the vector_index.ensure_* contract),
+    keyed by corpus basename + optional variant; params + predicate
+    are part of the staleness check."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    root = root or CHUNK_ROOT
+    name = os.path.basename(os.path.normpath(sf_dir)) + (
+        f"_{variant}" if variant else ""
+    )
+    path = os.path.join(root, f"chunk_{name}")
+    meta_path = os.path.join(path, _META_NAME)
+    want_fp = _source_fingerprint(sf_dir, table="documents")
+    want_params = {"c": c, "nb": N_BUCKETS, "index_where": index_where}
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == want_params:
+            return path, meta
+    except (OSError, ValueError):
+        pass
+    os.makedirs(path, exist_ok=True)
+    meta = build_chunk_index(spark, sf_dir, path, c=c, index_where=index_where)
+    return path, meta
+
+
+def served_chunk_clean(
+    spark: SparkSession, path: str, meta: dict, batch_docs: DataFrame
+) -> DataFrame:
+    """Clean a document batch against the PERSISTED index: chunk only
+    the batch, LEFT JOIN its hashes against the artifact's h column
+    (distinct — one chunk may recur across standing docs), and
+    re-assemble each batch doc from its unmatched chunks. Returns
+    (doc_id, n_chunks, n_dup, clean_text) with clean_text NULL when
+    every chunk was already in the standing corpus — the incremental
+    twin of operators/dedup.substring_dedup (which removes globally;
+    this removes only what the standing corpus already has —
+    within-batch duplicates are the stream's next-epoch problem once
+    the batch itself is upserted)."""
+    c = meta["params"]["c"]
+    batch = doc_chunks(batch_docs, c).withColumn("h", md5_long("chunk"))
+    idx = (
+        spark.read.parquet(chunks_path(path))
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = batch.join(idx, "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("hit").isNull(),
+                                    F.struct("chunk_idx", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda x: x.chunk,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def chunk_index_upsert(
+    spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
+) -> dict:
+    """Merge a document batch into the persisted index: its chunk
+    rows land across the CONSTANT ``nb`` bucket partitions (existing
+    rows of replaced ids purged first — re-ingesting a changed
+    document replaces, never double-indexes) and the sidecar counts
+    update exactly. Idempotent."""
+    rows = _batch_chunk_rows(new_docs, meta["params"]["c"])
+    batch_ids = rows.select("id").distinct()
+    existing = spark.read.parquet(chunks_path(path))
+    replaced = existing.join(F.broadcast(batch_ids), "id").count()
+    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
+    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
+    write_upsert_partitions(merged, chunks_path(path), ["hb"])
+    disk = spark.read.parquet(chunks_path(path))
+    agg = disk.agg(
+        F.count("*").alias("n_chunks"), F.countDistinct("id").alias("n_docs")
+    ).collect()[0]
+    meta = dict(meta)
+    meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
+    meta["replaced_last_upsert"] = int(replaced)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def chunk_index_delete(
+    spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
+) -> dict:
+    """Take-down: remove a document batch's chunk rows from every
+    bucket partition and shrink the sidecar counts exactly.
+    Idempotent."""
+    ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
+    existing = spark.read.parquet(chunks_path(path))
+    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
+    write_upsert_partitions(keep, chunks_path(path), ["hb"])
+    disk = spark.read.parquet(chunks_path(path))
+    agg = disk.agg(
+        F.count("*").alias("n_chunks"), F.countDistinct("id").alias("n_docs")
+    ).collect()[0]
+    meta = dict(meta)
+    meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta

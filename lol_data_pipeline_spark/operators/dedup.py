@@ -585,6 +585,42 @@ def simhash_pairs(
     )
 
 
+def doc_chunks(docs: DataFrame, c: int = 8) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): each document tiled into
+    non-overlapping ``c``-token chunks (tail chunk may be shorter) —
+    the shared chunk derivation of substring_dedup (global removal)
+    and the served chunk-hash index (operators/chunk_index.py), so
+    the in-query and served substring-dedup semantics cannot
+    drift."""
+    from lol_data_pipeline_spark.functions.text import tokens
+
+    base = widen(docs).select("doc_id", tokens("text").alias("t"))
+    nch = F.ceil(F.size("t") / F.lit(float(c))).cast("int")
+    idx = F.when(nch > 0, F.sequence(F.lit(0), nch - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # explode_OUTER + null-drop (not plain explode) for the same
+    # InferFiltersFromGenerate reason substring_dup_stats documents
+    return (
+        base.select(
+            "doc_id",
+            F.explode_outer(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.array_join(
+                            F.slice("t", i * c + 1, F.lit(c)), " "
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch").isNotNull())
+        .select("doc_id", "ch.chunk_idx", "ch.chunk")
+    )
+
+
 def substring_dedup(docs: DataFrame, c: int = 8) -> DataFrame:
     """Exact-substring dedup REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", chunk-wise shape):
@@ -610,33 +646,7 @@ def substring_dedup(docs: DataFrame, c: int = 8) -> DataFrame:
     exchanges are keyed hash shuffles (h, then doc_id) with AQE
     handling hot boilerplate hashes; nothing collects.
     """
-    from lol_data_pipeline_spark.functions.text import tokens
-
-    base = widen(docs).select("doc_id", tokens("text").alias("t"))
-    nch = F.ceil(F.size("t") / F.lit(float(c))).cast("int")
-    idx = F.when(nch > 0, F.sequence(F.lit(0), nch - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    # explode_OUTER + null-drop (not plain explode) for the same
-    # InferFiltersFromGenerate reason substring_dup_stats documents
-    chunked = (
-        base.select(
-            "doc_id",
-            F.explode_outer(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        i.alias("chunk_idx"),
-                        F.array_join(
-                            F.slice("t", i * c + 1, F.lit(c)), " "
-                        ).alias("chunk"),
-                    ),
-                )
-            ).alias("ch"),
-        )
-        .filter(F.col("ch").isNotNull())
-        .select("doc_id", "ch.chunk_idx", "ch.chunk")
-    )
+    chunked = doc_chunks(docs, c)
     from pyspark.sql import Window
 
     w = Window.partitionBy(md5_long("chunk")).orderBy(

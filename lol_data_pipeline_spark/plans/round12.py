@@ -219,21 +219,28 @@ def ann_index_quota_trigger(spark, sf_dir):
 _CSD_C = 8  # chunk width in tokens (dedup_substring's window width)
 
 
-def _sql_substring_dedup() -> str:
-    from lol_data_pipeline_spark.plans.extensions import (
-        SQL_MD5_LONG,
-        SQL_TOKS,
-    )
+def _sql_chunk_cte(src: str = "documents") -> str:
+    """tok + chunks CTE pair: each document tiled into {c}-token
+    chunks — the SQL twin of operators/dedup.doc_chunks, shared by
+    the in-query removal oracle and every served-chunk-index
+    oracle."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_TOKS
 
     c = _CSD_C
-    return f"""
-    WITH tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    return f"""tok AS (SELECT doc_id, {SQL_TOKS} AS t FROM {src}),
     chunks AS (
       SELECT doc_id, CAST(i AS INT) AS chunk_idx,
              array_to_string(list_slice(t, i * {c} + 1, i * {c} + {c}), ' ') AS chunk
       FROM tok,
            unnest(generate_series(0, CAST(ceil(len(t) * 1.0 / {c}) AS BIGINT) - 1)) AS g(i)
-    ),
+    )"""
+
+
+def _sql_substring_dedup() -> str:
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    return f"""
+    WITH {_sql_chunk_cte()},
     ranked AS (
       SELECT doc_id, chunk_idx, chunk,
              row_number() OVER (
@@ -269,4 +276,277 @@ def corpus_substring_dedup(spark, sf_dir):
 
     return substring_dedup(T(spark, sf_dir, "documents"), c=_CSD_C).orderBy(
         "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# The EXACT-SUBSTRING axis joins the served-index family: a
+# materialized chunk-hash table (operators/chunk_index.py) probed by
+# incoming batches and maintained with constant-partition rewrites.
+# corpus_substring_dedup (the one-shot global removal) stays as the
+# whole-corpus form; these entries are its incremental production
+# shape — the standing corpus is never re-chunked.
+# ---------------------------------------------------------------------------
+
+_CSD_IDX_WHERE = "doc_id % 5 <> 0"  # the standing 80% index corpus
+_CHUP_LO, _CHUP_HI = 200, 220
+_CHUP_SHIFT = 150000
+_CHDEL_LO, _CHDEL_HI = 5, 30
+
+
+def _sql_chunk_clean(
+    head: str = "",
+    src: str = "documents",
+    new_cond: str = "doc_id % 5 = 0",
+    idx_cond: str = "doc_id % 5 <> 0",
+) -> str:
+    """The served-clean oracle, parameterized over the corpus CTE and
+    the two side predicates so the maintenance entries can point the
+    identical derivation at corpus∪batch / corpus∖doomed (the
+    _sql_minhash_probe pattern)."""
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    md5 = SQL_MD5_LONG.format(expr="chunk")
+    return f"""
+    WITH {head}{_sql_chunk_cte(src)},
+    hashed AS (SELECT doc_id, chunk_idx, chunk, {md5} AS h FROM chunks),
+    idx AS (SELECT DISTINCT h FROM hashed WHERE {idx_cond}),
+    flagged AS (
+      SELECT b.doc_id, b.chunk_idx, b.chunk, (i.h IS NOT NULL) AS dup
+      FROM (SELECT * FROM hashed WHERE {new_cond}) b LEFT JOIN idx i USING (h)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           nullif(coalesce(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY chunk_idx), ''), '') AS clean_text
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("corpus_substring_dedup_served", sql=_sql_chunk_clean())
+def corpus_substring_dedup_served(spark, sf_dir):
+    """Clean the daily batch (doc_id % 5 = 0) against the PERSISTED
+    chunk-hash index of the standing corpus (the other 80%) — the
+    served twin of corpus_substring_dedup, which re-chunks the whole
+    corpus per run. Here the standing side's chunk hashes are AT REST
+    (hash-bucket-partitioned, h-sorted — operators/chunk_index.py)
+    and the probe chunks ONLY the batch; a matched hash marks a
+    duplicated span and the cleaned text re-assembles from the rest.
+    At 100 TB the daily cost is batch-sized chunking + one keyed
+    equi-join against the artifact's single h column — the standing
+    corpus is never re-tokenized. The oracle re-derives both sides'
+    chunk hashes from the corpus."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        ensure_chunk_index,
+        served_chunk_clean,
+    )
+
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="probe", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return served_chunk_clean(spark, path, meta, batch)
+
+
+def _sql_chunk_upsert() -> str:
+    head = f"""alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_CHUP_SHIFT} AS doc_id, text FROM documents
+      WHERE doc_id >= {_CHUP_LO} AND doc_id < {_CHUP_HI}
+    ),
+    """
+    return _sql_chunk_clean(
+        head=head,
+        src="alldocs",
+        new_cond=f"doc_id % 5 = 0 AND doc_id < {_CHUP_SHIFT}",
+        idx_cond=f"doc_id % 5 <> 0 OR doc_id >= {_CHUP_SHIFT}",
+    )
+
+
+@query("chunk_index_upsert", sql=_sql_chunk_upsert())
+def chunk_index_upsert_entry(spark, sf_dir):
+    """Incremental SUBSTRING-index maintenance, verified through the
+    CLEAN path: a document batch (cloned docs under shifted ids — the
+    re-ingest shape) merges into the persisted chunk table (the
+    rewrite touches the CONSTANT nb=16 bucket partitions regardless
+    of batch or corpus size) and the standing batch clean re-runs
+    against the maintained artifact. Sharp by construction: the
+    clones of batch-side ids (200/205/210/215) enter the index with
+    IDENTICAL text, so those batch docs MUST come back fully
+    duplicated (clean_text NULL) — missed maintenance leaves their
+    spans 'clean', stale rows over-remove. Oracle recomputes both
+    sides over corpus∪batch. Idempotent; own index copy
+    (variant="upsert")."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        chunk_index_upsert,
+        ensure_chunk_index,
+        served_chunk_clean,
+    )
+
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="upsert", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(
+        F.col("doc_id").between(_CHUP_LO, _CHUP_HI - 1)
+    ).select((F.col("doc_id") + _CHUP_SHIFT).alias("doc_id"), "text")
+    meta = chunk_index_upsert(spark, path, meta, batch)
+    probe = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return served_chunk_clean(spark, path, meta, probe)
+
+
+def _sql_chunk_delete() -> str:
+    return _sql_chunk_clean(
+        idx_cond=(
+            f"doc_id % 5 <> 0 AND NOT (doc_id >= {_CHDEL_LO} "
+            f"AND doc_id < {_CHDEL_HI})"
+        ),
+    )
+
+
+@query("chunk_index_delete", sql=_sql_chunk_delete())
+def chunk_index_delete_entry(spark, sf_dir):
+    """SUBSTRING-index take-down, verified through the CLEAN path: a
+    doomed id range vanishes from every bucket partition, and spans
+    the batch previously shared ONLY with doomed docs come back clean
+    (a row-content check with teeth at both test scales). Oracle
+    recomputes the standing side over corpus∖doomed. Idempotent; own
+    index copy (variant="delete")."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        chunk_index_delete,
+        ensure_chunk_index,
+        served_chunk_clean,
+    )
+
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="delete", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    docs = T(spark, sf_dir, "documents")
+    doomed = docs.filter(
+        F.col("doc_id").between(_CHDEL_LO, _CHDEL_HI - 1)
+    ).select("doc_id")
+    meta = chunk_index_delete(spark, path, meta, doomed)
+    probe = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return served_chunk_clean(spark, path, meta, probe)
+
+
+def _sql_chunk_stats() -> str:
+    from lol_data_pipeline_spark.operators.chunk_index import N_BUCKETS
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    md5 = SQL_MD5_LONG.format(expr="chunk")
+    return f"""
+    WITH {_sql_chunk_cte()},
+    hashed AS (
+      SELECT doc_id, {md5} AS h FROM chunks WHERE {_CSD_IDX_WHERE}
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM hashed
+    )
+    SELECT CAST(h % {N_BUCKETS} AS INT) AS hb,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_h,
+           t.n_chunks AS meta_n_chunks,
+           t.n_docs AS meta_n_docs
+    FROM hashed, tot t
+    GROUP BY 1, t.n_chunks, t.n_docs ORDER BY hb
+    """
+
+
+@query("chunk_index_stats", sql=_sql_chunk_stats())
+def chunk_index_stats_entry(spark, sf_dir):
+    """SUBSTRING-index OBSERVABILITY: per-bucket row / distinct-hash
+    counts of the persisted artifact plus the sidecar totals — the
+    monitoring view for bucket skew (a hot hash bucket concentrates
+    probe-join work there; nb is the lever) and for sidecar drift
+    (totals are emitted from the SIDECAR, so a drifted count FAILS
+    the oracle — the exact-integer drift-fails-oracle design of
+    bm25_index_stats). Computed from the artifact's layout alone: one
+    aggregate over (hb, h, id), no text bytes."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        chunks_path,
+        ensure_chunk_index,
+    )
+
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="probe", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    disk = spark.read.parquet(chunks_path(path))
+    return (
+        disk.groupBy(F.col("hb").cast("int").alias("hb"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("h").cast("long").alias("n_distinct_h"),
+        )
+        .select(
+            "hb",
+            "n_rows",
+            "n_distinct_h",
+            F.lit(int(meta["n_chunks"])).cast("long").alias("meta_n_chunks"),
+            F.lit(int(meta["n_docs"])).cast("long").alias("meta_n_docs"),
+        )
+        .orderBy("hb")
+    )
+
+
+@query("stream_chunk_probe_multibatch", sql=_sql_chunk_clean())
+def stream_chunk_probe_multibatch(spark, sf_dir):
+    """STREAMING exact-substring gating: the daily batch (doc_id % 5
+    = 0) arrives as a four-micro-batch ordered replay; each epoch
+    chunks ONLY its documents, cleans them against the PERSISTED
+    chunk index (operators/chunk_index.py), and writes its cleaned
+    rows to an epoch-partitioned parquet sink (mode=overwrite per
+    epoch — exactly-once by idempotence). The clean is stateless per
+    batch, so the union of all epochs' outputs equals the one-shot
+    corpus_substring_dedup_served row-for-row — which is why this
+    entry shares its oracle. At 100 TB this is the ingest-time
+    substring gate: per trigger, batch-sized chunking + one keyed
+    equi-join; no streaming state accumulates."""
+    import os
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        ensure_chunk_index,
+        served_chunk_clean,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="probe", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id", "text"
+    )
+    parts = [
+        batch.filter(F.pmod(F.col("doc_id"), F.lit(20)) == i * 5)
+        for i in range(4)
+    ]
+    out = os.path.join(
+        os.path.dirname(path), f"stream_clean_{os.path.basename(path)}"
+    )
+    _sh.rmtree(out, ignore_errors=True)
+
+    def sink(df, epoch_id):
+        cleaned = served_chunk_clean(spark, path, meta, df)
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={int(epoch_id)}")
+        )
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"chunk_clean:{sf_dir}",
+        foreach_batch=sink,
+    )
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_chunks", "n_dup", "clean_text")
+        .orderBy("doc_id")
     )

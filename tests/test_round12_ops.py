@@ -114,3 +114,91 @@ def test_substring_dedup_planted_span_survives_once(spark):
         (r.clean_text or "").count(span) for r in out.values()
     )
     assert total_span == 1
+
+
+def test_chunk_index_artifact_layout(spark, sf_dir, tmp_path):
+    """Hive layout by hash bucket, h-sorted content, sidecar counts
+    equal to disk truth, and ensure() reuse without rebuild."""
+    import json
+    import os
+
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        chunks_path,
+        ensure_chunk_index,
+    )
+
+    root = str(tmp_path)
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, root=root, c=8, index_where="doc_id % 5 <> 0"
+    )
+    dirs = {
+        d for d in os.listdir(chunks_path(path)) if d.startswith("hb=")
+    }
+    assert dirs <= {f"hb={i}" for i in range(16)}
+    disk = spark.read.parquet(chunks_path(path))
+    assert disk.count() == meta["n_chunks"]
+    assert disk.select("id").distinct().count() == meta["n_docs"]
+    # only the standing side is indexed
+    assert disk.filter("id % 5 = 0").count() == 0
+    mtime = os.path.getmtime(os.path.join(path, "_chunk_meta.json"))
+    path2, meta2 = ensure_chunk_index(
+        spark, sf_dir, root=root, c=8, index_where="doc_id % 5 <> 0"
+    )
+    assert path2 == path and meta2 == meta
+    assert os.path.getmtime(os.path.join(path, "_chunk_meta.json")) == mtime
+
+
+def test_chunk_upsert_makes_clones_fully_dup(spark, sf_dir):
+    """After the upsert entry merges shifted clones of ids [200,220),
+    the standing batch docs among them (200/205/210/215) MUST come
+    back fully duplicated — the sharp maintenance check."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    rows = {r.doc_id: r for r in REGISTRY["chunk_index_upsert"].fn(spark, "/root/testdata/sf0.001").collect()}
+    clone_sources = [d for d in (200, 205, 210, 215) if d in rows]
+    assert clone_sources
+    for d in clone_sources:
+        assert rows[d].n_dup == rows[d].n_chunks
+        assert rows[d].clean_text is None
+    base = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_substring_dedup_served"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # maintenance only ADDS standing content: no doc gets cleaner
+    for d, r in rows.items():
+        assert r.n_dup >= base[d].n_dup
+
+
+def test_chunk_delete_only_loses_dup_flags(spark, sf_dir):
+    """After the delete entry removes standing ids [5,30), no probe
+    doc can be MORE duplicated than before, and the artifact holds no
+    doomed rows."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        CHUNK_ROOT,
+        chunks_path,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["chunk_index_delete"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    base = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_substring_dedup_served"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == set(base)
+    for d, r in rows.items():
+        assert r.n_dup <= base[d].n_dup
+        assert r.n_chunks == base[d].n_chunks
+    import os
+
+    path = os.path.join(CHUNK_ROOT, "chunk_sf0.001_delete")
+    disk = spark.read.parquet(chunks_path(path))
+    assert disk.filter("id >= 5 AND id < 30").count() == 0
