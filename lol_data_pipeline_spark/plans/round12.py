@@ -550,3 +550,121 @@ def stream_chunk_probe_multibatch(spark, sf_dir):
         .select("doc_id", "n_chunks", "n_dup", "clean_text")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_index_rebuild_decision — compact is the wrong response when the
+# codebook itself is stale; this is that adjudication, from the index
+# alone.
+# ---------------------------------------------------------------------------
+
+# rebuild when movers exceed 1/8 of the index: integer comparison
+# movers·8 > total (a skew so broad that compaction would rewrite a
+# corpus-sized fraction means the centroids no longer describe the
+# data — index_compact's own docstring caveat, now a coded decision).
+_RB_DEN = 8
+
+
+def _sql_rebuild_decision() -> str:
+    from lol_data_pipeline_spark.plans.extensions import kmeans_ctes
+    from lol_data_pipeline_spark.plans.queries import snap_sql
+    from lol_data_pipeline_spark.plans.round9 import (
+        _IVF_CELLS,
+        _KM_ROUNDS,
+        _SAMPLE_WHERE,
+    )
+
+    ctes = kmeans_ctes(
+        _IVF_CELLS,
+        assigns=_KM_ROUNDS + 1,
+        updates=_KM_ROUNDS,
+        dim=64,
+        train_where=_SAMPLE_WHERE,
+    )
+    cells = f"a{_KM_ROUNDS}"
+    frac = snap_sql("CAST(m.n_movers AS DOUBLE) / m.total")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    stats AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM {cells} GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST((sum(n) + {_IVF_CELLS - 1}) // {_IVF_CELLS} AS BIGINT) AS quota
+      FROM stats
+    ),
+    m AS (
+      SELECT t.total, t.quota,
+             CAST(sum(CASE WHEN s.n > t.quota THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cells,
+             CAST(sum(greatest(s.n - t.quota, 0)) AS BIGINT) AS n_movers
+      FROM stats s, tot t GROUP BY t.total, t.quota
+    )
+    SELECT total, quota, n_over_cells, n_movers,
+           {frac} AS mover_frac,
+           CASE WHEN n_movers * {_RB_DEN} > total THEN 'rebuild'
+                WHEN n_movers > 0 THEN 'compact'
+                ELSE 'none' END AS decision
+    FROM m
+    """
+    )
+
+
+@query("ann_index_rebuild_decision", sql=_sql_rebuild_decision())
+def ann_index_rebuild_decision(spark, sf_dir):
+    """The COMPACT-vs-REBUILD adjudication, from the index alone:
+    compaction rewrites donor∪receiver partitions, so when the
+    over-quota excess ("movers") exceeds 1/{den} of the index the
+    rewrite is corpus-fraction-sized and the real problem is a stale
+    codebook — rebuild (re-train centroids), don't shuffle members
+    between bad cells (index_compact's docstring caveat, now a coded
+    decision the monitoring cycle can act on). Emits one row: totals,
+    quota, over-quota cell count, mover count, mover fraction
+    (tie-safe snap) and the decision. Computed from the artifact's
+    partition layout alone (vec_id + cell_id — no vector bytes, no
+    source scan); integer comparison so both engines decide
+    identically. Composes with ann_index_quota_trigger ('compact'
+    branch) and ensure_ivfpq_index staleness ('rebuild' branch)."""
+    from lol_data_pipeline_spark.functions.scalar import snap
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+    )
+    from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
+
+    path, meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
+    k = meta["params"]["k"]
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.expr(f"CAST((sum(n) + {k - 1}) DIV {k} AS BIGINT)").alias("quota"),
+    )
+    m = (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("total", "quota")
+        .agg(
+            F.sum(F.when(F.col("n") > F.col("quota"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cells"),
+            F.sum(F.greatest(F.col("n") - F.col("quota"), F.lit(0)))
+            .cast("long")
+            .alias("n_movers"),
+        )
+    )
+    return m.select(
+        "total",
+        "quota",
+        "n_over_cells",
+        "n_movers",
+        snap(F.col("n_movers").cast("double") / F.col("total")).alias(
+            "mover_frac"
+        ),
+        F.when(F.col("n_movers") * _RB_DEN > F.col("total"), F.lit("rebuild"))
+        .when(F.col("n_movers") > 0, F.lit("compact"))
+        .otherwise(F.lit("none"))
+        .alias("decision"),
+    )

@@ -128,6 +128,8 @@ CROSS_OK = {
     # 1-row leftover total crossJoined over the allocation frame
     "dq_model_score_drift",  # two 1-row cohort totals crossJoined
     # over the fixed 8-bin spine — the ann_index_stats scalar class
+    "ann_index_rebuild_decision",  # 1-row total/quota broadcast over
+    # the ≤k per-cell counts — the ann_index_stats scalar class
     "ann_index_autosize",  # 1-row corpus-count broadcast over the
     # 5-row scale ladder + a ≤5×32 exponent theta-grid — every input
     # bounded by construction, nothing data-sized past the count
