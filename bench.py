@@ -276,6 +276,11 @@ HEADLINE = [
     # stream_chunk_probe_multibatch NOT benched: the
     # one-multibatch-representative policy).
     "corpus_substring_dedup_served",
+    # r12: decontamination off the at-rest n-gram index — the served
+    # A/B against corpus_decontaminate's full-corpus re-shingle
+    # (ann_index_rebuild_decision NOT benched: ≤k-row stats policy;
+    # ann_index_autosize NOT benched: literal-grid arithmetic).
+    "corpus_decontaminate_served",
     # corpus_semdedup_components, corpus_quality_logreg_weights,
     # corpus_quality_calibration (dq_model_score_drift's scan + a
     # trivially different tail) and

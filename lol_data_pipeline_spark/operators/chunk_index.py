@@ -248,3 +248,129 @@ def chunk_index_delete(
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _batch_ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(id, h, hb) per-doc DISTINCT word n-gram hashes — the sliding-
+    window sibling of _batch_chunk_rows (tiles answer substring
+    removal; overlapping n-grams answer benchmark-overlap questions,
+    corpus_decontaminate's semantics)."""
+    from lol_data_pipeline_spark.functions.text import word_shingle_arrays
+
+    sh = word_shingle_arrays(docs, n, "text", keep=["doc_id"])
+    return (
+        sh.select(
+            F.col("doc_id").alias("id"), F.explode_outer("sh_arr").alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("id", md5_long("s").alias("h"))
+        .withColumn("hb", F.pmod(F.col("h"), F.lit(N_BUCKETS)).cast("int"))
+    )
+
+
+def build_ngram_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n: int = 5,
+    index_where: str = "",
+) -> dict:
+    """One shingling pass over the index corpus → hash-bucket-
+    partitioned per-doc distinct n-gram hashes + sidecar. The
+    TRAINING side goes at rest here: benchmarks change, the corpus is
+    static, so contamination checks against a new benchmark must not
+    re-shingle 100 TB."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if index_where:
+        docs = docs.filter(F.expr(index_where))
+    rows = (
+        _batch_ngram_rows(docs, n)
+        .repartition("hb")
+        .sortWithinPartitions("h")
+    )
+    write_overwrite(rows, chunks_path(path), partition_by=["hb"])
+    disk = spark.read.parquet(chunks_path(path))
+    agg = disk.agg(
+        F.count("*").alias("n_grams"), F.countDistinct("id").alias("n_docs")
+    ).collect()[0]
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir, table="documents"),
+        "params": {"n": n, "nb": N_BUCKETS, "index_where": index_where},
+        "n_docs": int(agg.n_docs),
+        "n_grams": int(agg.n_grams),
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_ngram_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    variant: str = "",
+    n: int = 5,
+    index_where: str = "",
+) -> tuple[str, dict]:
+    """Build-if-absent-or-stale for the n-gram artifact (the
+    ensure_* contract; own path family so a chunk index and an n-gram
+    index over the same corpus coexist)."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    root = root or CHUNK_ROOT
+    name = os.path.basename(os.path.normpath(sf_dir)) + (
+        f"_{variant}" if variant else ""
+    )
+    path = os.path.join(root, f"ngram_{name}")
+    meta_path = os.path.join(path, _META_NAME)
+    want_fp = _source_fingerprint(sf_dir, table="documents")
+    want_params = {"n": n, "nb": N_BUCKETS, "index_where": index_where}
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == want_params:
+            return path, meta
+    except (OSError, ValueError):
+        pass
+    os.makedirs(path, exist_ok=True)
+    meta = build_ngram_index(spark, sf_dir, path, n=n, index_where=index_where)
+    return path, meta
+
+
+def served_contamination(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    bench_docs: DataFrame,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Contamination check of the AT-REST training corpus against a
+    benchmark frame: shingle only the benchmark (it is a test set —
+    small by nature), BROADCAST its distinct n-gram hashes into the
+    artifact's h column, count distinct shared grams per training doc.
+    Output (doc_id, n_shared, contaminated) matches
+    corpus_decontaminate row-for-row — which is why the served entry
+    shares its oracle verbatim. At 100 TB: one artifact h-column scan
+    × a broadcast hash set; the training corpus is never
+    re-tokenized."""
+    n = meta["params"]["n"]
+    bench = (
+        _batch_ngram_rows(bench_docs, n).select("h").distinct()
+    )
+    idx = spark.read.parquet(chunks_path(path)).select("id", "h")
+    return (
+        idx.join(F.broadcast(bench), "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= min_shared).alias("contaminated"),
+        )
+    )

@@ -668,3 +668,48 @@ def ann_index_rebuild_decision(spark, sf_dir):
         .otherwise(F.lit("none"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_decontaminate_served — the training corpus's n-gram hashes at
+# rest; benchmarks change, the corpus is static.
+# ---------------------------------------------------------------------------
+
+
+def _decontaminate_oracle() -> str:
+    import lol_data_pipeline_spark.plans.corpus  # noqa: F401  (registers)
+    from lol_data_pipeline_spark.plans.queries import REGISTRY
+
+    return REGISTRY["corpus_decontaminate"].sql
+
+
+@query("corpus_decontaminate_served", sql=_decontaminate_oracle())
+def corpus_decontaminate_served(spark, sf_dir):
+    """Benchmark decontamination SERVED from the at-rest n-gram index
+    (operators/chunk_index.build_ngram_index): the TRAINING side's
+    per-doc distinct 5-gram hashes are persisted hash-bucket-
+    partitioned (the right side to index — benchmarks change, the
+    corpus is static, and a new benchmark must not re-shingle
+    100 TB); the check shingles ONLY the benchmark (src0/src1 — a
+    test set, small by nature), broadcasts its distinct hashes into
+    the artifact's h column, and counts distinct shared grams per
+    training doc. Shares corpus_decontaminate's oracle VERBATIM
+    (served ≡ recompute, the dedup_minhash_served pattern); the
+    in-query twin stays as the comparison. At 100 TB: one artifact
+    h-column scan × a broadcast hash set vs the twin's full-corpus
+    re-shingle."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        ensure_ngram_index,
+        served_contamination,
+    )
+
+    path, meta = ensure_ngram_index(
+        spark,
+        sf_dir,
+        variant="decon",
+        n=5,
+        index_where="source NOT IN ('src0', 'src1')",
+    )
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    return served_contamination(spark, path, meta, bench, min_shared=3)
