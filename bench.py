@@ -281,6 +281,10 @@ HEADLINE = [
     # (ann_index_rebuild_decision NOT benched: ≤k-row stats policy;
     # ann_index_autosize NOT benched: literal-grid arithmetic).
     "corpus_decontaminate_served",
+    # r12: rolling uniques off the at-rest day registers — the served
+    # A/B against sketch_hll_rolling's raw-events re-sketch
+    # (sketch_hll_index_upsert/_retention NOT benched: write-staging).
+    "sketch_hll_served_rolling",
     # corpus_semdedup_components, corpus_quality_logreg_weights,
     # corpus_quality_calibration (dq_model_score_drift's scan + a
     # trivially different tail) and

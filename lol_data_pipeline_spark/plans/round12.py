@@ -713,3 +713,177 @@ def corpus_decontaminate_served(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source").isin("src0", "src1"))
     return served_contamination(spark, path, meta, bench, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# The SKETCH axis joins the served-index family: daily HLL registers
+# at rest (operators/sketch_index.py) — the production rollup shape
+# for "rolling uniques" (every window query is a register merge,
+# never a raw-events scan).
+# ---------------------------------------------------------------------------
+
+_HUP_USER_SHIFT = 1000000
+_HUP_MOD = 11  # the synthetic late-landing batch: event_id % 11 = 0
+
+
+def _sql_hll_rolling_chain(
+    src: str = "events", head: str = "", day_pred: str = ""
+) -> str:
+    """The du → registers → window merge → corrected estimate chain
+    (report_day, n_used, harmonic_s, hll_wau) — sketch_hll_rolling's
+    derivation minus its exact leg, parameterized over the events CTE
+    and an optional day predicate so the maintenance oracles can
+    point it at events∪batch / events∖retention."""
+    from lol_data_pipeline_spark.plans.sketches import (
+        _HLL_C,
+        _HLL_M,
+        _HLL_P,
+        _rho_case_sql,
+        SQL_MD5_LONG,
+    )
+
+    pred = f" WHERE {day_pred}" if day_pred else ""
+    return f"""
+    WITH {head}du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM {src}
+    ),
+    dud AS (SELECT * FROM du{pred}),
+    spine AS (SELECT DISTINCT day FROM dud),
+    h AS (
+      SELECT day, {SQL_MD5_LONG.format(expr="CAST(user_id AS VARCHAR)")} AS h
+      FROM dud
+    ),
+    day_regs AS (
+      SELECT day, h & {_HLL_M - 1} AS idx,
+             max({_rho_case_sql(f"(h >> {_HLL_P})")}) AS m_j
+      FROM h GROUP BY 1, 2
+    ),
+    win_regs AS (
+      SELECT s.day AS report_day, r.idx, max(r.m_j) AS m_j
+      FROM spine s JOIN day_regs r ON r.day BETWEEN s.day - 6 AND s.day
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT report_day,
+             CAST(count(*) AS BIGINT) AS n_used,
+             CAST(sum((CAST(1 AS BIGINT) << (53 - m_j)))
+               + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS harmonic_s
+      FROM win_regs GROUP BY 1
+    )
+    SELECT report_day, n_used, harmonic_s,
+           CASE WHEN {_HLL_C!r} / harmonic_s <= {2.5 * _HLL_M!r} AND n_used < {_HLL_M}
+                THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - n_used)), 2)
+                ELSE round({_HLL_C!r} / harmonic_s, 2) END AS hll_wau
+    FROM est ORDER BY report_day
+    """
+
+
+@query("sketch_hll_served_rolling", sql=_sql_hll_rolling_chain())
+def sketch_hll_served_rolling(spark, sf_dir):
+    """Rolling 7-day uniques SERVED from the persisted daily-register
+    sketch index (operators/sketch_index.py) — the production rollup:
+    sketch_hll_rolling derives the day registers from raw events
+    every run; here they are AT REST (day-partitioned — a daily batch
+    lands in exactly its own partitions) and the query is the
+    register-wise MAX merge + exact-integer harmonic estimate over
+    ≤ m rows per day, never an events scan. Same estimate tail as the
+    in-query twin (plans/sketches.hll_rolling_estimate — one
+    definition), so the oracle re-derives from raw events and the
+    served answer must match bit-for-bit. At 100 TB: the dashboard
+    cost is days × m register rows regardless of user cardinality or
+    event volume."""
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        served_hll_rolling,
+    )
+
+    path, _meta = ensure_hll_index(spark, sf_dir, variant="serve")
+    return served_hll_rolling(spark, path)
+
+
+def _sql_hll_upsert() -> str:
+    head = f"""allev AS (
+      SELECT user_id, ts FROM events
+      UNION ALL
+      SELECT user_id + {_HUP_USER_SHIFT} AS user_id,
+             ts + INTERVAL 30 DAY AS ts
+      FROM events WHERE event_id % {_HUP_MOD} = 0
+    ),
+    """
+    return _sql_hll_rolling_chain(src="allev", head=head)
+
+
+@query("sketch_hll_index_upsert", sql=_sql_hll_upsert())
+def sketch_hll_index_upsert(spark, sf_dir):
+    """SKETCH-index maintenance: a late-landing synthetic batch
+    (event_id % {mod} = 0, shifted +30 days under new user ids)
+    max-merges into the touched day partitions — idempotent by HLL's
+    defining property (register max is associative AND idempotent;
+    re-ingesting the same events is a no-op, the exactly-once
+    discipline for free) — then the rolling serve re-runs against the
+    maintained artifact. New report days appear and overlap-window
+    estimates shift exactly as the oracle (events∪batch recomputed
+    from raw) says they must. Fresh private copy per run
+    (variant="upsert", rebuilt) so the entry pins
+    build→merge→serve."""
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        hll_index_upsert,
+        served_hll_rolling,
+    )
+
+    path, meta = ensure_hll_index(spark, sf_dir, variant="upsert")
+    _sh.rmtree(path, ignore_errors=True)
+    path, meta = ensure_hll_index(spark, sf_dir, variant="upsert")
+    ev = T(spark, sf_dir, "events")
+    batch = ev.filter(F.col("event_id") % _HUP_MOD == 0).select(
+        (F.col("user_id") + _HUP_USER_SHIFT).alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    hll_index_upsert(spark, path, meta, batch)
+    return served_hll_rolling(spark, path)
+
+
+def _sql_hll_retention() -> str:
+    return _sql_hll_rolling_chain(
+        day_pred="day >= (SELECT min(day) + 7 FROM du)"
+    )
+
+
+@query("sketch_hll_index_retention", sql=_sql_hll_retention())
+def sketch_hll_index_retention(spark, sf_dir):
+    """SKETCH-index take-down: the retention policy drops every day
+    partition older than min(day)+7 — whole-directory removal, the
+    cheapest delete shape there is (day IS the partition key) — and
+    the rolling serve re-runs over what remains: report days near the
+    cut lose their older contributing days exactly as the oracle
+    (events∖retention recomputed from raw) says they must. Fresh
+    private copy per run (variant="retention", rebuilt): the drop is
+    a one-way mutation and the cutoff derives from the PRE-drop
+    artifact, so a deterministic entry must pin
+    build→drop→serve."""
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        hll_index_retention_drop,
+        regs_path,
+        served_hll_rolling,
+    )
+
+    path, meta = ensure_hll_index(spark, sf_dir, variant="retention")
+    _sh.rmtree(path, ignore_errors=True)
+    path, meta = ensure_hll_index(spark, sf_dir, variant="retention")
+    import datetime as _dt
+
+    min_day = (
+        spark.read.parquet(regs_path(path))
+        .agg(F.min("day").alias("mn"))
+        .collect()[0]["mn"]
+    )
+    hll_index_retention_drop(
+        spark, path, meta, keep_from=min_day + _dt.timedelta(days=7)
+    )
+    return served_hll_rolling(spark, path)

@@ -731,6 +731,61 @@ def rel_bloom_prejoin(spark, sf_dir):
     )
 
 
+def hll_day_registers(ev):
+    """(day, idx, m_j) daily HLL registers over an events frame — the
+    shared sketch derivation of sketch_hll_rolling and the persisted
+    sketch index (operators/sketch_index.py), so the in-query and
+    served forms cannot drift."""
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    h = du.select("day", md5_long(F.col("user_id").cast("string")).alias("h"))
+    return (
+        h.select(
+            "day",
+            F.col("h").bitwiseAND(_HLL_M - 1).alias("idx"),
+            _rho_case_col(F.shiftright("h", _HLL_P)).alias("rho"),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_rolling_estimate(day_regs, spine):
+    """report-day 7-day rolling HLL estimate from daily registers:
+    register-wise MAX merge per window, exact-integer harmonic sum,
+    linear-counting small-range correction. Returns (report_day,
+    n_used, harmonic_s, hll_wau) — the shared estimate tail of
+    sketch_hll_rolling (which joins the exact answer alongside) and
+    the served sketch-index entries (artifact-only, no exact leg)."""
+    win_regs = (
+        day_regs.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("report_day", F.expr("date_add(day, o)"))
+        .join(spine, "report_day")
+        .groupBy("report_day", "idx")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est = win_regs.groupBy("report_day").agg(
+        F.count("*").cast("long").alias("n_used"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
+            + (_HLL_M - F.count("*")) * F.lit(1 << 53).cast("long")
+        ).cast("long").alias("harmonic_s"),
+    )
+    raw = F.lit(_HLL_C) / F.col("harmonic_s")
+    # classic HLL small-range (linear counting) correction — see
+    # sketch_hll_rolling's docstring for the measured rationale
+    corrected = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_used") < _HLL_M),
+        F.round(
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("n_used"))),
+            2,
+        ),
+    ).otherwise(F.round(raw, 2))
+    return est.select(
+        "report_day", "n_used", "harmonic_s", corrected.alias("hll_wau")
+    )
+
+
 @query(
     "sketch_hll_rolling",
     sql=f"""
@@ -788,34 +843,13 @@ def sketch_hll_rolling(spark, sf_dir):
     actually works. Deterministic md5 registers + exact-integer
     harmonic sum, so the oracle reproduces the estimate bit-for-bit;
     the exact WAU rides alongside so the estimate's error is
-    visible in the result itself."""
+    visible in the result itself. Sketch + estimate live in the
+    shared helpers (hll_day_registers / hll_rolling_estimate) the
+    persisted sketch index serves from."""
     ev = T(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     spine = du.select("day").distinct().withColumnRenamed("day", "report_day")
-    h = du.select("day", md5_long(F.col("user_id").cast("string")).alias("h"))
-    day_regs = (
-        h.select(
-            "day",
-            F.col("h").bitwiseAND(_HLL_M - 1).alias("idx"),
-            _rho_case_col(F.shiftright("h", _HLL_P)).alias("rho"),
-        )
-        .groupBy("day", "idx")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    win_regs = (
-        day_regs.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
-        .withColumn("report_day", F.expr("date_add(day, o)"))
-        .join(spine, "report_day")
-        .groupBy("report_day", "idx")
-        .agg(F.max("m_j").alias("m_j"))
-    )
-    est = win_regs.groupBy("report_day").agg(
-        F.count("*").cast("long").alias("n_used"),
-        (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)"))
-            + (_HLL_M - F.count("*")) * F.lit(1 << 53).cast("long")
-        ).cast("long").alias("harmonic_s"),
-    )
+    est = hll_rolling_estimate(hll_day_registers(ev), spine)
     exact = (
         du.withColumn("o", F.explode(F.sequence(F.lit(0), F.lit(6))))
         .withColumn("report_day", F.expr("date_add(day, o)"))
@@ -823,20 +857,10 @@ def sketch_hll_rolling(spark, sf_dir):
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("long").alias("wau_exact"))
     )
-    raw = F.lit(_HLL_C) / F.col("harmonic_s")
-    # classic HLL small-range (linear counting) correction: for
-    # raw E <= 2.5m the raw estimator is badly biased upward (caught
-    # by the error-envelope test at sf0.001 where WAU=15 raw-scored
-    # ~190); with V = m - n_used empty registers, E = m*ln(m/V).
-    # Same expression both engines: ln of a ratio of exact integers.
-    corrected = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_used") < _HLL_M),
-        F.round(F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("n_used"))), 2),
-    ).otherwise(F.round(raw, 2))
     return est.join(exact, "report_day").select(
         "report_day",
         "wau_exact",
         "n_used",
         "harmonic_s",
-        corrected.alias("hll_wau"),
+        "hll_wau",
     )

@@ -202,3 +202,64 @@ def test_chunk_delete_only_loses_dup_flags(spark, sf_dir):
     path = os.path.join(CHUNK_ROOT, "chunk_sf0.001_delete")
     disk = spark.read.parquet(chunks_path(path))
     assert disk.filter("id >= 5 AND id < 30").count() == 0
+
+
+def test_hll_index_merge_idempotent(spark, sf_dir, tmp_path):
+    """Re-upserting the SAME batch leaves the registers bit-identical
+    (HLL register max is idempotent) — the exactly-once-for-free
+    property the module's maintenance story rests on."""
+    from lol_data_pipeline_spark.io import load_table
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        hll_index_upsert,
+        regs_path,
+    )
+
+    root = str(tmp_path)
+    path, meta = ensure_hll_index(spark, sf_dir, root=root)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("user_id") + 1000000).alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    meta = hll_index_upsert(spark, path, meta, batch)
+    snap1 = sorted(
+        (r.day, r.idx, r.m_j)
+        for r in spark.read.parquet(regs_path(path)).collect()
+    )
+    meta2 = hll_index_upsert(spark, path, meta, batch)
+    snap2 = sorted(
+        (r.day, r.idx, r.m_j)
+        for r in spark.read.parquet(regs_path(path)).collect()
+    )
+    assert snap1 == snap2
+    assert meta2["n_rows"] == meta["n_rows"]
+    # and merging a day's own events back is also a no-op
+    meta3 = hll_index_upsert(spark, path, meta2, ev.select("user_id", "ts"))
+    snap3 = sorted(
+        (r.day, r.idx, r.m_j)
+        for r in spark.read.parquet(regs_path(path)).collect()
+    )
+    assert snap3 == snap2
+
+
+def test_hll_served_matches_inquery_estimates(spark, sf_dir, tmp_path):
+    """The served rolling estimate equals the in-query twin's
+    estimate columns row-for-row (same report days, same n_used /
+    harmonic_s / hll_wau) — serve ≡ recompute."""
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        served_hll_rolling,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    path, _ = ensure_hll_index(spark, sf_dir, root=str(tmp_path))
+    served = {
+        r.report_day: (r.n_used, r.harmonic_s, r.hll_wau)
+        for r in served_hll_rolling(spark, path).collect()
+    }
+    inq = {
+        r.report_day: (r.n_used, r.harmonic_s, r.hll_wau)
+        for r in REGISTRY["sketch_hll_rolling"].fn(spark, sf_dir).collect()
+    }
+    assert served == inq
