@@ -887,3 +887,56 @@ def sketch_hll_index_retention(spark, sf_dir):
         spark, path, meta, keep_from=min_day + _dt.timedelta(days=7)
     )
     return served_hll_rolling(spark, path)
+
+
+@query("stream_hll_upsert_multibatch", sql=_sql_hll_upsert())
+def stream_hll_upsert_multibatch(spark, sf_dir):
+    """STREAMING sketch-index maintenance: the late-landing batch
+    (event_id % {mod} = 0, +30 days, new user ids) arrives as a
+    four-micro-batch ordered replay and each epoch MAX-MERGES its
+    day registers into the persisted sketch index through a
+    foreachBatch sink. HLL's register max makes this the cleanest
+    exactly-once story in the repo: a replayed epoch re-merges to
+    bit-identical registers with NO epoch bookkeeping at all (the
+    other index families need idempotent overwrites; this one is
+    algebraically idempotent). The post-stream artifact serves the
+    rolling estimate, which must equal the one-shot upsert entry
+    row-for-row — shared oracle (events∪batch recomputed from raw).
+    Own fresh index copy (variant="streamhll")."""
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        ensure_hll_index,
+        hll_index_upsert,
+        served_hll_rolling,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_hll_index(spark, sf_dir, variant="streamhll")
+    _sh.rmtree(path, ignore_errors=True)
+    path, meta = ensure_hll_index(spark, sf_dir, variant="streamhll")
+    ev = T(spark, sf_dir, "events")
+    batch = ev.filter(F.col("event_id") % _HUP_MOD == 0).select(
+        "event_id",
+        (F.col("user_id") + _HUP_USER_SHIFT).alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    parts = [
+        batch.filter(
+            F.expr(f"pmod(event_id DIV {_HUP_MOD}, 4)") == i
+        )
+        for i in range(4)
+    ]
+
+    def sink(df, _epoch_id):
+        hll_index_upsert(spark, path, meta, df.select("user_id", "ts"))
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"hll_upsert:{sf_dir}",
+        foreach_batch=sink,
+    )
+    return served_hll_rolling(spark, path)
