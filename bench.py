@@ -283,7 +283,10 @@ HEADLINE = [
     "corpus_decontaminate_served",
     # r12: rolling uniques off the at-rest day registers — the served
     # A/B against sketch_hll_rolling's raw-events re-sketch
-    # (sketch_hll_index_upsert/_retention NOT benched: write-staging).
+    # (sketch_hll_index_upsert/_retention NOT benched: write-staging;
+    # stream_hll_upsert_multibatch NOT benched: multibatch policy;
+    # corpus_ingest_gate_e2e NOT benched: composes three benched
+    # stages — the corpus_pipeline_e2e exclusion policy).
     "sketch_hll_served_rolling",
     # corpus_semdedup_components, corpus_quality_logreg_weights,
     # corpus_quality_calibration (dq_model_score_drift's scan + a

@@ -1,13 +1,18 @@
-"""Round-12 entries: the IVF sizing rule as a first-class decision
-operator, the monitor→action compaction loop, DSIR's sampling half,
-and exact-substring dedup REMOVAL.
+"""Round-12 entries: the IVF sizing rule as code (autosize decision
+table, quota-breach→compact trigger, compact-vs-rebuild
+adjudication), DSIR's Gumbel-sampling half, exact-substring dedup as
+REMOVAL plus its full served-index lifecycle (chunk-hash artifact:
+serve / upsert / delete / stats / stream), benchmark decontamination
+off an at-rest n-gram index, and the sketch axis served (daily HLL
+registers at rest: serve / max-merge upsert / retention / stream).
 
 Reference parity: the reference (zwilson999/lol_data_pipeline) has no
 vector-index or corpus-curation surface — these extend the engine's
 LLM-training-data pipeline family (SURVEY.md §2's "beyond the
 reference" mandate). Spark-first: every entry is DataFrame ops over
 the persisted artifacts; driver-side collects are bounded by
-construction (≤ k stats rows, 1-row counts)."""
+construction (≤ k stats rows, 1-row counts, calendar-bounded day
+lists)."""
 
 from __future__ import annotations
 
@@ -294,16 +299,15 @@ _CHUP_SHIFT = 150000
 _CHDEL_LO, _CHDEL_HI = 5, 30
 
 
-def _sql_chunk_clean(
+def _sql_chunk_flagged(
     head: str = "",
     src: str = "documents",
     new_cond: str = "doc_id % 5 = 0",
     idx_cond: str = "doc_id % 5 <> 0",
 ) -> str:
-    """The served-clean oracle, parameterized over the corpus CTE and
-    the two side predicates so the maintenance entries can point the
-    identical derivation at corpus∪batch / corpus∖doomed (the
-    _sql_minhash_probe pattern)."""
+    """WITH-chain through ``flagged`` (batch chunk rows with their
+    already-in-index dup flag) — shared by the served-clean oracles
+    and the ingest-gate capstone."""
     from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
 
     md5 = SQL_MD5_LONG.format(expr="chunk")
@@ -314,7 +318,20 @@ def _sql_chunk_clean(
     flagged AS (
       SELECT b.doc_id, b.chunk_idx, b.chunk, (i.h IS NOT NULL) AS dup
       FROM (SELECT * FROM hashed WHERE {new_cond}) b LEFT JOIN idx i USING (h)
-    )
+    )"""
+
+
+def _sql_chunk_clean(
+    head: str = "",
+    src: str = "documents",
+    new_cond: str = "doc_id % 5 = 0",
+    idx_cond: str = "doc_id % 5 <> 0",
+) -> str:
+    """The served-clean oracle, parameterized over the corpus CTE and
+    the two side predicates so the maintenance entries can point the
+    identical derivation at corpus∪batch / corpus∖doomed (the
+    _sql_minhash_probe pattern)."""
+    return f"""{_sql_chunk_flagged(head, src, new_cond, idx_cond)}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
@@ -940,3 +957,162 @@ def stream_hll_upsert_multibatch(spark, sf_dir):
         foreach_batch=sink,
     )
     return served_hll_rolling(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# corpus_ingest_gate_e2e — the INGEST-TIME capstone: every gate a new
+# batch must pass, each served from its persisted artifact.
+# ---------------------------------------------------------------------------
+
+
+def _sql_ingest_gate() -> str:
+    from lol_data_pipeline_spark.plans.extensions import (
+        SQL_MD5_LONG,
+        SQL_TOKS,
+    )
+    from lol_data_pipeline_spark.plans.modeling import _sql_lr_scored
+
+    # decontamination chain, d-prefixed: mirrors corpus_decontaminate's
+    # oracle (distinct 5-gram overlap ≥ 3 vs src0/src1) with renamed
+    # CTEs — the chunk chain already owns the names tok/chunks
+    decon = f"""dtok AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    dsh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               list_transform(generate_series(1, greatest(0, len(t) - 4)),
+                              i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS s
+      FROM dtok
+    ),
+    dbench AS (SELECT DISTINCT s FROM dsh WHERE source IN ('src0', 'src1')),
+    dhits AS (
+      SELECT dsh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM dsh JOIN dbench ON dbench.s = dsh.s
+      WHERE dsh.source NOT IN ('src0', 'src1')
+      GROUP BY 1
+    )"""
+    return (
+        _sql_chunk_flagged()
+        + ",\n    "
+        + _sql_lr_scored().lstrip()
+        + ",\n    "
+        + decon
+        + f""",
+    cstats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      FROM flagged GROUP BY doc_id
+    ),
+    gate AS (
+      SELECT s.doc_id, s.source,
+             s.pred AS q_pred,
+             c.n_chunks, c.n_dup,
+             COALESCE(h.n_shared >= 3, FALSE) AS contaminated
+      FROM scored s
+      JOIN cstats c USING (doc_id)
+      LEFT JOIN dhits h USING (doc_id)
+      WHERE s.doc_id % 5 = 0
+    )
+    SELECT doc_id, source, q_pred, n_chunks, n_dup, contaminated,
+           CASE WHEN source IN ('src0', 'src1') THEN 'reject:benchmark_source'
+                WHEN contaminated THEN 'reject:contaminated'
+                WHEN 2 * n_dup >= n_chunks THEN 'reject:substring_dup'
+                WHEN q_pred = 0 THEN 'reject:low_quality'
+                ELSE 'accept' END AS decision
+    FROM gate ORDER BY doc_id
+    """
+    )
+
+
+@query("corpus_ingest_gate_e2e", sql=_sql_ingest_gate())
+def corpus_ingest_gate_e2e(spark, sf_dir):
+    """The INGEST-GATE capstone: the daily batch (doc_id % 5 = 0)
+    passes every acceptance gate a production training-data pipeline
+    runs at the door, each served from its persisted artifact —
+    (1) benchmark-source exclusion, (2) contamination (≥3 distinct
+    5-grams shared with the eval slice — the decontamination rule,
+    checked via the served n-gram machinery), (3) exact-substring
+    duplication against the standing corpus's chunk index (reject at
+    ≥50% duplicated chunks — integer compare), (4) the trained
+    quality classifier's sidecar weights. Emits per batch doc the
+    gate evidence and the FIRST-failing-gate decision (precedence:
+    benchmark_source > contaminated > substring_dup > low_quality >
+    accept). The batch-side twin of corpus_training_data_e2e (which
+    curates the standing corpus); the oracle chains the chunk-flag,
+    LR-training-unroll and decontamination derivations end-to-end.
+    At 100 TB the per-batch cost is batch-sized chunking/shingling/
+    scoring + one artifact h-column join — no standing-corpus
+    re-tokenization anywhere."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        ensure_chunk_index,
+        served_chunk_clean,
+    )
+    from lol_data_pipeline_spark.plans.modeling import (
+        _lr_scored_over,
+        ensure_lr_model,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    # gate 4: quality, served weights (stateless pure projection)
+    w = ensure_lr_model(spark, sf_dir)
+    scored = _lr_scored_over(batch, w).select("doc_id", F.col("pred").alias("q_pred"))
+    # gate 3: substring duplication vs the standing chunk index
+    path, meta = ensure_chunk_index(
+        spark, sf_dir, variant="probe", c=_CSD_C, index_where=_CSD_IDX_WHERE
+    )
+    cstats = served_chunk_clean(spark, path, meta, batch).select(
+        "doc_id", "n_chunks", "n_dup"
+    )
+    # gate 2: contamination — the decontamination rule over the
+    # batch's shingles vs the (small, broadcast) benchmark slice
+    from lol_data_pipeline_spark.functions import text as tx
+
+    sh = (
+        tx.word_shingle_arrays(docs, 5, "text", keep=["doc_id", "source"])
+        .select("doc_id", "source", F.explode_outer("sh_arr").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    bench = sh.filter(F.col("source").isin("src0", "src1")).select("s").distinct()
+    hits = (
+        sh.filter(~F.col("source").isin("src0", "src1"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    gate = (
+        batch.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .join(cstats, "doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "q_pred",
+            "n_chunks",
+            "n_dup",
+            F.coalesce(F.col("n_shared") >= 3, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+    return gate.select(
+        "doc_id",
+        "source",
+        "q_pred",
+        "n_chunks",
+        "n_dup",
+        "contaminated",
+        F.when(
+            F.col("source").isin("src0", "src1"),
+            F.lit("reject:benchmark_source"),
+        )
+        .when(F.col("contaminated"), F.lit("reject:contaminated"))
+        .when(
+            2 * F.col("n_dup") >= F.col("n_chunks"),
+            F.lit("reject:substring_dup"),
+        )
+        .when(F.col("q_pred") == 0, F.lit("reject:low_quality"))
+        .otherwise(F.lit("accept"))
+        .alias("decision"),
+    ).orderBy("doc_id")
