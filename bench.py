@@ -262,10 +262,12 @@ HEADLINE = [
     # gate (model sidecar) -> SemDeDup drop (index cells) -> BPE
     # tokenize (vocab sidecar) -> per-source packing.
     "corpus_training_data_e2e",
-    # r12: the closed maintenance loop (fresh build + stats gate +
-    # compaction — the build dominates; ann_index_autosize is NOT
-    # benched: one count aggregate + a ≤5×32 literal grid).
-    "ann_index_quota_trigger",
+    # r12: ann_index_quota_trigger is NOT benched — its wall is two
+    # fresh private index builds + a bounded partition rewrite per
+    # run (write staging, no query-engine signal: the ann_index_
+    # compact exclusion policy; measured 10-14 s of pure build).
+    # ann_index_autosize is NOT benched: one count aggregate + a
+    # ≤5×32 literal grid.
     # r12: exact-substring REMOVAL — chunk-hash window + per-doc
     # re-assembly (a different cost shape from dedup_substring's
     # posting-count join: the window and the wide text rebuild).
