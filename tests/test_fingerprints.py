@@ -241,3 +241,18 @@ def test_unstamped_green_violations_exempts_untracked_records():
     assert "old_entry" in uf.unstamped_green_violations(
         green_by_record, tracked, {"new_entry": "f" * 32}, names
     )
+
+
+def test_stamp_count_matches_registry():
+    """Round-boundary hygiene (r12 verdict item 4): every registry entry
+    must carry a fingerprint stamp, so a round never closes with
+    unstamped green entries silently resting outside the rotation."""
+    import __spark_entry__ as entry
+
+    with open("tools/green_fingerprints.json") as fh:
+        stamps = json.load(fh)
+    registry = set(entry.queries())
+    missing = registry - set(stamps)
+    extra = set(stamps) - registry
+    assert not missing, f"unstamped registry entries: {sorted(missing)[:10]}"
+    assert not extra, f"stamps for removed entries: {sorted(extra)[:10]}"
