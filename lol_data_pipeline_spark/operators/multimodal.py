@@ -317,3 +317,117 @@ def frame_sample(features: DataFrame, every_n: int = 5) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image near-dup — the "dedup × multimodal"
+# cell of the north-star matrix (r12 verdict item 5). The BMP path is
+# uncompressed, so real pixel bytes round-trip without any codec:
+# synthesize → parse → hash is a genuine byte-level derivation, and
+# the DuckDB oracle recomputes the SAME hash from the pixel
+# arithmetic alone — equal results prove the byte round trip.
+# ---------------------------------------------------------------------------
+
+# dHash geometry: 9×8 grayscale grid → 64 column-difference bits.
+# 9-wide rows make the BMP row stride 27 bytes → padded to 28, so the
+# parser's padding handling is actually exercised.
+DHASH_W, DHASH_H = 9, 8
+
+
+def _gray(src_id: int, x: int, y: int) -> int:
+    """Deterministic pixel field: md5-mixed per (id, x, y) so two
+    images' bit patterns are independent (a linear field would make
+    every pair differ only at mod-256 wraparounds — structured false
+    near-dups). Shares the repo-wide md5_long twin arithmetic
+    (functions/scalar.md5_long ↔ SQL_MD5_LONG)."""
+    import hashlib
+
+    s = f"g:{src_id}:{x}:{y}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 256
+
+
+def synthesize_gray_bmp(src_id: int, perturb: bool = False) -> bytes:
+    """A REAL 24-bit uncompressed BMP (bottom-up rows, 4-byte row
+    stride) whose grayscale pixel field derives from the id;
+    ``perturb`` flips pixel (0,0) by +128 — the 1-pixel near-dup
+    twin (dHash is column-local, so the twin differs in at most ONE
+    bit)."""
+    row_pad = (4 - (DHASH_W * 3) % 4) % 4
+    rows = []
+    for y in range(DHASH_H - 1, -1, -1):  # BMP stores bottom-up
+        row = bytearray()
+        for x in range(DHASH_W):
+            g = _gray(src_id, x, y)
+            if perturb and x == 0 and y == 0:
+                g = (g + 128) % 256
+            row += bytes((g, g, g))  # BGR, all channels = gray
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    pixels = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, DHASH_W, DHASH_H, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixels), 0, 0, 54)
+    return head + dib + pixels
+
+
+def parse_bmp_gray(payload: bytes) -> list[list[int]]:
+    """Read the grayscale grid back from the BMP bytes (top-down
+    row-major), honoring the pixel-data offset, 4-byte row stride,
+    and bottom-up vs top-down (negative height) orientation — the
+    uncompressed-BMP subset of a real decoder."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    top_down, h = h < 0, abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    grid = [[0] * w for _ in range(h)]
+    for r in range(h):
+        y = r if top_down else h - 1 - r
+        base = off + r * stride
+        for x in range(w):
+            grid[y][x] = payload[base + x * 3]  # blue channel = gray
+    return grid
+
+
+def dhash64(grid: list[list[int]]) -> int:
+    """Difference hash: bit (y·8+x) set iff gray(x+1,y) > gray(x,y).
+    Returned as a SIGNED int64 in two's complement (bit 63 = sign) —
+    the simhash representation, so operators/dedup.hamming_pairs and
+    the DuckDB xor/bit_count oracle math apply verbatim."""
+    u = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if grid[y][x + 1] > grid[y][x]:
+                u |= 1 << (y * (DHASH_W - 1) + x)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def media_dhash_frame(media: DataFrame) -> DataFrame:
+    """(id, simhash) dHash signatures for a media-id frame
+    (media_id, src, perturb): per batch row, synthesize the BMP
+    bytes, parse the pixels BACK OUT of the bytes, and hash — the
+    full byte round trip, Arrow-batched (mapInPandas), never
+    row-at-a-time UDFs. At scale the synthesize step is replaced by
+    reading the binary column; parse+hash cost is per-image O(w·h)
+    and embarrassingly partition-parallel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                dhash64(
+                    parse_bmp_gray(
+                        synthesize_gray_bmp(int(s), bool(p))
+                    )
+                )
+                for s, p in zip(pdf["src"], pdf["perturb"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["media_id"].astype("int64"),
+                    "simhash": pd.array(sigs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema="id long, simhash long")

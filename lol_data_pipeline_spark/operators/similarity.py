@@ -883,7 +883,14 @@ def mmr_greedy(pool: DataFrame, lam: float, k: int) -> DataFrame:
         def r6(x):
             # Spark round(x, 6) on DOUBLE: BigDecimal(Double.toString
             # (x)).setScale(6, HALF_UP) — shortest-repr decimal, then
-            # half-up. repr() is Python's shortest-repr twin.
+            # half-up. repr() is Python's shortest-repr twin. CAVEAT
+            # (r12 ADVICE): Double.toString is only guaranteed
+            # shortest-repr on JDK >= 19 (Ryu); on the pinned JDK 17
+            # runtime it can emit non-shortest strings for rare
+            # boundary doubles, where this twin could diverge by one
+            # ulp at the 6th decimal. The gate data never hits such a
+            # value; a deployment on a different JDK should re-run
+            # tests/test_round11_ops.py's kernel-equivalence check.
             return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
         def snap6(x):
@@ -916,21 +923,33 @@ def mmr_greedy(pool: DataFrame, lam: float, k: int) -> DataFrame:
             if not remaining:
                 break
             for i in remaining:
-                ps = r6(
-                    sdot(vecs[i], vecs[last]) / (norms[i] * norms[last])
-                )
+                den = norms[i] * norms[last]
+                if den == 0.0:
+                    # zero-norm vector: the Spark plan's cosine is
+                    # NULL and F.max ignores it — skip the pair
+                    # instead of raising ZeroDivisionError (r12
+                    # ADVICE), leaving div[i] as-is
+                    continue
+                ps = r6(sdot(vecs[i], vecs[last]) / den)
                 if div[i] is None or ps > div[i]:
                     div[i] = ps
-            best = min(
-                remaining,
-                key=lambda i: (-snap6((lam * rels[i]) - (mu * div[i])), cands[i]),
-            )
+
+            def _key(i):
+                # div[i] None (every pair NULL) -> NULL score, which
+                # Spark's desc ordering places LAST; tie-break cand asc
+                if div[i] is None:
+                    return (1, 0.0, cands[i])
+                return (0, -snap6((lam * rels[i]) - (mu * div[i])), cands[i])
+
+            best = min(remaining, key=_key)
             out.append(
                 (
                     qid,
                     cands[best],
                     rels[best],
-                    snap6((lam * rels[best]) - (mu * div[best])),
+                    None
+                    if div[best] is None
+                    else snap6((lam * rels[best]) - (mu * div[best])),
                     t,
                 )
             )

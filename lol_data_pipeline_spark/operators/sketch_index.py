@@ -179,22 +179,26 @@ def hll_index_retention_drop(
     (a date) — the take-down shape for pre-aggregated telemetry.
     Idempotent."""
     disk = spark.read.parquet(regs_path(path))
-    doomed = [
-        r.day
-        for r in disk.select("day").distinct().collect()
-        if r.day < keep_from
-    ]
+    days = [r.day for r in disk.select("day").distinct().collect()]
+    doomed = [d for d in days if d < keep_from]
     for d in doomed:
         shutil.rmtree(
             os.path.join(regs_path(path), f"day={d.isoformat()}"),
             ignore_errors=True,
         )
-    disk = spark.read.parquet(regs_path(path))
-    agg = disk.agg(
-        F.count("*").alias("n_rows"), F.countDistinct("day").alias("n_days")
-    ).collect()[0]
     meta = dict(meta)
-    meta["n_days"], meta["n_rows"] = int(agg.n_days), int(agg.n_rows)
+    if len(doomed) == len(days):
+        # keep_from beyond the newest day: every partition dropped —
+        # re-reading the emptied directory would throw (unable to
+        # infer schema) and leave the sidecar stale (r12 ADVICE).
+        meta["n_days"], meta["n_rows"] = 0, 0
+    else:
+        disk = spark.read.parquet(regs_path(path))
+        agg = disk.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("day").alias("n_days"),
+        ).collect()[0]
+        meta["n_days"], meta["n_rows"] = int(agg.n_days), int(agg.n_rows)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta

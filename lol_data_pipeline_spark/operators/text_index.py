@@ -282,7 +282,11 @@ def bm25_index_upsert(
             .join(F.broadcast(batch_ids), "doc_id", "left_anti")
             .localCheckpoint()
         )
-        write_upsert_partitions(keep, postings_path(path), ["tb"])
+        # must_rewrite: a dirty bucket whose every posting belonged
+        # to replaced ids would otherwise keep stale rows (r12 ADVICE)
+        write_upsert_partitions(
+            keep, postings_path(path), ["tb"], must_rewrite=dirty
+        )
     dbs = _affected(lens, "db")
     exist_l = (
         spark.read.parquet(doclens_path(path))

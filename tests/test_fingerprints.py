@@ -244,15 +244,40 @@ def test_unstamped_green_violations_exempts_untracked_records():
 
 
 def test_stamp_count_matches_registry():
-    """Round-boundary hygiene (r12 verdict item 4): every registry entry
-    must carry a fingerprint stamp, so a round never closes with
-    unstamped green entries silently resting outside the rotation."""
+    """Round-boundary hygiene (r12 verdict item 4): every entry the
+    latest driver correctness record marked green must carry a
+    fingerprint stamp (r12 closed with 19 green-but-unstamped
+    entries), and no stamp may name a removed entry. Entries newer
+    than the latest record are legitimately unstamped — they have no
+    green evidence yet."""
+    import glob
+    import re
+
     import __spark_entry__ as entry
 
     with open("tools/green_fingerprints.json") as fh:
         stamps = json.load(fh)
     registry = set(entry.queries())
-    missing = registry - set(stamps)
     extra = set(stamps) - registry
-    assert not missing, f"unstamped registry entries: {sorted(missing)[:10]}"
     assert not extra, f"stamps for removed entries: {sorted(extra)[:10]}"
+    recs = sorted(
+        glob.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    if not recs:
+        return
+    rec = json.load(open(recs[-1]))
+    rows = rec if all(isinstance(v, dict) for v in rec.values()) else {}
+    green = {
+        n
+        for n, r in rows.items()
+        if isinstance(r, dict)
+        and r.get("err") is None
+        and r.get("rows_match")
+        and r.get("schema_match") is not False
+        and r.get("hash_match") is not False
+    }
+    unstamped_green = (green & registry) - set(stamps)
+    assert not unstamped_green, (
+        f"driver-green entries left unstamped: {sorted(unstamped_green)[:10]}"
+    )

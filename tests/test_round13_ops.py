@@ -1,0 +1,290 @@
+"""Round-13 regression tests for the r12 ADVICE items: emptied
+partitions must not survive delete/purge paths (dynamic partition
+overwrite only rewrites partitions PRESENT in the written frame),
+the MMR kernel must tolerate zero-norm vectors like the Spark plan
+it replaced (NULL cosine, ignored by max), and HLL retention must
+survive dropping every partition."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chunk_delete_drops_emptied_buckets(spark, tmp_path):
+    """Delete every doc whose chunks exclusively own some hash bucket
+    — the stale rows in that bucket must be gone from disk (r12
+    ADVICE medium: dynamic overwrite never rewrites a partition with
+    zero surviving rows)."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        build_chunk_index,
+        chunk_index_delete,
+        chunks_path,
+    )
+
+    path = str(tmp_path / "chunk")
+    os.makedirs(path, exist_ok=True)
+    meta = build_chunk_index(
+        spark, "/root/testdata/sf0.001", path, c=2,
+        index_where="doc_id IN (1, 2, 3)",
+    )
+    pre = spark.read.parquet(chunks_path(path))
+    owned = {
+        int(r.hb)
+        for r in pre.filter("id = 1").select("hb").distinct().collect()
+    }
+    shared = {
+        int(r.hb)
+        for r in pre.filter("id <> 1").select("hb").distinct().collect()
+    }
+    exclusive = owned - shared
+    assert exclusive, "fixture must give doc 1 an exclusively-owned bucket"
+    doomed = spark.createDataFrame([(1,)], "doc_id long")
+    meta = chunk_index_delete(spark, path, meta, doomed)
+    post = spark.read.parquet(chunks_path(path))
+    assert post.filter("id = 1").count() == 0, "stale doomed rows on disk"
+    for hb in exclusive:
+        assert not os.path.isdir(
+            os.path.join(chunks_path(path), f"hb={hb}")
+        ), f"emptied partition hb={hb} survived on disk"
+    assert meta["n_docs"] == 2
+    assert meta["n_chunks"] == post.count()
+
+
+def test_chunk_delete_everything_zeroes_sidecar(spark, tmp_path):
+    """Deleting the entire standing set drops every partition and
+    the sidecar records zero — no schema-inference crash on the
+    emptied directory."""
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        build_chunk_index,
+        chunk_index_delete,
+        chunks_path,
+    )
+
+    path = str(tmp_path / "chunk_all")
+    os.makedirs(path, exist_ok=True)
+    meta = build_chunk_index(
+        spark, "/root/testdata/sf0.001", path, c=2,
+        index_where="doc_id IN (1, 2)",
+    )
+    doomed = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    meta = chunk_index_delete(spark, path, meta, doomed)
+    assert meta["n_docs"] == 0 and meta["n_chunks"] == 0
+    leftover = [
+        d for d in os.listdir(chunks_path(path)) if d.startswith("hb=")
+    ]
+    assert leftover == []
+
+
+def test_minhash_delete_drops_emptied_bands(spark, tmp_path):
+    """Every doc has one bucket row per band, so deleting the whole
+    standing set empties EVERY band partition — all must vanish and
+    the sidecar count must hit zero without crashing."""
+    from lol_data_pipeline_spark.operators.minhash_index import (
+        build_minhash_index,
+        buckets_path,
+        minhash_index_delete,
+    )
+
+    path = str(tmp_path / "mh")
+    os.makedirs(path, exist_ok=True)
+    meta = build_minhash_index(
+        spark, "/root/testdata/sf0.001", path,
+        index_where="doc_id IN (1, 2, 3)",
+    )
+    assert meta["n_docs"] == 3
+    doomed = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    meta = minhash_index_delete(spark, path, meta, doomed)
+    assert meta["n_docs"] == 0
+    leftover = [
+        d for d in os.listdir(buckets_path(path)) if d.startswith("band=")
+    ]
+    assert leftover == [], f"emptied band partitions survived: {leftover}"
+
+
+def test_mmr_kernel_zero_norm_guard(spark):
+    """A zero-norm candidate must not kill the task (the old Spark
+    plan produced NULL cosine, ignored by max): it sorts last (NULL
+    score under desc ordering) and its emitted score is NULL."""
+    from lol_data_pipeline_spark.operators.similarity import mmr_greedy
+
+    pool = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.0], 0.9),
+            (1, 20, [0.0, 1.0], 0.8),
+            (1, 30, [0.0, 0.0], 0.7),  # zero-norm vector
+        ],
+        "query_id int, cand int, cvec array<double>, rel double",
+    )
+    rows = sorted(
+        mmr_greedy(pool, lam=0.7, k=3).collect(), key=lambda r: r.pick
+    )
+    assert [r.cand for r in rows] == [10, 20, 30]
+    assert rows[0].score is not None and rows[1].score is not None
+    assert rows[2].score is None  # every pairwise sim NULL -> NULL score
+
+
+def test_hll_retention_beyond_newest_day(spark, tmp_path):
+    """keep_from past the newest day drops every partition; the
+    sidecar must record n_days=n_rows=0 instead of crashing on the
+    emptied directory (r12 ADVICE low)."""
+    from lol_data_pipeline_spark.operators.sketch_index import (
+        build_hll_index,
+        hll_index_retention_drop,
+        regs_path,
+    )
+
+    path = str(tmp_path / "hll")
+    os.makedirs(path, exist_ok=True)
+    meta = build_hll_index(spark, "/root/testdata/sf0.001", path)
+    assert meta["n_days"] > 0
+    meta = hll_index_retention_drop(
+        spark, path, meta, datetime.date(2100, 1, 1)
+    )
+    assert meta["n_days"] == 0 and meta["n_rows"] == 0
+    leftover = [
+        d for d in os.listdir(regs_path(path)) if d.startswith("day=")
+    ]
+    assert leftover == []
+
+
+def test_phash_planted_twin_caught_disjoint_missed(spark):
+    """The 1-pixel twin differs in ≤1 dHash bit and must be caught;
+    unrelated images differ in ~32 bits and must not pair. Also
+    pins the byte-level round trip: the signature from BMP bytes
+    equals the signature from the raw pixel arithmetic."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _gray,
+        dhash64,
+        parse_bmp_gray,
+        synthesize_gray_bmp,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    # byte round trip == arithmetic (the oracle's premise)
+    grid = [[_gray(7, x, y) for x in range(DHASH_W)] for y in range(DHASH_H)]
+    assert dhash64(parse_bmp_gray(synthesize_gray_bmp(7))) == dhash64(grid)
+
+    rows = REGISTRY["mm_dedup_phash"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no pairs found — planted twins must be caught"
+    planted = [r for r in rows if r.planted]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_twins = docs.filter("doc_id % 10 = 0").count()
+    assert len(planted) == n_twins  # every twin caught, exactly once
+    for r in planted:
+        assert r.hamming <= 1
+    # nothing but the planted twins is within tau of anything
+    assert all(r.planted for r in rows)
+
+
+def test_ngram_upsert_flags_the_clones(spark):
+    """The shifted clones plagiarize src0 verbatim, so every clone id
+    must surface contaminated after the upsert — the sharp
+    maintenance check."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round13 import _NUP_SHIFT
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["ngram_index_upsert"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clone_ids = [
+        r.doc_id + _NUP_SHIFT
+        for r in docs.filter(
+            "source = 'src0' AND doc_id % 3 = 0"
+        ).collect()
+    ]
+    assert clone_ids
+    for cid in clone_ids:
+        assert cid in rows, f"clone {cid} missing from contamination"
+        assert rows[cid].contaminated
+
+
+def test_ngram_delete_removes_doomed_ids(spark):
+    """After the take-down, no doomed id appears in the contamination
+    result and the artifact holds none of their rows."""
+    import os
+
+    from lol_data_pipeline_spark.operators.chunk_index import (
+        CHUNK_ROOT,
+        chunks_path,
+    )
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round13 import _NDEL_HI, _NDEL_LO
+
+    rows = REGISTRY["ngram_index_delete"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(
+        not (_NDEL_LO <= r.doc_id < _NDEL_HI) for r in rows
+    )
+    path = os.path.join(CHUNK_ROOT, "ngram_sf0.001_ndel")
+    disk = spark.read.parquet(chunks_path(path))
+    assert (
+        disk.filter(f"id >= {_NDEL_LO} AND id < {_NDEL_HI}").count() == 0
+    )
+
+
+def test_stream_ngram_replay_equals_oneshot(spark):
+    """The four-epoch replay's final contamination equals the
+    one-shot upsert entry row-for-row (shared oracle's premise)."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    one = sorted(
+        (r.doc_id, r.n_shared, r.contaminated)
+        for r in REGISTRY["ngram_index_upsert"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    replay = sorted(
+        (r.doc_id, r.n_shared, r.contaminated)
+        for r in REGISTRY["stream_ngram_upsert_multibatch"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert one == replay
+
+
+def test_stream_ingest_gate_sequential_semantics(spark):
+    """The streaming capstone gates each epoch against standing ∪
+    earlier-accepted chunks, so vs the one-shot capstone (standing
+    only): same doc set, n_dup can only GROW, and every decision
+    divergence is explained by the growing index (a later duplicate
+    of an earlier admit flipping to reject:substring_dup, or a
+    contamination/quality tie playing out identically)."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    one = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_ingest_gate_e2e"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    seq = {
+        r.doc_id: r
+        for r in REGISTRY["stream_ingest_gate_multibatch"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(one) == set(seq)
+    for d, s in seq.items():
+        o = one[d]
+        assert s.n_chunks == o.n_chunks
+        assert s.n_dup >= o.n_dup, "growing index can only add duplication"
+        assert (s.q_pred, s.contaminated) == (o.q_pred, o.contaminated)
+        if s.decision != o.decision:
+            assert s.decision == "reject:substring_dup"
+    # epoch 0 sees exactly the standing index — identical rows
+    for d, s in seq.items():
+        if d % 20 == 0:
+            assert s.n_dup == one[d].n_dup and s.decision == one[d].decision
