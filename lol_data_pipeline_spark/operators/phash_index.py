@@ -1,0 +1,260 @@
+"""Materialized perceptual-hash (dHash) image near-dup index: build
+ONCE as a band-partitioned signature table + a JSON stats sidecar,
+then PROBE incoming image batches against it and MAINTAIN it
+band-locally — the IMAGE member of the served-index family
+(quantization = operators/vector_index.py, graph =
+operators/graph_index.py, lexical = operators/text_index.py,
+near-dup text = operators/minhash_index.py, exact substring =
+operators/chunk_index.py, sketch = operators/sketch_index.py,
+image = this).
+
+operators/multimodal.dhash64 is the signature (64-bit column-local
+difference hash computed from the image BYTES); mm_dedup_phash is the
+one-shot in-corpus form. This module is its incremental production
+shape:
+
+- BUILD (once): one signing pass over the index corpus's images →
+  (id, simhash, band, chunk) rows — the signature EXPLODED into its
+  (max_hamming+1) pigeonhole bands — written hive-partitioned by
+  ``band`` and sorted by ``chunk`` within files (a probe's per-band
+  chunk point predicates become row-group skipping). Unlike the
+  minhash index (where storing shingles would duplicate the corpus),
+  the 8-byte signature IS stored: exact Hamming verification then
+  needs no source re-read at all.
+- PROBE (per batch): sign ONLY the incoming batch (bytes → pixels →
+  hash), equi-join its band rows against the persisted table on
+  (band, chunk), emit each candidate pair once via the
+  first-equal-band trick (operators/dedup.hamming_pairs), verify
+  with exact bit_count(xor) ≤ max_hamming — all from the index rows.
+- MAINTAIN: a batch touches every band partition (each image has one
+  row per band) but the partition count is the CONSTANT ``bands``;
+  upsert/delete rewrite those directories only, replaced ids purged
+  first, emptied partitions dropped (io.write_upsert_partitions
+  must_rewrite). Idempotent by construction.
+
+Reference parity: the reference persists fetched documents and
+re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
+contract, image axis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lol_data_pipeline_spark.io import (
+    load_table,
+    write_overwrite,
+    write_upsert_partitions,
+)
+from lol_data_pipeline_spark.operators.multimodal import media_dhash_frame
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+PHASH_ROOT = os.environ.get(
+    "SPARK_GRAFT_PHASH_INDEX_DIR",
+    os.path.join(_REPO_ROOT, "spark-warehouse", "phash_index"),
+)
+_META_NAME = "_phash_meta.json"
+BITS = 64
+MAX_HAMMING = 3
+N_BANDS = MAX_HAMMING + 1  # pigeonhole: d<=3 shares >=1 of 4 bands
+_WIDTH = BITS // N_BANDS
+_MASK = (1 << _WIDTH) - 1
+
+
+def bands_path(path: str) -> str:
+    return os.path.join(path, "bands")
+
+
+def _batch_band_rows(media: DataFrame) -> DataFrame:
+    """(id, simhash, band, chunk) rows for a media frame (media_id,
+    src, perturb) — one signing pass (bytes round trip inside
+    media_dhash_frame), one explode. The shared build/probe/maintain
+    derivation, so the three cannot drift."""
+    sigs = media_dhash_frame(media)
+    chunk_keys = ", ".join(
+        f"named_struct('band', {b}, 'chunk', shiftright(simhash, {b * _WIDTH}) & {_MASK})"
+        for b in range(N_BANDS)
+    )
+    return sigs.select(
+        "id", "simhash", F.explode(F.expr(f"array({chunk_keys})")).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+
+
+def _base_media(docs: DataFrame) -> DataFrame:
+    """One base image per document — the corpus's image side."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(0).alias("perturb"),
+    )
+
+
+def build_phash_index(
+    spark: SparkSession, sf_dir: str, path: str, index_where: str = ""
+) -> dict:
+    """One signing pass over the index corpus's images → band-
+    partitioned signature rows, chunk-sorted within files, +
+    sidecar."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    if index_where:
+        docs = docs.filter(F.expr(index_where))
+    rows = (
+        _batch_band_rows(_base_media(docs))
+        .repartition("band")
+        .sortWithinPartitions("chunk")
+    )
+    write_overwrite(rows, bands_path(path), partition_by=["band"])
+    disk = spark.read.parquet(bands_path(path))
+    n_docs = disk.select("id").distinct().count()
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir, table="documents"),
+        "params": {
+            "bits": BITS,
+            "max_hamming": MAX_HAMMING,
+            "bands": N_BANDS,
+            "index_where": index_where,
+        },
+        "n_docs": int(n_docs),
+    }
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ensure_phash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    variant: str = "",
+    index_where: str = "",
+) -> tuple[str, dict]:
+    """Build-if-absent-or-stale (the ensure_* contract)."""
+    from lol_data_pipeline_spark.operators.vector_index import (
+        _source_fingerprint,
+    )
+
+    root = root or PHASH_ROOT
+    name = os.path.basename(os.path.normpath(sf_dir)) + (
+        f"_{variant}" if variant else ""
+    )
+    path = os.path.join(root, f"phash_{name}")
+    meta_path = os.path.join(path, _META_NAME)
+    want_fp = _source_fingerprint(sf_dir, table="documents")
+    want_params = {
+        "bits": BITS,
+        "max_hamming": MAX_HAMMING,
+        "bands": N_BANDS,
+        "index_where": index_where,
+    }
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == want_fp and meta.get("params") == want_params:
+            return path, meta
+    except (OSError, ValueError):
+        pass
+    os.makedirs(path, exist_ok=True)
+    meta = build_phash_index(spark, sf_dir, path, index_where=index_where)
+    return path, meta
+
+
+def served_phash_pairs(
+    spark: SparkSession, path: str, meta: dict, batch_media: DataFrame
+) -> DataFrame:
+    """Probe an image batch against the PERSISTED index: sign only
+    the batch, equi-join on (band, chunk), emit each (probe, index)
+    pair once at its first equal band, verify exact Hamming from the
+    stored signatures. Returns (probe_id, match_id, hamming) ≤
+    max_hamming, ordered. At 100 TB: the index is never re-signed;
+    per-band chunk point predicates prune row groups."""
+    probe = _batch_band_rows(batch_media).alias("a")
+    idx = spark.read.parquet(bands_path(path)).alias("b")
+    xor = "(a.simhash ^ b.simhash)"
+    chunk_eq = ", ".join(
+        f"(shiftright({xor}, {b * _WIDTH}) & {_MASK}) = 0"
+        for b in range(N_BANDS)
+    )
+    first_eq_band = f"(array_position(array({chunk_eq}), true) - 1)"
+    return (
+        probe.join(
+            idx,
+            F.expr("a.band = b.band AND a.chunk = b.chunk AND a.id <> b.id"),
+        )
+        .filter(F.expr(f"a.band = {first_eq_band}"))
+        .select(
+            F.col("a.id").alias("probe_id"),
+            F.col("b.id").alias("match_id"),
+            F.expr(f"bit_count{xor}").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= meta["params"]["max_hamming"])
+        .orderBy("probe_id", "match_id")
+    )
+
+
+def phash_index_upsert(
+    spark: SparkSession, path: str, meta: dict, new_media: DataFrame
+) -> dict:
+    """Merge an image batch into the persisted index: replaced ids'
+    stale rows purge first, the rewrite touches the CONSTANT band
+    partitions, emptied partitions drop. Idempotent."""
+    rows = _batch_band_rows(new_media)
+    batch_ids = rows.select("id").distinct()
+    existing = spark.read.parquet(bands_path(path))
+    hit = (
+        existing.join(F.broadcast(batch_ids), "id")
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("band").alias("bands"),
+        )
+        .collect()[0]
+    )  # bounded collect: one count + <=bands partition values
+    replaced, doomed_bands = int(hit.n), list(hit.bands)
+    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
+    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
+    write_upsert_partitions(
+        merged, bands_path(path), ["band"], must_rewrite=doomed_bands
+    )
+    n_new = batch_ids.count()
+    meta = dict(meta)
+    meta["n_docs"] = int(meta["n_docs"]) - int(replaced) + int(n_new)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def phash_index_delete(
+    spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
+) -> dict:
+    """Take-down: an image batch's rows vanish from every band
+    partition; emptied partitions drop; the sidecar count shrinks
+    exactly. Idempotent."""
+    ids = doomed_ids.select(F.col("media_id").alias("id")).distinct()
+    existing = spark.read.parquet(bands_path(path))
+    hit = (
+        existing.join(F.broadcast(ids), "id")
+        .agg(
+            F.countDistinct("id").alias("n"),
+            F.collect_set("band").alias("bands"),
+        )
+        .collect()[0]
+    )  # bounded collect
+    gone, doomed_bands = int(hit.n), list(hit.bands)
+    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
+    write_upsert_partitions(
+        keep, bands_path(path), ["band"], must_rewrite=doomed_bands
+    )
+    meta = dict(meta)
+    meta["n_docs"] = int(meta["n_docs"]) - int(gone)
+    with open(os.path.join(path, _META_NAME), "w") as f:
+        json.dump(meta, f)
+    return meta
