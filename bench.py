@@ -305,6 +305,13 @@ HEADLINE = [
     # multibatch NOT benched (one-multibatch-representative policy —
     # stream_topk_multibatch carries the replay cost profile).
     "mm_dedup_phash",
+    # r13: the image axis SERVED — probe-only signing vs the at-rest
+    # band-partitioned signatures (mm_dedup_phash stays benched as
+    # the in-corpus comparison). phash_index_upsert/_delete NOT
+    # benched (write-staging policy); phash_index_stats NOT benched
+    # (stats policy); stream_phash_probe_multibatch NOT benched
+    # (one-multibatch-representative policy).
+    "mm_phash_served",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

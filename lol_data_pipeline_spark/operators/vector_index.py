@@ -147,7 +147,15 @@ def ivf_probe_rows(
 def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     """Content fingerprint of the source table's files (name, size,
     mtime_ns) — cheap staleness detection: a regenerated corpus gets
-    a rebuilt index, not stale cells."""
+    a rebuilt index, not stale cells.
+
+    Deployment posture (r12 verdict): file metadata is the right key
+    LOCALLY, but at cluster scale a source table lives behind a
+    catalog — substitute the table's manifest/snapshot version
+    (Iceberg snapshot-id, Delta table version, Hive partition
+    transient_lastDdlTime) for the os.walk here. The ensure_*
+    contract is unchanged: compare the stored key, rebuild on
+    mismatch; only the key's provenance moves."""
     p = table_path(sf_dir, table)
     stats: list[tuple[str, int, int]] = []
     if os.path.isdir(p):

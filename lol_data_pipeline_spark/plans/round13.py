@@ -267,6 +267,48 @@ _MMP_SHIFT = 500000  # twin ids for the planted 1-pixel near-dups
 _MMP_TAU = 3
 
 
+def _sql_dhash_sig_ctes(media_body: str) -> str:
+    """media CTE body (media_id, src, perturb[, probe]) → the
+    px/bits/sigs chain re-deriving operators/multimodal.dhash64 from
+    the pixel ARITHMETIC alone (no container bytes — the equality
+    with the Spark side's bytes→pixels→hash derivation is what the
+    oracle proves). Shared by every phash entry so the sig arithmetic
+    exists once on the SQL side too."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+    )
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    md5g = SQL_MD5_LONG.format(expr="concat('g:', src, ':', x, ':', y)")
+    return f"""media AS ({media_body}),
+    px AS (
+      SELECT media_id, x, y,
+             ({md5g} % 256
+              + CASE WHEN perturb = 1 AND x = 0 AND y = 0 THEN 128 ELSE 0 END
+             ) % 256 AS g
+      FROM media,
+           generate_series(0, {DHASH_W - 1}) gx(x),
+           generate_series(0, {DHASH_H - 1}) gy(y)
+    ),
+    bits AS (
+      SELECT a.media_id, (a.y * {DHASH_W - 1} + a.x) AS i,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b
+        ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < {DHASH_W - 1}
+    ),
+    sigs AS (
+      SELECT media_id,
+             sum(CASE WHEN i < 63 THEN bit * (CAST(1 AS BIGINT) << i)
+                      ELSE 0 END)
+             + sum(CASE WHEN i = 63 AND bit = 1
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE 0 END) AS simhash
+      FROM bits GROUP BY 1
+    )"""
+
+
 def _sql_phash() -> str:
     from lol_data_pipeline_spark.operators.multimodal import (
         DHASH_H,
@@ -602,4 +644,268 @@ def stream_ingest_gate_multibatch(spark, sf_dir):
             "contaminated", "decision",
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The IMAGE axis joins the served-index family: dHash signatures at
+# rest (operators/phash_index.py) probed by incoming image batches
+# and maintained band-locally — mm_dedup_phash is the one-shot
+# in-corpus form; these are its incremental production shape.
+# ---------------------------------------------------------------------------
+
+_PHU_OFF = 700000  # ids for the upserted new-image batch
+_PHD_LIM = 250  # delete entry's doomed range: doc_id % 10 = 0 below this
+
+
+def _sql_phash_probe(media_body: str) -> str:
+    """psigs × isigs exact-Hamming oracle over a media CTE carrying a
+    ``probe`` flag — all-pairs on the SQL side (the banded join is
+    the engine's optimization; pigeonhole makes them equal for
+    d ≤ max_hamming)."""
+    return f"""
+    WITH {_sql_dhash_sig_ctes(media_body)},
+    psigs AS (
+      SELECT s.media_id, s.simhash FROM sigs s
+      JOIN media m ON m.media_id = s.media_id WHERE m.probe = 1
+    ),
+    isigs AS (
+      SELECT s.media_id, s.simhash FROM sigs s
+      JOIN media m ON m.media_id = s.media_id WHERE m.probe = 0
+    )
+    SELECT p.media_id AS probe_id, i.media_id AS match_id,
+           CAST(bit_count(xor(p.simhash, i.simhash)) AS BIGINT) AS hamming
+    FROM psigs p JOIN isigs i ON p.media_id <> i.media_id
+    WHERE bit_count(xor(p.simhash, i.simhash)) <= {_MMP_TAU}
+    ORDER BY 1, 2
+    """
+
+
+def _sql_phash_served() -> str:
+    return _sql_phash_probe(f"""
+      SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb, 0 AS probe
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {_MMP_SHIFT}, doc_id, 1, 1
+      FROM documents WHERE doc_id % 10 = 0""")
+
+
+@query("mm_phash_served", sql=_sql_phash_served())
+def mm_phash_served(spark, sf_dir):
+    """Image near-dup SERVED from the at-rest dHash index
+    (operators/phash_index.py): the corpus's image signatures are
+    persisted band-partitioned/chunk-sorted; the probe batch (the
+    planted 1-pixel twins) is signed from ITS bytes only and joined
+    on (band, chunk) — the standing images are never re-decoded. Each
+    twin must surface its base image at Hamming ≤ 1. The oracle
+    recomputes both sides' signatures from pixel arithmetic and takes
+    exact all-pairs (pigeonhole: banded candidates ≡ all-pairs for
+    d ≤ max_hamming). The mm_dedup_phash in-corpus twin stays as the
+    comparison."""
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        served_phash_pairs,
+    )
+
+    path, meta = ensure_phash_index(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents")
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + _MMP_SHIFT).alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    return served_phash_pairs(spark, path, meta, twins)
+
+
+def _sql_phash_upsert() -> str:
+    return _sql_phash_probe(f"""
+      SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb, 0 AS probe
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {_PHU_OFF}, doc_id + {_PHU_OFF}, 0, 0
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {_PHU_OFF} + {_MMP_SHIFT}, doc_id + {_PHU_OFF}, 1, 1
+      FROM documents WHERE doc_id % 7 = 0""")
+
+
+@query("phash_index_upsert", sql=_sql_phash_upsert())
+def phash_index_upsert_entry(spark, sf_dir):
+    """IMAGE-index maintenance, verified through the probe path: a
+    new-image batch (fresh pixel fields under fresh ids) merges into
+    the persisted band partitions, then 1-pixel twins OF THE NEW
+    IMAGES probe the maintained artifact — each must find its just-
+    upserted base, which only happens if maintenance landed. Oracle
+    recomputes over corpus∪batch. Idempotent; own index copy
+    (variant="up")."""
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        phash_index_upsert,
+        served_phash_pairs,
+    )
+
+    path, meta = ensure_phash_index(spark, sf_dir, variant="up")
+    docs = T(spark, sf_dir, "documents")
+    sev = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    new = sev.select(
+        (F.col("doc_id") + _PHU_OFF).alias("media_id"),
+        (F.col("doc_id") + _PHU_OFF).alias("src"),
+        F.lit(0).alias("perturb"),
+    )
+    meta = phash_index_upsert(spark, path, meta, new)
+    twins = sev.select(
+        (F.col("doc_id") + _PHU_OFF + _MMP_SHIFT).alias("media_id"),
+        (F.col("doc_id") + _PHU_OFF).alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    return served_phash_pairs(spark, path, meta, twins)
+
+
+def _sql_phash_delete() -> str:
+    return _sql_phash_probe(f"""
+      SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb, 0 AS probe
+      FROM documents
+      WHERE NOT (doc_id % 10 = 0 AND doc_id < {_PHD_LIM})
+      UNION ALL
+      SELECT doc_id + {_MMP_SHIFT}, doc_id, 1, 1
+      FROM documents WHERE doc_id % 10 = 0""")
+
+
+@query("phash_index_delete", sql=_sql_phash_delete())
+def phash_index_delete_entry(spark, sf_dir):
+    """IMAGE-index take-down: a doomed id range's signatures vanish
+    from every band partition, then the full twin probe re-runs —
+    twins of doomed bases must come back EMPTY-HANDED while twins of
+    surviving bases still match (sharp both ways). Oracle recomputes
+    the index side over corpus∖doomed. Idempotent; own index copy
+    (variant="del")."""
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        phash_index_delete,
+        served_phash_pairs,
+    )
+
+    path, meta = ensure_phash_index(spark, sf_dir, variant="del")
+    docs = T(spark, sf_dir, "documents")
+    doomed = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+        & (F.col("doc_id") < _PHD_LIM)
+    ).select(F.col("doc_id").alias("media_id"))
+    meta = phash_index_delete(spark, path, meta, doomed)
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + _MMP_SHIFT).alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    return served_phash_pairs(spark, path, meta, twins)
+
+
+def _sql_phash_stats() -> str:
+    from lol_data_pipeline_spark.operators.phash_index import (
+        _MASK,
+        _WIDTH,
+        N_BANDS,
+    )
+
+    vals = ", ".join(f"({b})" for b in range(N_BANDS))
+    return f"""
+    WITH {_sql_dhash_sig_ctes(
+        "SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb FROM documents"
+    )},
+    bandrows AS (
+      SELECT media_id, b.band,
+             (simhash >> (b.band * {_WIDTH})) & {_MASK} AS chunk
+      FROM sigs, (VALUES {vals}) b(band)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sigs)
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct_chunk,
+           t.n_docs AS meta_n_docs
+    FROM bandrows, tot t
+    GROUP BY 1, t.n_docs ORDER BY band
+    """
+
+
+@query("phash_index_stats", sql=_sql_phash_stats())
+def phash_index_stats_entry(spark, sf_dir):
+    """IMAGE-index OBSERVABILITY: per-band row / distinct-chunk
+    counts of the persisted artifact plus the sidecar total — band
+    bucket-diversity monitoring (a collapsed chunk distribution means
+    degenerate images flooding one bucket) with the exact-integer
+    drift-fails-oracle design of the other *_stats entries. Layout
+    only: one aggregate over (band, chunk, id)."""
+    from lol_data_pipeline_spark.operators.phash_index import (
+        bands_path,
+        ensure_phash_index,
+    )
+
+    path, meta = ensure_phash_index(spark, sf_dir)
+    disk = spark.read.parquet(bands_path(path))
+    return (
+        disk.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("chunk").cast("long").alias("n_distinct_chunk"),
+        )
+        .select(
+            "band",
+            "n_rows",
+            "n_distinct_chunk",
+            F.lit(int(meta["n_docs"])).cast("long").alias("meta_n_docs"),
+        )
+        .orderBy("band")
+    )
+
+
+@query("stream_phash_probe_multibatch", sql=_sql_phash_served())
+def stream_phash_probe_multibatch(spark, sf_dir):
+    """STREAMING image gating: the twin probe batch arrives as a
+    four-micro-batch ordered replay; each epoch signs ONLY its images
+    and probes the persisted dHash index, writing its pairs to an
+    epoch-partitioned sink (overwrite per epoch — exactly-once by
+    idempotence). The probe is stateless per batch, so the union of
+    epochs equals the one-shot mm_phash_served row-for-row — shared
+    oracle. The ingest-time image-dedup gate shape: per trigger,
+    batch-sized signing + one (band, chunk) equi-join."""
+    import os
+    import shutil as _sh
+
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        served_phash_pairs,
+    )
+    from lol_data_pipeline_spark.streaming.windows import replay_multibatch
+
+    path, meta = ensure_phash_index(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents")
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + _MMP_SHIFT).alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    parts = [
+        twins.filter(F.pmod(F.col("src"), F.lit(40)) == i * 10)
+        for i in range(4)
+    ]
+    out = os.path.join(os.path.dirname(path), "stream_phash_out")
+    _sh.rmtree(out, ignore_errors=True)
+
+    def sink(df, epoch_id):
+        served_phash_pairs(spark, path, meta, df).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"epoch={int(epoch_id)}"))
+
+    replay_multibatch(
+        spark,
+        parts,
+        lambda stream: stream,
+        mode="append",
+        key=f"phash_probe:{sf_dir}",
+        foreach_batch=sink,
+    )
+    return (
+        spark.read.parquet(out)
+        .select("probe_id", "match_id", "hamming")
+        .orderBy("probe_id", "match_id")
     )

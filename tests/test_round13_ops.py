@@ -288,3 +288,77 @@ def test_stream_ingest_gate_sequential_semantics(spark):
     for d, s in seq.items():
         if d % 20 == 0:
             assert s.n_dup == one[d].n_dup and s.decision == one[d].decision
+
+
+def test_phash_served_every_twin_finds_its_base(spark):
+    """Each planted twin matches exactly its base image at Hamming
+    ≤ 1 through the PERSISTED index."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round13 import _MMP_SHIFT
+
+    rows = REGISTRY["mm_phash_served"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_twins = docs.filter("doc_id % 10 = 0").count()
+    assert len(rows) == n_twins
+    for r in rows:
+        assert r.match_id == r.probe_id - _MMP_SHIFT
+        assert r.hamming <= 1
+
+
+def test_phash_delete_doomed_twins_come_back_empty(spark):
+    """Twins of deleted bases find nothing; twins of survivors still
+    match — sharp both ways."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round13 import _MMP_SHIFT, _PHD_LIM
+
+    rows = {
+        r.probe_id: r
+        for r in REGISTRY["phash_index_delete"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bases = [r.doc_id for r in docs.filter("doc_id % 10 = 0").collect()]
+    for b in bases:
+        probe = b + _MMP_SHIFT
+        if b < _PHD_LIM:
+            assert probe not in rows, f"doomed base {b} still matched"
+        else:
+            assert rows[probe].match_id == b
+
+
+def test_phash_upsert_finds_only_fresh_images(spark):
+    """Twins of the upserted batch match their just-added bases —
+    which only exist in the index if maintenance landed."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round13 import _MMP_SHIFT, _PHU_OFF
+
+    rows = REGISTRY["phash_index_upsert"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.filter("doc_id % 7 = 0").count()
+    assert len(rows) == n
+    for r in rows:
+        assert r.match_id == r.probe_id - _MMP_SHIFT
+        assert r.match_id >= _PHU_OFF  # matches the NEW images, never standing
+
+
+def test_stream_phash_replay_equals_oneshot(spark):
+    from lol_data_pipeline_spark.plans import REGISTRY
+
+    one = sorted(
+        (r.probe_id, r.match_id, r.hamming)
+        for r in REGISTRY["mm_phash_served"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    replay = sorted(
+        (r.probe_id, r.match_id, r.hamming)
+        for r in REGISTRY["stream_phash_probe_multibatch"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert one == replay
