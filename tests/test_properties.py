@@ -629,3 +629,52 @@ def test_kmeans_training_objective_monotone(spark, vals):
         if prev is not None:
             assert cur <= prev + 1e-3 * len(vals), (r, cur, prev)
         prev = cur
+
+
+@given(
+    media_id=st.integers(min_value=0, max_value=10**9),
+    perturb=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_phash_byte_roundtrip_equals_arithmetic(media_id, perturb):
+    """For ANY id, the signature computed by synthesizing real BMP
+    bytes and parsing the pixels back out equals the signature from
+    the raw pixel arithmetic — the premise every phash oracle rests
+    on (the oracle only ever sees the arithmetic)."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _gray,
+        dhash64,
+        parse_bmp_gray,
+        synthesize_gray_bmp,
+    )
+
+    via_bytes = dhash64(parse_bmp_gray(synthesize_gray_bmp(media_id, perturb)))
+    grid = [
+        [
+            (_gray(media_id, x, y) + (128 if perturb and x == 0 and y == 0 else 0))
+            % 256
+            for x in range(DHASH_W)
+        ]
+        for y in range(DHASH_H)
+    ]
+    assert via_bytes == dhash64(grid)
+    # signed-int64 two's complement domain
+    assert -(2**63) <= via_bytes < 2**63
+
+
+@given(media_id=st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=60, deadline=None)
+def test_phash_twin_within_one_bit(media_id):
+    """dHash is column-local: the 1-pixel perturbation flips at most
+    the single bit whose comparison reads pixel (0,0)."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        dhash64,
+        parse_bmp_gray,
+        synthesize_gray_bmp,
+    )
+
+    a = dhash64(parse_bmp_gray(synthesize_gray_bmp(media_id, False)))
+    b = dhash64(parse_bmp_gray(synthesize_gray_bmp(media_id, True)))
+    assert bin((a ^ b) & (2**64 - 1)).count("1") <= 1
