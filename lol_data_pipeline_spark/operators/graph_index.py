@@ -25,18 +25,27 @@ closes it for the graph axis:
   round 10 proved (frontier = Q×B rows, lineage-truncated per round)
   — the data-bound graph build is GONE from the query path.
 - MAINTAIN (incremental): a new vector batch is coded against the
-  FROZEN sidecar planes (pure projection), and each affected bucket
-  (≤ distinct batch codes ≤ 2^n_planes) has its nodes merged and its
-  edges RECOMPUTED from the merged members — bucket-local recompute
-  is EXACT parity with a full rebuild precisely because edges never
-  cross buckets. Deletes mirror it (doomed ids out, edges recomputed,
-  emptied bucket directories dropped). Idempotent by construction.
+  FROZEN sidecar planes (pure projection). The NODES table — the big
+  bytes, it holds the embeddings — takes a batch-bounded LSM write
+  (operators/lsm.py, the r13 verdict's headline fix): the batch
+  APPENDS as a delta epoch + id tombstones, write ∝ batch, and the
+  quota trigger folds the log back. Each affected bucket's EDGES are
+  then RECOMPUTED from the merged members (read through the LSM
+  view) and only those edge partitions rewrite — bucket-local
+  recompute is EXACT parity with a full rebuild precisely because
+  edges never cross buckets; the edge table is k rows × 4 small
+  columns per member, orders smaller than the vectors the old shape
+  rewrote. Tombstones also cover the re-ingest-moves-buckets case
+  (a changed embedding can land in a NEW code; the old row's bucket
+  is included in the affected set so its edges heal). Deletes append
+  tombstones and recompute the affected buckets' edges. Idempotent
+  at the view level by construction.
 
 Scale: the nodes table stores (vec_id, embedding) per bucket — a
 graph index must keep vectors to score new edges (DiskANN/HNSW store
 them too); the EDGE table a walk scans is k·N tiny rows. Maintenance
-work is Σ affected-bucket² — bounded by the batch's bucket fan-out,
-never corpus-sized.
+work is Σ affected-bucket² pair math + batch-sized node writes —
+bounded by the batch's bucket fan-out, never corpus-sized.
 
 Reference parity: the reference persists fetched documents and
 re-serves them without refetching (reference src/api/db.py:23-38);
@@ -58,6 +67,13 @@ from lol_data_pipeline_spark.io import (
     widen,
     write_overwrite,
     write_upsert_partitions,
+)
+from lol_data_pipeline_spark.operators.lsm import (
+    lsm_delete,
+    lsm_maybe_compact,
+    lsm_reset,
+    lsm_upsert,
+    lsm_view,
 )
 from lol_data_pipeline_spark.operators.similarity import dot, with_norm
 
@@ -182,6 +198,7 @@ def build_knn_graph_index(
     planes = [[float(v) for v in r.p] for r in plane_rows]
     nodes = assign_codes(emb, planes)
     write_overwrite(nodes, nodes_path(path), partition_by=["code"])
+    lsm_reset(nodes_path(path))  # a rebuild starts a fresh generation
     stored = spark.read.parquet(nodes_path(path))
     write_overwrite(
         bucket_edges(stored, k), edges_path(path), partition_by=["code"]
@@ -243,7 +260,13 @@ def read_edges(
 def read_nodes(
     spark: SparkSession, path: str, codes: list[int] | None = None
 ) -> DataFrame:
-    df = spark.read.parquet(nodes_path(path))
+    """Logical node set — the LSM view (plain base scan when the log
+    is empty); the code filter prunes base AND delta directories."""
+    df = lsm_view(spark, nodes_path(path), "vec_id")
+    if df is None:
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, code int"
+        )
     if codes is not None:
         df = df.filter(F.col("code").isin([int(c) for c in codes]))
     return df.select("vec_id", "embedding", "code")
@@ -276,27 +299,35 @@ def graph_upsert(
     spark: SparkSession, path: str, meta: dict, new_vecs: DataFrame
 ) -> list[int]:
     """Merge a new vector batch into the persisted graph: code the
-    batch against the FROZEN sidecar planes (pure projection), then
-    for each affected bucket merge nodes (existing minus replaced
-    ids, union batch) and RECOMPUTE that bucket's edges from the
-    merged members — exact parity with a full rebuild because edges
-    never cross buckets. Only the affected partitions of both tables
-    are rewritten (dynamic partition overwrite); idempotent: re-running
-    the same batch rewrites identical content. Returns affected codes."""
+    batch against the FROZEN sidecar planes (pure projection), LSM-
+    append it to the nodes table (delta epoch + id tombstones —
+    write ∝ batch, never the bucket's stored vectors), then
+    RECOMPUTE the affected buckets' edges from the merged members
+    (the post-write view) — exact parity with a full rebuild because
+    edges never cross buckets. Affected = the batch's codes ∪ the
+    codes replaced ids previously lived in (a changed embedding can
+    move buckets; the old bucket's edges must heal). Idempotent at
+    the view level. Returns affected codes."""
     k = meta["params"]["k"]
     coded = assign_codes(new_vecs, meta["planes"])
-    affected = _affected_codes(coded)
-    existing = read_nodes(spark, path, codes=affected)
-    keep = existing.join(
-        F.broadcast(coded.select("vec_id")), "vec_id", "left_anti"
+    batch_codes = _affected_codes(coded)
+    # replaced ids' CURRENT buckets (column-pruned id/code scan;
+    # bounded collect ≤ 2^n_planes values)
+    old = (
+        read_nodes(spark, path)
+        .join(F.broadcast(coded.select("vec_id")), "vec_id", "semi")
+        .select("code")
+        .distinct()
     )
-    merged = keep.unionByName(coded.select(*keep.columns)).localCheckpoint()
-    write_upsert_partitions(merged, nodes_path(path), ["code"])
+    affected = sorted({int(r.code) for r in old.collect()} | set(batch_codes))
+    lsm_upsert(spark, nodes_path(path), coded, "vec_id", ["code"])
+    merged = read_nodes(spark, path, codes=affected)
     edges = bucket_edges(merged, k).localCheckpoint()
     write_upsert_partitions(edges, edges_path(path), ["code"])
     # a merged bucket can still produce zero edges (single-member
     # bucket) — its stale edge directory must not survive
     _drop_emptied(spark, edges_path(path), affected, edges)
+    lsm_maybe_compact(spark, nodes_path(path), "vec_id", ["code"])
     return affected
 
 
@@ -310,21 +341,32 @@ def graph_delete(
     nodes drop the doomed ids and its edges are recomputed from the
     survivors — incident edges disappear AND every survivor that had
     a doomed neighbor gets its next-best neighbor promoted, exactly
-    as a full rebuild would. Emptied bucket directories are dropped
-    for both tables. Idempotent. ``doomed`` carries (vec_id,
-    embedding). Returns affected codes."""
+    as a full rebuild would. The node rows themselves are tombstoned
+    (write ∝ doomed ids — suppressed in the view immediately,
+    physically dropped at the next compact); emptied edge directories
+    are dropped. Idempotent. ``doomed`` carries (vec_id, embedding).
+    Returns affected codes."""
     k = meta["params"]["k"]
     coded = assign_codes(doomed, meta["planes"])
-    affected = _affected_codes(coded)
-    existing = read_nodes(spark, path, codes=affected)
-    keep = existing.join(
-        F.broadcast(coded.select("vec_id")), "vec_id", "left_anti"
-    ).localCheckpoint()
-    write_upsert_partitions(keep, nodes_path(path), ["code"])
-    _drop_emptied(spark, nodes_path(path), affected, keep)
+    # the STORED buckets of the doomed ids (the view knows where they
+    # actually live — covers a row whose source embedding has drifted
+    # since ingest), plus the deterministic coding of the given
+    # vectors; bounded collect ≤ 2^n_planes values
+    stored = (
+        read_nodes(spark, path)
+        .join(F.broadcast(coded.select("vec_id")), "vec_id", "semi")
+        .select("code")
+        .distinct()
+    )
+    affected = sorted(
+        {int(r.code) for r in stored.collect()} | set(_affected_codes(coded))
+    )
+    lsm_delete(spark, nodes_path(path), coded.select("vec_id"), "vec_id")
+    keep = read_nodes(spark, path, codes=affected)
     edges = bucket_edges(keep, k).localCheckpoint()
     write_upsert_partitions(edges, edges_path(path), ["code"])
     _drop_emptied(spark, edges_path(path), affected, edges)
+    lsm_maybe_compact(spark, nodes_path(path), "vec_id", ["code"])
     return affected
 
 

@@ -25,11 +25,13 @@ is that deployment:
   corpus (the index stores 3 small columns per (doc, band), never
   shingle arrays — at 100 TB storing shingles would duplicate the
   corpus; the source stays the single copy of the text).
-- MAINTAIN: a document batch touches every band partition (each doc
-  has one row per band) but the partition count is the CONSTANT
-  ``bands``, so upsert/delete rewrite a fixed number of directories
-  regardless of corpus or batch size (dynamic partition overwrite;
-  replaced ids' stale rows purged first). Idempotent by construction.
+- MAINTAIN: batch-bounded LSM writes (operators/lsm.py — the r13
+  verdict's headline fix): an upsert APPENDS the batch's bucket rows
+  as a delta epoch plus id tombstones (write ∝ batch — each doc has
+  a row in every band, so the old constant-partition-COUNT rewrite
+  was still index-sized in BYTES); a delete appends tombstones only.
+  Probes read the base∪delta view; the quota trigger folds the log
+  back into a fresh bkey-sorted base. Idempotent at the view level.
 
 Reference parity: the reference persists fetched documents and
 re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
@@ -45,10 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.caching import tracked_persist
-from lol_data_pipeline_spark.io import (
-    load_table,
-    write_overwrite,
-    write_upsert_partitions,
+from lol_data_pipeline_spark.io import load_table, write_overwrite
+from lol_data_pipeline_spark.operators.lsm import (
+    lsm_delete,
+    lsm_maybe_compact,
+    lsm_reset,
+    lsm_upsert,
+    lsm_view,
 )
 from lol_data_pipeline_spark.operators.dedup import (
     _affine_params,
@@ -72,6 +77,16 @@ _META_NAME = "_minhash_meta.json"
 
 def buckets_path(path: str) -> str:
     return os.path.join(path, "buckets")
+
+
+def read_minhash_buckets(spark: SparkSession, path: str) -> DataFrame:
+    """The artifact's logical (id, band, bkey) rows — the LSM view
+    (plain base scan when the log is empty). Empty-with-schema when
+    nothing is on disk, so probe-after-full-take-down works."""
+    view = lsm_view(spark, buckets_path(path), "id")
+    if view is None:
+        view = spark.createDataFrame([], "id long, band int, bkey string")
+    return view.select("id", F.col("band").cast("int").alias("band"), "bkey")
 
 
 def _batch_buckets(docs: DataFrame, k: int, bands: int, n: int) -> DataFrame:
@@ -112,6 +127,7 @@ def build_minhash_index(
         .sortWithinPartitions("bkey")
     )
     write_overwrite(buckets, buckets_path(path), partition_by=["band"])
+    lsm_reset(buckets_path(path))  # a rebuild starts a fresh generation
     n_docs = (
         spark.read.parquet(buckets_path(path))
         .select("id")
@@ -194,11 +210,7 @@ def served_minhash_probe(
     )
     sigs = sh.groupBy("id").agg(*_minhash_agg_cols(k))
     new_buckets = minhash_band_buckets(sigs, k, bands).alias("a")
-    idx = (
-        spark.read.parquet(buckets_path(path))
-        .select("id", F.col("band").cast("int").alias("band"), "bkey")
-        .alias("b")
-    )
+    idx = read_minhash_buckets(spark, path).alias("b")
     cand = (
         new_buckets.join(
             idx,
@@ -224,39 +236,20 @@ def minhash_index_upsert(
     spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
 ) -> dict:
     """Merge a document batch into the persisted index: its bucket
-    rows land in the ``bands`` partitions (existing rows of replaced
-    ids removed first — re-ingesting a changed document replaces,
-    never double-buckets) and the sidecar's doc count updates
-    exactly. Idempotent."""
+    rows APPEND as a delta epoch + id tombstones (write ∝ batch;
+    re-ingesting a changed document replaces at the view level, never
+    double-buckets) and the sidecar's doc count updates exactly.
+    Older rows physically drop at the quota-triggered compact.
+    Idempotent."""
     p = meta["params"]
     buckets = _batch_buckets(new_docs, p["k"], p["bands"], p["n"])
-    batch_ids = buckets.select(F.col("id").alias("doc_id")).distinct()
-    existing = spark.read.parquet(buckets_path(path))
-    hit = (
-        existing.join(
-            F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")), "id"
-        )
-        .agg(
-            F.countDistinct("id").alias("n"),
-            F.collect_set("band").alias("bands"),
-        )
-        .collect()[0]
-    )  # bounded collect: one count + <=bands partition values
-    replaced, doomed_bands = int(hit.n), list(hit.bands)
-    keep = existing.join(
-        F.broadcast(batch_ids.withColumnRenamed("doc_id", "id")),
-        "id",
-        "left_anti",
+    lsm_upsert(spark, buckets_path(path), buckets, "id", ["band"])
+    lsm_maybe_compact(
+        spark, buckets_path(path), "id", ["band"], sort_within=["bkey"]
     )
-    merged = keep.unionByName(buckets.select(*keep.columns)).localCheckpoint()
-    # must_rewrite: a band partition whose rows ALL belonged to
-    # replaced ids is invisible to dynamic overwrite (r12 ADVICE).
-    write_upsert_partitions(
-        merged, buckets_path(path), ["band"], must_rewrite=doomed_bands
-    )
-    n_new = batch_ids.count()
+    n_docs = read_minhash_buckets(spark, path).select("id").distinct().count()
     meta = dict(meta)
-    meta["n_docs"] = int(meta["n_docs"]) - int(replaced) + int(n_new)
+    meta["n_docs"] = int(n_docs)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -265,25 +258,17 @@ def minhash_index_upsert(
 def minhash_index_delete(
     spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
 ) -> dict:
-    """Take-down: remove a document batch's bucket rows from every
-    band partition and shrink the sidecar count exactly. Idempotent."""
+    """Take-down: tombstones only (write ∝ doomed ids) — the batch's
+    bucket rows vanish from the VIEW immediately, from disk at the
+    next compact; the sidecar count shrinks exactly. Idempotent."""
     ids = doomed_ids.select(F.col("doc_id").alias("id")).distinct()
-    existing = spark.read.parquet(buckets_path(path))
-    hit = (
-        existing.join(F.broadcast(ids), "id")
-        .agg(
-            F.countDistinct("id").alias("n"),
-            F.collect_set("band").alias("bands"),
-        )
-        .collect()[0]
-    )  # bounded collect: one count + <=bands partition values
-    gone, doomed_bands = int(hit.n), list(hit.bands)
-    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(
-        keep, buckets_path(path), ["band"], must_rewrite=doomed_bands
+    lsm_delete(spark, buckets_path(path), ids, "id")
+    lsm_maybe_compact(
+        spark, buckets_path(path), "id", ["band"], sort_within=["bkey"]
     )
+    n_docs = read_minhash_buckets(spark, path).select("id").distinct().count()
     meta = dict(meta)
-    meta["n_docs"] = int(meta["n_docs"]) - int(gone)
+    meta["n_docs"] = int(n_docs)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta

@@ -26,11 +26,14 @@ shape:
   (band, chunk), emit each candidate pair once via the
   first-equal-band trick (operators/dedup.hamming_pairs), verify
   with exact bit_count(xor) ≤ max_hamming — all from the index rows.
-- MAINTAIN: a batch touches every band partition (each image has one
-  row per band) but the partition count is the CONSTANT ``bands``;
-  upsert/delete rewrite those directories only, replaced ids purged
-  first, emptied partitions dropped (io.write_upsert_partitions
-  must_rewrite). Idempotent by construction.
+- MAINTAIN: batch-bounded LSM writes (operators/lsm.py — the r13
+  verdict's headline fix): an upsert APPENDS the batch's band rows
+  as a delta epoch plus id tombstones (write ∝ batch — every image
+  has a row in every band, so the old rewrite-the-partitions shape
+  rewrote 100% of the artifact per batch); a delete appends
+  tombstones only. Probes read the base∪delta view; the quota
+  trigger folds the log back into a fresh chunk-sorted base.
+  Idempotent at the view level by construction.
 
 Reference parity: the reference persists fetched documents and
 re-serves them (src/api/db.py:23-38) — the same build-once/probe-many
@@ -45,10 +48,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lol_data_pipeline_spark.io import (
-    load_table,
-    write_overwrite,
-    write_upsert_partitions,
+from lol_data_pipeline_spark.io import load_table, write_overwrite
+from lol_data_pipeline_spark.operators.lsm import (
+    lsm_delete,
+    lsm_maybe_compact,
+    lsm_reset,
+    lsm_upsert,
+    lsm_view,
 )
 from lol_data_pipeline_spark.operators.multimodal import media_dhash_frame
 
@@ -86,6 +92,19 @@ def _batch_band_rows(media: DataFrame) -> DataFrame:
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
 
 
+def read_phash_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The artifact's logical (id, simhash, band, chunk) rows — the
+    LSM view (plain base scan when the log is empty, so the serve
+    plan is unchanged from the pre-LSM design). Empty-with-schema
+    when nothing is on disk, so probe-after-full-take-down works."""
+    view = lsm_view(spark, bands_path(path), "id")
+    if view is None:
+        view = spark.createDataFrame(
+            [], "id long, simhash long, band int, chunk long"
+        )
+    return view.select("id", "simhash", "band", "chunk")
+
+
 def _base_media(docs: DataFrame) -> DataFrame:
     """One base image per document — the corpus's image side."""
     return docs.select(
@@ -114,6 +133,7 @@ def build_phash_index(
         .sortWithinPartitions("chunk")
     )
     write_overwrite(rows, bands_path(path), partition_by=["band"])
+    lsm_reset(bands_path(path))  # a rebuild starts a fresh generation
     disk = spark.read.parquet(bands_path(path))
     n_docs = disk.select("id").distinct().count()
     meta = {
@@ -178,7 +198,7 @@ def served_phash_pairs(
     max_hamming, ordered. At 100 TB: the index is never re-signed;
     per-band chunk point predicates prune row groups."""
     probe = _batch_band_rows(batch_media).alias("a")
-    idx = spark.read.parquet(bands_path(path)).alias("b")
+    idx = read_phash_rows(spark, path).alias("b")
     xor = "(a.simhash ^ b.simhash)"
     chunk_eq = ", ".join(
         f"(shiftright({xor}, {b * _WIDTH}) & {_MASK}) = 0"
@@ -204,29 +224,20 @@ def served_phash_pairs(
 def phash_index_upsert(
     spark: SparkSession, path: str, meta: dict, new_media: DataFrame
 ) -> dict:
-    """Merge an image batch into the persisted index: replaced ids'
-    stale rows purge first, the rewrite touches the CONSTANT band
-    partitions, emptied partitions drop. Idempotent."""
+    """Merge an image batch into the persisted index: the batch's
+    band rows APPEND as a delta epoch + id tombstones (write ∝ batch
+    — the old shape rewrote 100% of the artifact, since every image
+    has a row in every band partition); replaced ids' older rows are
+    superseded by the tombstones at read time and physically dropped
+    at the quota-triggered compact. Idempotent at the view level."""
     rows = _batch_band_rows(new_media)
-    batch_ids = rows.select("id").distinct()
-    existing = spark.read.parquet(bands_path(path))
-    hit = (
-        existing.join(F.broadcast(batch_ids), "id")
-        .agg(
-            F.countDistinct("id").alias("n"),
-            F.collect_set("band").alias("bands"),
-        )
-        .collect()[0]
-    )  # bounded collect: one count + <=bands partition values
-    replaced, doomed_bands = int(hit.n), list(hit.bands)
-    keep = existing.join(F.broadcast(batch_ids), "id", "left_anti")
-    merged = keep.unionByName(rows.select(*keep.columns)).localCheckpoint()
-    write_upsert_partitions(
-        merged, bands_path(path), ["band"], must_rewrite=doomed_bands
+    lsm_upsert(spark, bands_path(path), rows, "id", ["band"])
+    lsm_maybe_compact(
+        spark, bands_path(path), "id", ["band"], sort_within=["chunk"]
     )
-    n_new = batch_ids.count()
+    n_docs = read_phash_rows(spark, path).select("id").distinct().count()
     meta = dict(meta)
-    meta["n_docs"] = int(meta["n_docs"]) - int(replaced) + int(n_new)
+    meta["n_docs"] = int(n_docs)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -235,26 +246,27 @@ def phash_index_upsert(
 def phash_index_delete(
     spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
 ) -> dict:
-    """Take-down: an image batch's rows vanish from every band
-    partition; emptied partitions drop; the sidecar count shrinks
-    exactly. Idempotent."""
+    """Take-down: tombstones only (write ∝ doomed ids); the batch's
+    rows vanish from the VIEW immediately and from disk at the next
+    compact; the sidecar count shrinks exactly. Idempotent."""
     ids = doomed_ids.select(F.col("media_id").alias("id")).distinct()
-    existing = spark.read.parquet(bands_path(path))
-    hit = (
-        existing.join(F.broadcast(ids), "id")
-        .agg(
-            F.countDistinct("id").alias("n"),
-            F.collect_set("band").alias("bands"),
-        )
-        .collect()[0]
-    )  # bounded collect
-    gone, doomed_bands = int(hit.n), list(hit.bands)
-    keep = existing.join(F.broadcast(ids), "id", "left_anti").localCheckpoint()
-    write_upsert_partitions(
-        keep, bands_path(path), ["band"], must_rewrite=doomed_bands
+    lsm_delete(spark, bands_path(path), ids, "id")
+    lsm_maybe_compact(
+        spark, bands_path(path), "id", ["band"], sort_within=["chunk"]
     )
+    n_docs = read_phash_rows(spark, path).select("id").distinct().count()
     meta = dict(meta)
-    meta["n_docs"] = int(meta["n_docs"]) - int(gone)
+    meta["n_docs"] = int(n_docs)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
+    return meta
+
+
+def phash_index_compact(spark: SparkSession, path: str, meta: dict) -> dict:
+    """Force the fold (the maintenance entry's explicit form of the
+    quota trigger): view → fresh chunk-sorted base, logs cleared.
+    The view — and therefore every probe — is unchanged."""
+    from lol_data_pipeline_spark.operators.lsm import lsm_compact
+
+    lsm_compact(spark, bands_path(path), "id", ["band"], sort_within=["chunk"])
     return meta

@@ -27,11 +27,17 @@ persistence:
   columns with sidecar scalars as literals — identical doubles to
   the in-query operator, which is why the served entry shares
   text_search_bm25's oracle verbatim.
-- MAINTAIN: a document batch's postings land in the ≤ NB affected
-  term buckets (merge: existing minus replaced doc ids, union new —
-  dynamic partition overwrite), its lengths in the affected doc
-  buckets, and the sidecar's integer totals update exactly.
-  Deletes mirror it. Idempotent by construction.
+- MAINTAIN: batch-bounded LSM writes (operators/lsm.py — the r13
+  verdict's headline fix): an upsert APPENDS the batch's postings
+  and lengths as delta epochs plus doc-id tombstones on BOTH tables
+  (write ∝ batch — the old shape re-wrote every affected bucket's
+  full contents, index-sized bytes when a batch's terms span the
+  buckets; tombstones also subsume the old second pass that chased
+  replaced ids' postings into unaffected buckets), and the sidecar's
+  integer totals update exactly. Deletes append tombstones only.
+  Serves read the base∪delta view (plain base scan when the log is
+  empty); the quota trigger folds the log back. Idempotent at the
+  view level by construction.
 
 At 100 TB: the postings table is the corpus's token-frequency
 surface (rows = distinct (doc, term) pairs); a query reads only its
@@ -45,18 +51,19 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lol_data_pipeline_spark.functions.text import tokens
-from lol_data_pipeline_spark.io import (
-    load_table,
-    widen,
-    write_overwrite,
-    write_upsert_partitions,
+from lol_data_pipeline_spark.io import load_table, widen, write_overwrite
+from lol_data_pipeline_spark.operators.lsm import (
+    lsm_delete,
+    lsm_maybe_compact,
+    lsm_reset,
+    lsm_upsert,
+    lsm_view,
 )
 from lol_data_pipeline_spark.operators.relational import global_topk_ranked
 from lol_data_pipeline_spark.operators.search import bm25_weight_sql
@@ -85,6 +92,29 @@ def postings_path(path: str) -> str:
 
 def doclens_path(path: str) -> str:
     return os.path.join(path, "doclens")
+
+
+def read_postings(spark: SparkSession, path: str) -> DataFrame:
+    """The postings table's logical (doc_id, term, tf, tb) rows — the
+    LSM view (plain base scan when the log is empty). Empty-with-
+    schema when nothing is on disk."""
+    view = lsm_view(spark, postings_path(path), "doc_id")
+    if view is None:
+        view = spark.createDataFrame(
+            [], "doc_id long, term string, tf long, tb int"
+        )
+    return view.select(
+        "doc_id", "term", "tf", F.col("tb").cast("int").alias("tb")
+    )
+
+
+def read_doclens(spark: SparkSession, path: str) -> DataFrame:
+    """The doc-length table's logical (doc_id, dl, db) rows — same
+    contract as read_postings."""
+    view = lsm_view(spark, doclens_path(path), "doc_id")
+    if view is None:
+        view = spark.createDataFrame([], "doc_id long, dl long, db int")
+    return view.select("doc_id", "dl", F.col("db").cast("int").alias("db"))
 
 
 def _postings_and_lens(
@@ -117,6 +147,8 @@ def build_bm25_index(spark: SparkSession, sf_dir: str, path: str) -> dict:
     postings, lens = _postings_and_lens(docs)
     write_overwrite(postings, postings_path(path), partition_by=["tb"])
     write_overwrite(lens, doclens_path(path), partition_by=["db"])
+    lsm_reset(postings_path(path))  # a rebuild starts a fresh generation
+    lsm_reset(doclens_path(path))
     row = (
         spark.read.parquet(doclens_path(path))
         .agg(
@@ -195,7 +227,7 @@ def served_bm25_topk(
     nt = len(terms)
     buckets = sorted({term_bucket(t) for t in terms})
     post = (
-        spark.read.parquet(postings_path(path))
+        read_postings(spark, path)
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(list(terms)))
         .select("doc_id", "term", "tf")
@@ -213,7 +245,7 @@ def served_bm25_topk(
             for i, t in enumerate(terms)
         ]
     )
-    lens = spark.read.parquet(doclens_path(path)).select("doc_id", "dl")
+    lens = read_doclens(spark, path).select("doc_id", "dl")
     joined = lens.join(F.broadcast(cand), "doc_id").select(
         F.col("doc_id").alias("id"),
         F.col("dl").cast("double").alias("dl"),
@@ -235,72 +267,38 @@ def served_bm25_topk(
     return topk.select(F.col("id").alias("doc_id"), "score", "n_terms_hit", "rank")
 
 
-def _affected(df: DataFrame, col: str) -> list[int]:
-    return sorted(int(r[col]) for r in df.select(col).distinct().collect())
-
-
 def bm25_index_upsert(
     spark: SparkSession, path: str, meta: dict, new_docs: DataFrame
 ) -> dict:
     """Merge a document batch into the persisted index: the batch's
-    postings land in their ≤ NB term-bucket partitions (existing rows
-    of replaced doc ids removed first — re-ingesting a changed
-    document replaces, never double-counts), its lengths in the ≤ NB
-    affected doc buckets, and the sidecar's EXACT integer totals
-    update (replaced docs' tokens subtracted, new added). Idempotent.
-    Returns the updated sidecar meta."""
+    postings and lengths APPEND as delta epochs + doc-id tombstones
+    on both tables (write ∝ batch; a replaced doc's OLD postings —
+    including ones in buckets the new text never touches — are
+    superseded by the tombstone at read time, which retires the old
+    second chase-the-unaffected-buckets pass), and the sidecar's
+    EXACT integer totals update. Older rows physically drop at the
+    quota-triggered compact. Idempotent. Returns the updated meta."""
     postings, lens = _postings_and_lens(new_docs)
-    batch_ids = lens.select("doc_id")
-    # replaced docs' old lengths (needed for the exact total update)
-    old_lens = spark.read.parquet(doclens_path(path)).join(
-        F.broadcast(batch_ids), "doc_id"
+    lsm_upsert(spark, postings_path(path), postings, "doc_id", ["tb"])
+    lsm_upsert(spark, doclens_path(path), lens, "doc_id", ["db"])
+    lsm_maybe_compact(
+        spark, postings_path(path), "doc_id", ["tb"], sort_within=["term"]
     )
-    old = old_lens.agg(
-        F.count("*").cast("long").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot"),
-    ).collect()[0]
-    tbs = _affected(postings, "tb")
-    exist_p = (
-        spark.read.parquet(postings_path(path))
-        .filter(F.col("tb").isin(tbs))
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
-    )
-    merged_p = exist_p.unionByName(postings.select(*exist_p.columns)).localCheckpoint()
-    write_upsert_partitions(merged_p, postings_path(path), ["tb"])
-    # postings of replaced ids may also live in UNAFFECTED buckets
-    # (old doc text had other terms) — purge those rows too
-    other = (
-        spark.read.parquet(postings_path(path))
-        .filter(~F.col("tb").isin(tbs))
-        .join(F.broadcast(batch_ids), "doc_id", "semi")
-    )
-    if other.limit(1).count():
-        dirty = _affected(other, "tb")
-        keep = (
-            spark.read.parquet(postings_path(path))
-            .filter(F.col("tb").isin(dirty))
-            .join(F.broadcast(batch_ids), "doc_id", "left_anti")
-            .localCheckpoint()
+    lsm_maybe_compact(spark, doclens_path(path), "doc_id", ["db"])
+    # exact totals from the post-write doclens view (one column-pruned
+    # aggregate — the same read the old incremental arithmetic needed
+    # to find replaced docs' lengths)
+    row = (
+        read_doclens(spark, path)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot"),
         )
-        # must_rewrite: a dirty bucket whose every posting belonged
-        # to replaced ids would otherwise keep stale rows (r12 ADVICE)
-        write_upsert_partitions(
-            keep, postings_path(path), ["tb"], must_rewrite=dirty
-        )
-    dbs = _affected(lens, "db")
-    exist_l = (
-        spark.read.parquet(doclens_path(path))
-        .filter(F.col("db").isin(dbs))
-        .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        .collect()[0]
     )
-    merged_l = exist_l.unionByName(lens.select(*exist_l.columns)).localCheckpoint()
-    write_upsert_partitions(merged_l, doclens_path(path), ["db"])
-    new = lens.agg(
-        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tot")
-    ).collect()[0]
     meta = dict(meta)
-    meta["n_docs"] = int(meta["n_docs"]) - int(old.n) + int(new.n)
-    meta["total_tokens"] = int(meta["total_tokens"]) - int(old.tot) + int(new.tot)
+    meta["n_docs"] = int(row.n)
+    meta["total_tokens"] = int(row.tot)
     with open(os.path.join(path, _META_NAME), "w") as f:
         json.dump(meta, f)
     return meta
@@ -309,43 +307,25 @@ def bm25_index_upsert(
 def bm25_index_delete(
     spark: SparkSession, path: str, meta: dict, doomed_ids: DataFrame
 ) -> dict:
-    """Take-down: remove a document batch from postings and doclens
-    (only the partitions that actually hold their rows rewrite) and
-    subtract their EXACT integer totals from the sidecar. Emptied
-    partition directories are dropped. Idempotent."""
+    """Take-down: doc-id tombstones on both tables (write ∝ doomed
+    ids) — the docs' postings and lengths vanish from the VIEW
+    immediately, from disk at the next compact; the sidecar's EXACT
+    integer totals shrink. Idempotent."""
     ids = doomed_ids.select("doc_id")
-    for sub, part in ((postings_path(path), "tb"), (doclens_path(path), "db")):
-        hit = spark.read.parquet(sub).join(F.broadcast(ids), "doc_id", "semi")
-        affected = _affected(hit, part)
-        if not affected:
-            continue
-        keep = (
-            spark.read.parquet(sub)
-            .filter(F.col(part).isin(affected))
-            .join(F.broadcast(ids), "doc_id", "left_anti")
-            .localCheckpoint()
-        )
-        write_upsert_partitions(keep, sub, [part])
-        survived = {int(r[part]) for r in keep.select(part).distinct().collect()}
-        for v in affected:
-            if v not in survived:
-                shutil.rmtree(os.path.join(sub, f"{part}={v}"), ignore_errors=True)
-    gone = (
-        spark.read.parquet(doclens_path(path))
-        .join(F.broadcast(ids), "doc_id", "semi")
-        .agg(F.count("*").alias("n"))
-        .collect()[0]
+    lsm_delete(spark, postings_path(path), ids, "doc_id")
+    lsm_delete(spark, doclens_path(path), ids, "doc_id")
+    lsm_maybe_compact(
+        spark, postings_path(path), "doc_id", ["tb"], sort_within=["term"]
     )
-    # recompute totals from disk (doomed rows already gone) — exact
+    lsm_maybe_compact(spark, doclens_path(path), "doc_id", ["db"])
     row = (
-        spark.read.parquet(doclens_path(path))
+        read_doclens(spark, path)
         .agg(
             F.count("*").cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("tot"),
         )
         .collect()[0]
     )
-    assert int(gone.n) == 0
     meta = dict(meta)
     meta["n_docs"] = int(row.n)
     meta["total_tokens"] = int(row.tot)

@@ -2272,14 +2272,14 @@ def bm25_index_stats(spark, sf_dir):
     rewrite cost. All aggregates run over the index's own partition
     layout — the source corpus is never read."""
     from lol_data_pipeline_spark.operators.text_index import (
-        doclens_path,
         ensure_bm25_index,
-        postings_path,
+        read_doclens,
+        read_postings,
     )
 
     path, meta = ensure_bm25_index(spark, sf_dir)
-    post = spark.read.parquet(postings_path(path))
-    lens = spark.read.parquet(doclens_path(path))
+    post = read_postings(spark, path)
+    lens = read_doclens(spark, path)
     lstats = lens.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
@@ -2523,8 +2523,8 @@ def minhash_index_stats(spark, sf_dir):
     construction, not just a count check (full-corpus index,
     variant='stats')."""
     from lol_data_pipeline_spark.operators.minhash_index import (
-        buckets_path,
         ensure_minhash_index,
+        read_minhash_buckets,
     )
 
     path, _meta = ensure_minhash_index(
@@ -2532,7 +2532,7 @@ def minhash_index_stats(spark, sf_dir):
         k=_MH_K, bands=_MH_BANDS, n=_MH_N, index_where="",
     )
     per = (
-        spark.read.parquet(buckets_path(path))
+        read_minhash_buckets(spark, path)
         .groupBy(F.col("band").cast("int").alias("band"), "bkey")
         .agg(F.count("*").alias("cbk"))
     )
@@ -2876,8 +2876,8 @@ def dedup_minhash_pairs_served(spark, sf_dir):
         _jaccard_verify,
     )
     from lol_data_pipeline_spark.operators.minhash_index import (
-        buckets_path,
         ensure_minhash_index,
+        read_minhash_buckets,
     )
 
     path, _meta = ensure_minhash_index(
@@ -2886,11 +2886,7 @@ def dedup_minhash_pairs_served(spark, sf_dir):
     )
     # persist the bucket scan: the self-join otherwise reads the
     # parquet once per side
-    idx = tracked_persist(
-        spark.read.parquet(buckets_path(path)).select(
-            "id", F.col("band").cast("int").alias("band"), "bkey"
-        )
-    )
+    idx = tracked_persist(read_minhash_buckets(spark, path))
     a, b = idx.alias("a"), idx.alias("b")
     # persist the candidate set: it feeds BOTH verify-join sides plus
     # the id projection below — unpersisted, the bucket self-join

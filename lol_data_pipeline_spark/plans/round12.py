@@ -485,14 +485,14 @@ def chunk_index_stats_entry(spark, sf_dir):
     bm25_index_stats). Computed from the artifact's layout alone: one
     aggregate over (hb, h, id), no text bytes."""
     from lol_data_pipeline_spark.operators.chunk_index import (
-        chunks_path,
         ensure_chunk_index,
+        read_chunk_rows,
     )
 
     path, meta = ensure_chunk_index(
         spark, sf_dir, variant="probe", c=_CSD_C, index_where=_CSD_IDX_WHERE
     )
-    disk = spark.read.parquet(chunks_path(path))
+    disk = read_chunk_rows(spark, path)
     return (
         disk.groupBy(F.col("hb").cast("int").alias("hb"))
         .agg(

@@ -182,14 +182,14 @@ def ngram_index_stats_entry(spark, sf_dir):
     the value hash). Computed from the artifact's layout alone: one
     aggregate over (hb, h, id), no text bytes."""
     from lol_data_pipeline_spark.operators.chunk_index import (
-        chunks_path,
         ensure_ngram_index,
+        read_ngram_rows,
     )
 
     path, meta = ensure_ngram_index(
         spark, sf_dir, variant="decon", n=5, index_where=_NG_IDX_WHERE
     )
-    disk = spark.read.parquet(chunks_path(path))
+    disk = read_ngram_rows(spark, path)
     return (
         disk.groupBy(F.col("hb").cast("int").alias("hb"))
         .agg(
@@ -836,12 +836,12 @@ def phash_index_stats_entry(spark, sf_dir):
     drift-fails-oracle design of the other *_stats entries. Layout
     only: one aggregate over (band, chunk, id)."""
     from lol_data_pipeline_spark.operators.phash_index import (
-        bands_path,
         ensure_phash_index,
+        read_phash_rows,
     )
 
     path, meta = ensure_phash_index(spark, sf_dir)
-    disk = spark.read.parquet(bands_path(path))
+    disk = read_phash_rows(spark, path)
     return (
         disk.groupBy(F.col("band").cast("int").alias("band"))
         .agg(

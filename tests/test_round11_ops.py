@@ -251,8 +251,15 @@ def test_graph_delete_promotes_survivors_and_drops_emptied(
                 )
             )
         graph_delete(spark, path, meta, doom_all)
-    assert not os.path.isdir(os.path.join(path, "nodes", f"code={victim}"))
+    # edges are eagerly recomputed per bucket — the emptied edge
+    # directory drops at delete time; the NODE rows are tombstoned
+    # (r14 LSM shape) and their directory drops at the compact
     assert not os.path.isdir(os.path.join(path, "edges", f"code={victim}"))
+    assert read_nodes(spark, path, codes=[victim]).count() == 0
+    from lol_data_pipeline_spark.operators.lsm import lsm_compact
+
+    lsm_compact(spark, os.path.join(path, "nodes"), "vec_id", ["code"])
+    assert not os.path.isdir(os.path.join(path, "nodes", f"code={victim}"))
 
 
 def test_served_beam_plan_has_no_bucket_selfjoin(spark, sf_dir):
@@ -712,7 +719,7 @@ def test_bm25_upsert_replaces_and_is_idempotent(spark, sf_dir, tmp_path_factory)
     from lol_data_pipeline_spark.operators.text_index import (
         bm25_index_upsert,
         ensure_bm25_index,
-        postings_path,
+        read_postings,
     )
 
     root = str(tmp_path_factory.mktemp("bm25_index"))
@@ -720,7 +727,7 @@ def test_bm25_upsert_replaces_and_is_idempotent(spark, sf_dir, tmp_path_factory)
     victim = 3
     old_terms = {
         r.term
-        for r in spark.read.parquet(postings_path(path))
+        for r in read_postings(spark, path)
         .filter(F.col("doc_id") == victim)
         .collect()
     }
@@ -730,17 +737,17 @@ def test_bm25_upsert_replaces_and_is_idempotent(spark, sf_dir, tmp_path_factory)
     meta2 = bm25_index_upsert(spark, path, meta, batch)
     now = {
         (r.term, r.tf)
-        for r in spark.read.parquet(postings_path(path))
+        for r in read_postings(spark, path)
         .filter(F.col("doc_id") == victim)
         .collect()
     }
     assert now == {("zzqx", 2), ("yyqk", 1)}  # stale postings purged
     assert meta2["n_docs"] == meta["n_docs"]  # replace, not insert
-    # exact totals: re-derive independently from the on-disk lengths
-    from lol_data_pipeline_spark.operators.text_index import doclens_path
+    # exact totals: re-derive independently from the logical lengths
+    from lol_data_pipeline_spark.operators.text_index import read_doclens
 
     row = (
-        spark.read.parquet(doclens_path(path))
+        read_doclens(spark, path)
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
         .collect()[0]
     )
@@ -750,7 +757,7 @@ def test_bm25_upsert_replaces_and_is_idempotent(spark, sf_dir, tmp_path_factory)
     assert meta3["total_tokens"] == meta2["total_tokens"]
     again = {
         (r.term, r.tf)
-        for r in spark.read.parquet(postings_path(path))
+        for r in read_postings(spark, path)
         .filter(F.col("doc_id") == victim)
         .collect()
     }
@@ -763,9 +770,9 @@ def test_bm25_delete_drops_emptied_buckets(spark, sf_dir, tmp_path_factory):
     postings byte-identical."""
     from lol_data_pipeline_spark.operators.text_index import (
         bm25_index_delete,
-        doclens_path,
         ensure_bm25_index,
-        postings_path,
+        read_doclens,
+        read_postings,
     )
 
     root = str(tmp_path_factory.mktemp("bm25_del"))
@@ -774,13 +781,13 @@ def test_bm25_delete_drops_emptied_buckets(spark, sf_dir, tmp_path_factory):
     before_other = sorted(
         map(
             tuple,
-            spark.read.parquet(postings_path(path))
+            read_postings(spark, path)
             .filter(F.col("doc_id") > 1)
             .collect(),
         )
     )
     meta2 = bm25_index_delete(spark, path, meta, ids)
-    left = spark.read.parquet(postings_path(path))
+    left = read_postings(spark, path)
     assert left.filter(F.col("doc_id") <= 1).count() == 0
     after_other = sorted(
         map(tuple, left.filter(F.col("doc_id") > 1).collect())
@@ -788,7 +795,7 @@ def test_bm25_delete_drops_emptied_buckets(spark, sf_dir, tmp_path_factory):
     assert after_other == before_other
     assert meta2["n_docs"] == meta["n_docs"] - 2
     row = (
-        spark.read.parquet(doclens_path(path))
+        read_doclens(spark, path)
         .agg(F.sum("dl").alias("tot"))
         .collect()[0]
     )
@@ -856,7 +863,7 @@ def test_stream_bm25_upsert_replay_is_idempotent(spark, sf_dir):
 
     from lol_data_pipeline_spark.operators.text_index import (
         ensure_bm25_index,
-        postings_path,
+        read_postings,
     )
     from lol_data_pipeline_spark.plans import REGISTRY
 
@@ -865,11 +872,11 @@ def test_stream_bm25_upsert_replay_is_idempotent(spark, sf_dir):
     path, _ = ensure_bm25_index(spark, sf_dir, variant="streamup")
     with open(os.path.join(path, "_text_meta.json")) as f:
         meta1 = json.load(f)
-    post1 = sorted(map(tuple, spark.read.parquet(postings_path(path)).collect()))
+    post1 = sorted(map(tuple, read_postings(spark, path).collect()))
     again = fn(spark, sf_dir).collect()
     with open(os.path.join(path, "_text_meta.json")) as f:
         meta2 = json.load(f)
-    post2 = sorted(map(tuple, spark.read.parquet(postings_path(path)).collect()))
+    post2 = sorted(map(tuple, read_postings(spark, path).collect()))
     assert first == again
     assert meta1 == meta2
     assert post1 == post2
@@ -926,9 +933,9 @@ def test_minhash_upsert_is_idempotent_and_replaces(spark, sf_dir, tmp_path_facto
     """Re-upserting the same batch leaves identical bucket rows and an
     identical sidecar count; a replaced id never double-buckets."""
     from lol_data_pipeline_spark.operators.minhash_index import (
-        buckets_path,
         ensure_minhash_index,
         minhash_index_upsert,
+        read_minhash_buckets,
     )
 
     root = str(tmp_path_factory.mktemp("mh_up"))
@@ -938,18 +945,19 @@ def test_minhash_upsert_is_idempotent_and_replaces(spark, sf_dir, tmp_path_facto
         (F.col("doc_id") + 990000).alias("doc_id"), "text"
     )
     meta1 = minhash_index_upsert(spark, path, meta, batch)
-    rows1 = sorted(map(tuple, spark.read.parquet(buckets_path(path)).collect()))
+    rows1 = sorted(map(tuple, read_minhash_buckets(spark, path).collect()))
     meta2 = minhash_index_upsert(spark, path, meta1, batch)
-    rows2 = sorted(map(tuple, spark.read.parquet(buckets_path(path)).collect()))
+    rows2 = sorted(map(tuple, read_minhash_buckets(spark, path).collect()))
     assert rows1 == rows2
     assert meta1["n_docs"] == meta2["n_docs"] == meta["n_docs"] + 5
     per_id = (
-        spark.read.parquet(buckets_path(path))
+        read_minhash_buckets(spark, path)
         .filter(F.col("id") >= 990000)
         .groupBy("id")
         .count()
         .collect()
     )
+    assert per_id  # view-level: the batch IS in the logical artifact
     assert all(r["count"] == 8 for r in per_id)  # one row per band
 
 
@@ -957,21 +965,21 @@ def test_minhash_delete_removes_every_band_row(spark, sf_dir, tmp_path_factory):
     """Deleting ids drops their rows from ALL band partitions and the
     sidecar count shrinks exactly; other ids' rows are untouched."""
     from lol_data_pipeline_spark.operators.minhash_index import (
-        buckets_path,
         ensure_minhash_index,
         minhash_index_delete,
+        read_minhash_buckets,
     )
 
     root = str(tmp_path_factory.mktemp("mh_del"))
     path, meta = ensure_minhash_index(spark, sf_dir, root=root)
     ids = spark.createDataFrame([(0,), (1,)], "doc_id long")
     before = (
-        spark.read.parquet(buckets_path(path))
+        read_minhash_buckets(spark, path)
         .filter(F.col("id") > 1)
         .count()
     )
     meta2 = minhash_index_delete(spark, path, meta, ids)
-    left = spark.read.parquet(buckets_path(path))
+    left = read_minhash_buckets(spark, path)
     assert left.filter(F.col("id") <= 1).count() == 0
     assert left.count() == before
     assert meta2["n_docs"] == meta["n_docs"] - 2

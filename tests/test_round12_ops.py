@@ -177,7 +177,7 @@ def test_chunk_delete_only_loses_dup_flags(spark, sf_dir):
     doomed rows."""
     from lol_data_pipeline_spark.operators.chunk_index import (
         CHUNK_ROOT,
-        chunks_path,
+        read_chunk_rows,
     )
     from lol_data_pipeline_spark.plans import REGISTRY
 
@@ -200,7 +200,9 @@ def test_chunk_delete_only_loses_dup_flags(spark, sf_dir):
     import os
 
     path = os.path.join(CHUNK_ROOT, "chunk_sf0.001_delete")
-    disk = spark.read.parquet(chunks_path(path))
+    # the LOGICAL artifact (LSM view) holds no doomed rows — physical
+    # rows linger until the compact, suppressed by tombstones
+    disk = read_chunk_rows(spark, path)
     assert disk.filter("id >= 5 AND id < 30").count() == 0
 
 

@@ -16,14 +16,17 @@ from pyspark.sql import functions as F
 
 def test_chunk_delete_drops_emptied_buckets(spark, tmp_path):
     """Delete every doc whose chunks exclusively own some hash bucket
-    — the stale rows in that bucket must be gone from disk (r12
-    ADVICE medium: dynamic overwrite never rewrites a partition with
-    zero surviving rows)."""
+    — the doomed rows must be gone from the VIEW immediately (the r12
+    ADVICE stale-rows class), and the COMPACT must physically drop
+    the emptied bucket directory (under the r14 LSM maintenance shape
+    physical reclamation is the compact's job, not the delete's)."""
     from lol_data_pipeline_spark.operators.chunk_index import (
         build_chunk_index,
         chunk_index_delete,
         chunks_path,
+        read_chunk_rows,
     )
+    from lol_data_pipeline_spark.operators.lsm import lsm_compact
 
     path = str(tmp_path / "chunk")
     os.makedirs(path, exist_ok=True)
@@ -31,7 +34,7 @@ def test_chunk_delete_drops_emptied_buckets(spark, tmp_path):
         spark, "/root/testdata/sf0.001", path, c=2,
         index_where="doc_id IN (1, 2, 3)",
     )
-    pre = spark.read.parquet(chunks_path(path))
+    pre = read_chunk_rows(spark, path)
     owned = {
         int(r.hb)
         for r in pre.filter("id = 1").select("hb").distinct().collect()
@@ -44,25 +47,30 @@ def test_chunk_delete_drops_emptied_buckets(spark, tmp_path):
     assert exclusive, "fixture must give doc 1 an exclusively-owned bucket"
     doomed = spark.createDataFrame([(1,)], "doc_id long")
     meta = chunk_index_delete(spark, path, meta, doomed)
-    post = spark.read.parquet(chunks_path(path))
-    assert post.filter("id = 1").count() == 0, "stale doomed rows on disk"
+    post = read_chunk_rows(spark, path)
+    assert post.filter("id = 1").count() == 0, "stale doomed rows in view"
+    assert meta["n_docs"] == 2
+    assert meta["n_chunks"] == post.count()
+    lsm_compact(spark, chunks_path(path), "id", ["hb"], sort_within=["h"])
     for hb in exclusive:
         assert not os.path.isdir(
             os.path.join(chunks_path(path), f"hb={hb}")
-        ), f"emptied partition hb={hb} survived on disk"
-    assert meta["n_docs"] == 2
-    assert meta["n_chunks"] == post.count()
+        ), f"emptied partition hb={hb} survived the compact"
+    assert read_chunk_rows(spark, path).filter("id = 1").count() == 0
 
 
 def test_chunk_delete_everything_zeroes_sidecar(spark, tmp_path):
-    """Deleting the entire standing set drops every partition and
-    the sidecar records zero — no schema-inference crash on the
-    emptied directory."""
+    """Deleting the entire standing set zeroes the sidecar and leaves
+    the table READABLE (no schema-inference crash): the base keeps
+    its parquet footers until the compact, and the post-compact empty
+    base is a schema-bearing file."""
     from lol_data_pipeline_spark.operators.chunk_index import (
         build_chunk_index,
         chunk_index_delete,
         chunks_path,
+        read_chunk_rows,
     )
+    from lol_data_pipeline_spark.operators.lsm import lsm_compact
 
     path = str(tmp_path / "chunk_all")
     os.makedirs(path, exist_ok=True)
@@ -73,20 +81,27 @@ def test_chunk_delete_everything_zeroes_sidecar(spark, tmp_path):
     doomed = spark.createDataFrame([(1,), (2,)], "doc_id long")
     meta = chunk_index_delete(spark, path, meta, doomed)
     assert meta["n_docs"] == 0 and meta["n_chunks"] == 0
+    assert read_chunk_rows(spark, path).count() == 0
+    lsm_compact(spark, chunks_path(path), "id", ["hb"], sort_within=["h"])
     leftover = [
         d for d in os.listdir(chunks_path(path)) if d.startswith("hb=")
     ]
     assert leftover == []
+    # still readable after the physical drop (r13 ADVICE crash class)
+    assert read_chunk_rows(spark, path).count() == 0
 
 
 def test_minhash_delete_drops_emptied_bands(spark, tmp_path):
     """Every doc has one bucket row per band, so deleting the whole
-    standing set empties EVERY band partition — all must vanish and
-    the sidecar count must hit zero without crashing."""
+    standing set empties EVERY band partition: the view and sidecar
+    hit zero immediately, and the compact drops the directories —
+    without crashing any later read."""
+    from lol_data_pipeline_spark.operators.lsm import lsm_compact
     from lol_data_pipeline_spark.operators.minhash_index import (
         build_minhash_index,
         buckets_path,
         minhash_index_delete,
+        read_minhash_buckets,
     )
 
     path = str(tmp_path / "mh")
@@ -99,10 +114,15 @@ def test_minhash_delete_drops_emptied_bands(spark, tmp_path):
     doomed = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
     meta = minhash_index_delete(spark, path, meta, doomed)
     assert meta["n_docs"] == 0
+    assert read_minhash_buckets(spark, path).count() == 0
+    lsm_compact(
+        spark, buckets_path(path), "id", ["band"], sort_within=["bkey"]
+    )
     leftover = [
         d for d in os.listdir(buckets_path(path)) if d.startswith("band=")
     ]
     assert leftover == [], f"emptied band partitions survived: {leftover}"
+    assert read_minhash_buckets(spark, path).count() == 0
 
 
 def test_mmr_kernel_zero_norm_guard(spark):
