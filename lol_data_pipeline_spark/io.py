@@ -262,7 +262,6 @@ def write_upsert_partitions(
     df: DataFrame,
     path: str,
     partition_by: list[str],
-    must_rewrite: list | None = None,
 ) -> None:
     """Incremental sink: overwrite ONLY the partitions present in
     ``df``, leaving all other partitions untouched (dynamic partition
@@ -270,16 +269,16 @@ def write_upsert_partitions(
     re-running a day replaces exactly that day, and a retried job is
     a no-op rather than a duplicate append.
 
-    ``must_rewrite`` closes the emptied-partition hole in delete
-    paths (r12 ADVICE, chunk_index.py): dynamic overwrite only
-    touches partitions PRESENT in ``df``, so a partition whose rows
-    were ALL removed by an anti-join never gets rewritten and its
-    stale rows survive on disk. Pass the first-partition-column
-    values that contained doomed rows; any of those absent from
-    ``df`` after the write has its directory removed outright
-    (directory removal is the same O(1) metadata operation a
-    distributed filesystem offers — at cluster scale this is an
-    fs.delete on the partition prefix, never a data rewrite).
+    Dynamic overwrite only touches partitions PRESENT in ``df``, so a
+    partition whose rows were ALL removed by an anti-join never gets
+    rewritten here — callers that can empty a partition must drop the
+    stale directory themselves with values they KNOW are simple
+    scalars (graph_index._drop_emptied, vector_index.index_delete),
+    or use the LSM layer (operators/lsm.py) whose tombstones make the
+    problem moot. (A previous generic ``must_rewrite`` parameter
+    built ``col=val`` directory names by f-string — wrong for
+    Hive-escaped strings/null partitions/non-file URIs (r13 ADVICE);
+    it died with its last caller in the r14 LSM conversion.)
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -288,17 +287,3 @@ def write_upsert_partitions(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if must_rewrite:
-        import shutil
-
-        col = partition_by[0]
-        local = path[len("file:") :] if path.startswith("file:") else path
-        # Partitions the write just produced (bounded: |must_rewrite|
-        # is a bucket/band/cell count, never data-sized).
-        present = {r[0] for r in df.select(col).distinct().collect()}
-        for val in must_rewrite:
-            if val in present:
-                continue
-            part_dir = os.path.join(local, f"{col}={val}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)

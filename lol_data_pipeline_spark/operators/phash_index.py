@@ -114,12 +114,34 @@ def _base_media(docs: DataFrame) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 100  # frame media_id = clip_id * FRAME_STRIDE + frame_idx
+
+
+def frame_media(docs: DataFrame, frames: list[int]) -> DataFrame:
+    """One media row per (clip, sampled frame) — the VIDEO side of
+    the index (r13 verdict item 5): clip = document, frame image ids
+    pack as clip·FRAME_STRIDE + frame_idx so clip identity survives
+    integer division on both engines. The frame list comes from
+    multimodal.frame_sample's sampling contract."""
+    f = F.explode(F.array(*[F.lit(int(i)) for i in frames])).alias("f")
+    return docs.select(F.col("doc_id"), f).select(
+        (F.col("doc_id") * FRAME_STRIDE + F.col("f")).alias("media_id"),
+        (F.col("doc_id") * FRAME_STRIDE + F.col("f")).alias("src"),
+        F.lit(0).alias("perturb"),
+    )
+
+
 def build_phash_index(
-    spark: SparkSession, sf_dir: str, path: str, index_where: str = ""
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    index_where: str = "",
+    frames: list[int] | None = None,
 ) -> dict:
     """One signing pass over the index corpus's images → band-
     partitioned signature rows, chunk-sorted within files, +
-    sidecar."""
+    sidecar. ``frames``: index per-clip sampled FRAMES instead of
+    one image per doc (the video axis — frame_media)."""
     from lol_data_pipeline_spark.operators.vector_index import (
         _source_fingerprint,
     )
@@ -127,8 +149,9 @@ def build_phash_index(
     docs = load_table(spark, sf_dir, "documents")
     if index_where:
         docs = docs.filter(F.expr(index_where))
+    media = frame_media(docs, frames) if frames else _base_media(docs)
     rows = (
-        _batch_band_rows(_base_media(docs))
+        _batch_band_rows(media)
         .repartition("band")
         .sortWithinPartitions("chunk")
     )
@@ -136,14 +159,19 @@ def build_phash_index(
     lsm_reset(bands_path(path))  # a rebuild starts a fresh generation
     disk = spark.read.parquet(bands_path(path))
     n_docs = disk.select("id").distinct().count()
+    params = {
+        "bits": BITS,
+        "max_hamming": MAX_HAMMING,
+        "bands": N_BANDS,
+        "index_where": index_where,
+    }
+    if frames:
+        # only present in frame mode, so image-mode sidecars written
+        # before the video axis existed stay valid
+        params["frames"] = [int(f) for f in frames]
     meta = {
         "fingerprint": _source_fingerprint(sf_dir, table="documents"),
-        "params": {
-            "bits": BITS,
-            "max_hamming": MAX_HAMMING,
-            "bands": N_BANDS,
-            "index_where": index_where,
-        },
+        "params": params,
         "n_docs": int(n_docs),
     }
     with open(os.path.join(path, _META_NAME), "w") as f:
@@ -157,8 +185,10 @@ def ensure_phash_index(
     root: str | None = None,
     variant: str = "",
     index_where: str = "",
+    frames: list[int] | None = None,
 ) -> tuple[str, dict]:
-    """Build-if-absent-or-stale (the ensure_* contract)."""
+    """Build-if-absent-or-stale (the ensure_* contract); ``frames``
+    selects the video-frame axis (part of the staleness key)."""
     from lol_data_pipeline_spark.operators.vector_index import (
         _source_fingerprint,
     )
@@ -176,6 +206,8 @@ def ensure_phash_index(
         "bands": N_BANDS,
         "index_where": index_where,
     }
+    if frames:
+        want_params["frames"] = [int(f) for f in frames]
     try:
         with open(meta_path) as f:
             meta = json.load(f)
@@ -184,7 +216,9 @@ def ensure_phash_index(
     except (OSError, ValueError):
         pass
     os.makedirs(path, exist_ok=True)
-    meta = build_phash_index(spark, sf_dir, path, index_where=index_where)
+    meta = build_phash_index(
+        spark, sf_dir, path, index_where=index_where, frames=frames
+    )
     return path, meta
 
 

@@ -15,7 +15,8 @@ import lol_data_pipeline_spark.plans.round10  # noqa: E402,F401  (late on purpos
 import lol_data_pipeline_spark.plans.round11  # noqa: E402,F401  (late on purpose: same window discipline)
 import lol_data_pipeline_spark.plans.modeling  # noqa: E402,F401  (late on purpose: same window discipline)
 import lol_data_pipeline_spark.plans.round12  # noqa: E402,F401  (late on purpose: same window discipline)
-import lol_data_pipeline_spark.plans.round13  # noqa: E402,F401  (must stay LAST: same window discipline)
+import lol_data_pipeline_spark.plans.round13  # noqa: E402,F401  (late on purpose: same window discipline)
+import lol_data_pipeline_spark.plans.round14  # noqa: E402,F401  (must stay LAST: same window discipline)
 
 # ---------------------------------------------------------------------------
 # Driver-sample rotation. The external correctness gate samples the FIRST 50

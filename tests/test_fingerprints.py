@@ -267,7 +267,14 @@ def test_stamp_count_matches_registry():
     if not recs:
         return
     rec = json.load(open(recs[-1]))
-    rows = rec if all(isinstance(v, dict) for v in rec.values()) else {}
+    # a list-shaped record must fall back to the empty-rows path, not
+    # AttributeError on .values() (r13 ADVICE)
+    rows = (
+        rec
+        if isinstance(rec, dict)
+        and all(isinstance(v, dict) for v in rec.values())
+        else {}
+    )
     green = {
         n
         for n, r in rows.items()

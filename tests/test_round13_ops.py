@@ -147,6 +147,55 @@ def test_mmr_kernel_zero_norm_guard(spark):
     assert rows[2].score is None  # every pairwise sim NULL -> NULL score
 
 
+def test_mmr_kernel_two_zero_norms_order_and_null_propagation(spark):
+    """TWO zero-norm candidates, and a zero-norm PICK as ``last``
+    (r13 ADVICE): the kernel's (1, 0.0, cand) key must order exactly
+    like the Spark plan's desc_nulls_last(score), asc(cand) — both
+    NULL-score rows go last among themselves by cand asc — and a
+    round whose ``last`` has zero norm must leave every div as-is
+    (NULL ⊕ max = identity), so the second zero-norm pick's score
+    stays NULL rather than crashing or turning 0."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.operators.similarity import mmr_greedy
+
+    pool = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.0], 0.9),
+            (1, 30, [0.0, 0.0], 0.85),  # zero-norm
+            (1, 40, [0.0, 0.0], 0.84),  # zero-norm, larger cand id
+            (1, 20, [0.0, 1.0], 0.1),
+        ],
+        "query_id int, cand int, cvec array<double>, rel double",
+    )
+    rows = sorted(
+        mmr_greedy(pool, lam=0.5, k=4).collect(), key=lambda r: r.pick
+    )
+    # pick 1: rel argmax; pick 2: the only candidate with a non-NULL
+    # score (20, score λ·rel − μ·0 = 0.05); picks 3/4: the NULL-score
+    # pair in cand-asc order, scores NULL — including pick 4, chosen
+    # in a round whose `last` (30) is itself zero-norm
+    assert [(r.cand, r.score) for r in rows] == [
+        (10, 0.45),
+        (20, 0.05),
+        (30, None),
+        (40, None),
+    ]
+    # the Spark twin of the kernel's _key: desc_nulls_last(score) +
+    # asc(cand) over the same (score, cand) pairs yields the same
+    # order the kernel chose
+    twin = spark.createDataFrame(
+        [(0.05, 20), (None, 30), (None, 40)], "score double, cand int"
+    )
+    got = [
+        r.cand
+        for r in twin.orderBy(
+            F.desc_nulls_last("score"), F.asc("cand")
+        ).collect()
+    ]
+    assert got == [20, 30, 40]
+
+
 def test_hll_retention_beyond_newest_day(spark, tmp_path):
     """keep_from past the newest day drops every partition; the
     sidecar must record n_days=n_rows=0 instead of crashing on the
