@@ -198,16 +198,27 @@ def lsm_upsert(
     """Merge a batch into the table: append its rows as a delta epoch
     and tombstone its ids (superseding any older rows — replace
     semantics). Both writes are ∝ batch; the base table is NOT
-    touched. Returns {"epoch", "delta_bytes", "tomb_bytes"} so tests
-    and the scale probe can assert the write-cost bound."""
+    touched.
+
+    Write order is TOMBSTONES FIRST: the two appends are not atomic
+    together, and a crash between them must fail CLOSED — tombstones
+    without delta under-report the batch's ids until the (idempotent)
+    retry re-runs at a fresh epoch, whereas delta-without-tombstones
+    would surface BOTH the old and new rows of every replaced id,
+    silently over-matching every probe. (A lakehouse table format
+    commits both in one manifest swap; this is the plain-parquet
+    ordering that preserves the same no-duplicates guarantee.)
+
+    Returns {"epoch", "delta_bytes", "tomb_bytes"} so tests and the
+    scale probe can assert the write-cost bound."""
     epoch = _next_epoch(table_dir)
-    _write_epoch(rows, delta_path(table_dir), epoch, partition_by)
     ids = (
         tombstone_ids
         if tombstone_ids is not None
         else rows.select(id_col).distinct()
     )
     _write_epoch(ids.select(id_col).distinct(), tomb_path(table_dir), epoch, [])
+    _write_epoch(rows, delta_path(table_dir), epoch, partition_by)
     return {
         "epoch": epoch,
         "delta_bytes": dir_bytes(
