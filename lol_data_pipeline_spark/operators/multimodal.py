@@ -702,6 +702,124 @@ def _write_gray_bmp(grid: list[list[int]]) -> bytes:
     return head + dib + pixels
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint — the FOURTH modality's near-dup cell (r14). WAV
+# PCM is uncompressed like BMP, so REAL sample bytes round-trip with
+# no codec: synthesize 16-bit mono PCM → parse the samples back out
+# of the RIFF container → hash. The fingerprint is the audio twin of
+# dHash: 64 window-energy difference bits (bit w = 1 iff
+# energy(w+1) > energy(w)), energies as exact integer Σ|s| so the
+# DuckDB oracle reproduces every bit arithmetically.
+# ---------------------------------------------------------------------------
+
+AHASH_WINDOWS = 65  # 65 windows -> 64 difference bits
+AHASH_WIN = 8  # samples per window
+
+
+def _sample16(src_id: int, i: int, perturb: bool = False) -> int:
+    """Deterministic int16 PCM sample field: md5-mixed per (id, i)
+    (the _gray derivation, audio axis). ``perturb`` offsets sample 0
+    only — one window's energy moves, so the twin differs in at most
+    ONE fingerprint bit (the energy hash is window-local exactly as
+    dHash is column-local)."""
+    import hashlib
+
+    s = f"a:{src_id}:{i}"
+    u = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 65536
+    if perturb and i == 0:
+        u = (u + 7000) % 65536
+    return u - 32768
+
+
+def synthesize_pcm_wav(src_id: int, perturb: bool = False) -> bytes:
+    """A REAL RIFF/WAVE file with an actual PCM body: mono, 16-bit
+    LE, 8 kHz, 520 samples derived from the id."""
+    n = AHASH_WINDOWS * AHASH_WIN
+    body = b"".join(
+        struct.pack("<h", _sample16(src_id, i, perturb)) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def parse_wav_samples(payload: bytes) -> list[int]:
+    """REAL PCM decode: RIFF chunk walk → the 'data' chunk's int16
+    LE samples (mono 16-bit PCM only — the uncompressed-WAV subset,
+    like parse_bmp_gray's uncompressed-BMP subset)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    bits = channels = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            _fmt, channels, _sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise ValueError(f"unsupported PCM shape: {bits}-bit/{channels}ch")
+            body = payload[pos + 8 : pos + 8 + csize]
+            return [
+                struct.unpack_from("<h", body, 2 * i)[0]
+                for i in range(len(body) // 2)
+            ]
+        pos += 8 + csize + (csize & 1)
+    raise ValueError("wav: missing data chunk")
+
+
+def audio_hash64(samples: list[int]) -> int:
+    """64-bit window-energy difference hash: integer energies
+    Σ|s| per AHASH_WIN-sample window, bit w set iff the next
+    window is louder. Signed int64 two's complement — the simhash
+    representation, so hamming_pairs and the xor/bit_count oracle
+    math apply verbatim."""
+    e = [
+        sum(abs(s) for s in samples[w * AHASH_WIN : (w + 1) * AHASH_WIN])
+        for w in range(AHASH_WINDOWS)
+    ]
+    u = 0
+    for w in range(AHASH_WINDOWS - 1):
+        if e[w + 1] > e[w]:
+            u |= 1 << w
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def media_audio_hash_frame(media: DataFrame) -> DataFrame:
+    """(id, simhash) audio fingerprints for a media-id frame
+    (media_id, src, perturb): synthesize the PCM WAV bytes, parse
+    the samples BACK OUT of the container, hash — the full byte
+    round trip, Arrow-batched (media_dhash_frame's audio twin)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                audio_hash64(
+                    parse_wav_samples(synthesize_pcm_wav(int(s), bool(p)))
+                )
+                for s, p in zip(pdf["src"], pdf["perturb"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["media_id"].astype("int64"),
+                    "simhash": pd.array(sigs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema="id long, simhash long")
+
+
 def media_dhash_frame(media: DataFrame, container: str = "bmp") -> DataFrame:
     """(id, simhash) dHash signatures for a media-id frame
     (media_id, src, perturb): per batch row, synthesize the container

@@ -362,6 +362,193 @@ def mm_dedup_video_frames(spark, sf_dir):
     )
 
 
+_AUD_SHIFT = 700000  # planted near-dup audio twins
+_AUD_TAU = 3
+
+
+def _sql_audio_sig_ctes(media_body: str) -> str:
+    """media CTE body (media_id, src, perturb[, side]) → the
+    samples/energies/bits/sigs chain re-deriving
+    operators/multimodal.audio_hash64 from the SAMPLE arithMETIC
+    alone (no container bytes) — the audio twin of
+    round13._sql_dhash_sig_ctes, proving the PCM byte round trip."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        AHASH_WIN,
+        AHASH_WINDOWS,
+    )
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    md5a = SQL_MD5_LONG.format(expr="concat('a:', src, ':', i)")
+    n = AHASH_WINDOWS * AHASH_WIN
+    return f"""media AS ({media_body}),
+    smp AS (
+      SELECT media_id, i,
+             ((({md5a}) % 65536
+               + CASE WHEN perturb = 1 AND i = 0 THEN 7000 ELSE 0 END
+              ) % 65536) - 32768 AS s
+      FROM media, generate_series(0, {n - 1}) gi(i)
+    ),
+    nrg AS (
+      SELECT media_id, i // {AHASH_WIN} AS w, sum(abs(s)) AS e
+      FROM smp GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.media_id, a.w AS i,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM nrg a JOIN nrg b
+        ON b.media_id = a.media_id AND b.w = a.w + 1
+      WHERE a.w < {AHASH_WINDOWS - 1}
+    ),
+    sigs AS (
+      SELECT media_id,
+             sum(CASE WHEN i < 63 THEN bit * (CAST(1 AS BIGINT) << i)
+                      ELSE 0 END)
+             + sum(CASE WHEN i = 63 AND bit = 1
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE 0 END) AS simhash
+      FROM bits GROUP BY 1
+    )"""
+
+
+def _sql_audio_fp() -> str:
+    media = f"""
+      SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb FROM documents
+      UNION ALL
+      SELECT doc_id + {_AUD_SHIFT}, doc_id, 1 FROM documents WHERE doc_id % 10 = 0
+    """
+    return f"""
+    WITH {_sql_audio_sig_ctes(media)}
+    SELECT CAST(a.media_id AS BIGINT) AS media_a,
+           CAST(b.media_id AS BIGINT) AS media_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           (b.media_id = a.media_id + {_AUD_SHIFT}) AS planted
+    FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_AUD_TAU}
+    ORDER BY 1, 2
+    """
+
+
+@query("mm_dedup_audio_fp", sql=_sql_audio_fp())
+def mm_dedup_audio_fp(spark, sf_dir):
+    """Audio near-dup — the FOURTH modality's dedup cell, closing
+    the text/image/video/audio matrix with the same machinery: every
+    document carries a REAL mono 16-bit PCM WAV (synthesize → parse
+    the samples back out of the RIFF container → hash: a genuine
+    byte-level round trip, no codec — PCM is uncompressed like BMP),
+    fingerprinted by 64 window-energy difference bits (the audio
+    twin of dHash: window-local, so a planted one-sample perturbation
+    — the re-encode/noise near-dup class — moves ONE window's energy
+    and at most one bit). Candidates come from the SAME
+    Hamming-banded machinery (operators/dedup.hamming_pairs — never
+    all-pairs); the oracle re-derives every fingerprint from the
+    sample arithmetic alone, so any defect in the PCM writer, the
+    RIFF walk, or the energy fold fails the value hash. At 100 TB:
+    per-clip hashing rides the scan; the banded self-join is the
+    only shuffle."""
+    from lol_data_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+        tracked_persist,
+    )
+    from lol_data_pipeline_spark.operators.multimodal import (
+        media_audio_hash_frame,
+    )
+
+    ids = T(spark, sf_dir, "documents").select("doc_id")
+    base = ids.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(0).alias("perturb"),
+    )
+    twins = ids.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + _AUD_SHIFT).alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    sigs = tracked_persist(
+        media_audio_hash_frame(base.unionByName(twins))
+    )
+    return (
+        hamming_pairs(sigs, bits=64, max_hamming=_AUD_TAU)
+        .select(
+            F.col("id_a").alias("media_a"),
+            F.col("id_b").alias("media_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+            (F.col("id_b") == F.col("id_a") + _AUD_SHIFT).alias("planted"),
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _sql_audio_features() -> str:
+    from lol_data_pipeline_spark.operators.multimodal import (
+        AHASH_WIN,
+        AHASH_WINDOWS,
+    )
+    from lol_data_pipeline_spark.plans.extensions import SQL_MD5_LONG
+
+    md5a = SQL_MD5_LONG.format(expr="concat('a:', doc_id, ':', i)")
+    n = AHASH_WINDOWS * AHASH_WIN
+    return f"""
+    WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 1),
+    smp AS (
+      SELECT doc_id, ((({md5a}) % 65536) - 32768) AS s
+      FROM sel, generate_series(0, {n - 1}) gi(i)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST({n} AS BIGINT) AS n_samples,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+    FROM smp GROUP BY doc_id ORDER BY media_id
+    """
+
+
+@query("mm_audio_features", sql=_sql_audio_features())
+def mm_audio_features(spark, sf_dir):
+    """REAL sample-tier audio features (the WAV counterpart of the
+    un-gated pixel tier): decode the PCM body back out of the RIFF
+    bytes and emit sample count, peak amplitude, and integer Σ|s| —
+    statistics of the ACTUAL samples, oracle-recomputed from the
+    sample arithmetic alone."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from lol_data_pipeline_spark.operators.multimodal import (
+        parse_wav_samples,
+        synthesize_pcm_wav,
+    )
+
+    sel = T(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 1
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                ss = parse_wav_samples(synthesize_pcm_wav(int(i)))
+                rows.append(
+                    (
+                        int(i),
+                        len(ss),
+                        max(abs(s) for s in ss),
+                        sum(abs(s) for s in ss),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "peak", "sum_abs"]
+            )
+
+    return (
+        sel.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="media_id bigint, n_samples bigint, peak bigint, sum_abs bigint",
+        )
+        .orderBy("media_id")
+    )
+
+
 def _sql_chunk_compact() -> str:
     from lol_data_pipeline_spark.plans.round12 import _sql_chunk_upsert
 

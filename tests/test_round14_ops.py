@@ -143,6 +143,36 @@ def test_resize_kernel_arithmetic_pure():
     assert len(bmp) == 54 + ((10 * 3 + 3) // 4) * 4 * 5
 
 
+def test_wav_round_trip_and_audio_twin_bound():
+    """PCM WAV bytes round-trip exactly (samples out == samples in),
+    the fingerprint is stable across the trip, the one-sample
+    perturbation stays within one bit, and unsupported PCM shapes
+    raise instead of decoding garbage."""
+    from lol_data_pipeline_spark.operators.multimodal import (
+        AHASH_WIN,
+        AHASH_WINDOWS,
+        _sample16,
+        audio_hash64,
+        parse_wav_samples,
+        synthesize_pcm_wav,
+    )
+
+    n = AHASH_WINDOWS * AHASH_WIN
+    for sid in (0, 42, 4096):
+        ss = parse_wav_samples(synthesize_pcm_wav(sid))
+        assert ss == [_sample16(sid, i) for i in range(n)]
+        a = audio_hash64(ss)
+        t = audio_hash64(parse_wav_samples(synthesize_pcm_wav(sid, True)))
+        assert bin((a ^ t) & ((1 << 64) - 1)).count("1") <= 1
+    with pytest.raises(ValueError, match="not a WAV"):
+        parse_wav_samples(b"RIFX" + b"\x00" * 40)
+    # stereo/8-bit shapes must be rejected, not misread
+    bad = bytearray(synthesize_pcm_wav(1))
+    struct.pack_into("<H", bad, 22, 2)  # channels = 2 in fmt chunk
+    with pytest.raises(ValueError, match="unsupported PCM"):
+        parse_wav_samples(bytes(bad))
+
+
 # ---------------------------------------------------------------------------
 # Spark-side: the real tiers and the video entry.
 # ---------------------------------------------------------------------------
@@ -177,6 +207,32 @@ def test_extract_features_real_tier_matches_header(spark):
     for i, p, _m in rows:
         hdr = parse_media_header(p)
         assert got[i] == (hdr["width"], hdr["height"])
+
+
+def test_audio_fp_catches_every_planted_twin(spark, sf_dir):
+    """Recall teeth beyond the oracle: EVERY planted audio twin pair
+    must surface (hamming ≤ 1 by the window-local bound), and no
+    pair of unrelated base clips may appear at τ=3 (md5-mixed
+    energies differ in ~32 bits)."""
+    from lol_data_pipeline_spark.plans import REGISTRY
+    from lol_data_pipeline_spark.plans.round14 import _AUD_SHIFT
+
+    rows = REGISTRY["mm_dedup_audio_fp"].fn(spark, sf_dir).collect()
+    assert rows
+    planted = {r.media_a for r in rows if r.planted}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        r.doc_id
+        for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()
+    }
+    assert planted == expected
+    for r in rows:
+        if r.planted:
+            assert r.hamming <= 1
+        else:
+            # any non-planted survivor is a random collision between
+            # independent md5 fields — tolerated only at the τ bound
+            assert r.media_b != r.media_a + _AUD_SHIFT
 
 
 def test_video_frames_twins_match_disjoint_miss(spark, sf_dir):
