@@ -77,12 +77,25 @@ def bands_path(path: str) -> str:
     return os.path.join(path, "bands")
 
 
-def _batch_band_rows(media: DataFrame) -> DataFrame:
+def _batch_band_rows(media: DataFrame, signer: str = "image") -> DataFrame:
     """(id, simhash, band, chunk) rows for a media frame (media_id,
-    src, perturb) — one signing pass (bytes round trip inside
-    media_dhash_frame), one explode. The shared build/probe/maintain
-    derivation, so the three cannot drift."""
-    sigs = media_dhash_frame(media)
+    src, perturb) — one signing pass (bytes round trip inside the
+    signer kernel), one explode. The shared build/probe/maintain
+    derivation, so the three cannot drift. ``signer`` picks the
+    modality: "image" (dHash from BMP bytes) or "audio"
+    (window-energy hash from PCM WAV bytes) — both emit 64-bit
+    signatures, so the banding/probe/maintenance machinery is
+    modality-blind."""
+    if signer == "image":
+        sigs = media_dhash_frame(media)
+    elif signer == "audio":
+        from lol_data_pipeline_spark.operators.multimodal import (
+            media_audio_hash_frame,
+        )
+
+        sigs = media_audio_hash_frame(media)
+    else:
+        raise ValueError(f"unknown signer {signer!r}")
     chunk_keys = ", ".join(
         f"named_struct('band', {b}, 'chunk', shiftright(simhash, {b * _WIDTH}) & {_MASK})"
         for b in range(N_BANDS)
@@ -137,11 +150,13 @@ def build_phash_index(
     path: str,
     index_where: str = "",
     frames: list[int] | None = None,
+    signer: str = "image",
 ) -> dict:
-    """One signing pass over the index corpus's images → band-
+    """One signing pass over the index corpus's media → band-
     partitioned signature rows, chunk-sorted within files, +
     sidecar. ``frames``: index per-clip sampled FRAMES instead of
-    one image per doc (the video axis — frame_media)."""
+    one image per doc (the video axis — frame_media). ``signer``:
+    the modality kernel (image dHash / audio energy hash)."""
     from lol_data_pipeline_spark.operators.vector_index import (
         _source_fingerprint,
     )
@@ -151,7 +166,7 @@ def build_phash_index(
         docs = docs.filter(F.expr(index_where))
     media = frame_media(docs, frames) if frames else _base_media(docs)
     rows = (
-        _batch_band_rows(media)
+        _batch_band_rows(media, signer=signer)
         .repartition("band")
         .sortWithinPartitions("chunk")
     )
@@ -169,6 +184,8 @@ def build_phash_index(
         # only present in frame mode, so image-mode sidecars written
         # before the video axis existed stay valid
         params["frames"] = [int(f) for f in frames]
+    if signer != "image":
+        params["signer"] = signer  # same back-compat rule
     meta = {
         "fingerprint": _source_fingerprint(sf_dir, table="documents"),
         "params": params,
@@ -186,9 +203,11 @@ def ensure_phash_index(
     variant: str = "",
     index_where: str = "",
     frames: list[int] | None = None,
+    signer: str = "image",
 ) -> tuple[str, dict]:
     """Build-if-absent-or-stale (the ensure_* contract); ``frames``
-    selects the video-frame axis (part of the staleness key)."""
+    selects the video-frame axis and ``signer`` the modality kernel
+    (both part of the staleness key)."""
     from lol_data_pipeline_spark.operators.vector_index import (
         _source_fingerprint,
     )
@@ -208,6 +227,8 @@ def ensure_phash_index(
     }
     if frames:
         want_params["frames"] = [int(f) for f in frames]
+    if signer != "image":
+        want_params["signer"] = signer
     try:
         with open(meta_path) as f:
             meta = json.load(f)
@@ -217,7 +238,8 @@ def ensure_phash_index(
         pass
     os.makedirs(path, exist_ok=True)
     meta = build_phash_index(
-        spark, sf_dir, path, index_where=index_where, frames=frames
+        spark, sf_dir, path, index_where=index_where, frames=frames,
+        signer=signer,
     )
     return path, meta
 
@@ -231,7 +253,9 @@ def served_phash_pairs(
     stored signatures. Returns (probe_id, match_id, hamming) ≤
     max_hamming, ordered. At 100 TB: the index is never re-signed;
     per-band chunk point predicates prune row groups."""
-    probe = _batch_band_rows(batch_media).alias("a")
+    probe = _batch_band_rows(
+        batch_media, signer=meta["params"].get("signer", "image")
+    ).alias("a")
     idx = read_phash_rows(spark, path).alias("b")
     xor = "(a.simhash ^ b.simhash)"
     chunk_eq = ", ".join(
@@ -264,7 +288,9 @@ def phash_index_upsert(
     has a row in every band partition); replaced ids' older rows are
     superseded by the tombstones at read time and physically dropped
     at the quota-triggered compact. Idempotent at the view level."""
-    rows = _batch_band_rows(new_media)
+    rows = _batch_band_rows(
+        new_media, signer=meta["params"].get("signer", "image")
+    )
     lsm_upsert(spark, bands_path(path), rows, "id", ["band"])
     lsm_maybe_compact(
         spark, bands_path(path), "id", ["band"], sort_within=["chunk"]

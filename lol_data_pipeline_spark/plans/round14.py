@@ -479,6 +479,62 @@ def mm_dedup_audio_fp(spark, sf_dir):
     )
 
 
+def _sql_audio_served() -> str:
+    media = f"""
+      SELECT doc_id AS media_id, doc_id AS src, 0 AS perturb, 0 AS probe
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {_AUD_SHIFT}, doc_id, 1, 1
+      FROM documents WHERE doc_id % 10 = 0
+    """
+    return f"""
+    WITH {_sql_audio_sig_ctes(media)},
+    psigs AS (
+      SELECT s.media_id, s.simhash FROM sigs s
+      JOIN media m ON m.media_id = s.media_id WHERE m.probe = 1
+    ),
+    isigs AS (
+      SELECT s.media_id, s.simhash FROM sigs s
+      JOIN media m ON m.media_id = s.media_id WHERE m.probe = 0
+    )
+    SELECT p.media_id AS probe_id, i.media_id AS match_id,
+           CAST(bit_count(xor(p.simhash, i.simhash)) AS BIGINT) AS hamming
+    FROM psigs p JOIN isigs i ON p.media_id <> i.media_id
+    WHERE bit_count(xor(p.simhash, i.simhash)) <= {_AUD_TAU}
+    ORDER BY 1, 2
+    """
+
+
+@query("mm_audio_served", sql=_sql_audio_served())
+def mm_audio_served(spark, sf_dir):
+    """Audio near-dup SERVED from an at-rest fingerprint index: the
+    band-partitioned signature machinery is modality-blind (64-bit
+    signatures either way), so the phash index takes the AUDIO
+    signer (operators/phash_index signer="audio") and the corpus's
+    clip fingerprints go at rest band-partitioned/chunk-sorted; the
+    probe batch (planted one-sample twins) is signed from ITS PCM
+    bytes only and joined on (band, chunk) — the standing clips are
+    never re-decoded, exact Hamming verifies from stored signatures.
+    The oracle recomputes both sides' fingerprints from the sample
+    arithmetic and takes exact all-pairs (pigeonhole: banded ≡
+    all-pairs for d ≤ max_hamming). Completes the served-index
+    family's modality matrix: lexical/dedup/vector/graph/sketch/
+    substring/image/video-frames/audio."""
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        served_phash_pairs,
+    )
+
+    path, meta = ensure_phash_index(spark, sf_dir, variant="aud", signer="audio")
+    docs = T(spark, sf_dir, "documents")
+    twins = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + _AUD_SHIFT).alias("media_id"),
+        F.col("doc_id").alias("src"),
+        F.lit(1).alias("perturb"),
+    )
+    return served_phash_pairs(spark, path, meta, twins)
+
+
 def _sql_audio_features() -> str:
     from lol_data_pipeline_spark.operators.multimodal import (
         AHASH_WIN,
