@@ -312,6 +312,20 @@ HEADLINE = [
     # (stats policy); stream_phash_probe_multibatch NOT benched
     # (one-multibatch-representative policy).
     "mm_phash_served",
+    # r14: new per-row kernel cost shapes — the COMPRESSED-container
+    # round trip (zlib deflate→inflate + scanline filters per image)
+    # and the PCM audio round trip (520-sample synth/parse/energy
+    # fold per clip); mm_audio_served NOT benched (served-probe shape
+    # carried by mm_phash_served; the audio kernel cost rides in
+    # mm_dedup_audio_fp); mm_pixel_features_png / mm_resize_real /
+    # mm_audio_features NOT benched (feature-extractor shape carried
+    # by mm_extract_features); chunk_index_compact NOT benched
+    # (write-staging policy).
+    "mm_dedup_phash_png",
+    "mm_dedup_audio_fp",
+    # r14: frame fan-out × index probe × clip rollup — the video
+    # composition's cost shape.
+    "mm_dedup_video_frames",
     # streaming
     "stream_tumbling_window",
     "stream_session_window",

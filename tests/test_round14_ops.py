@@ -235,6 +235,49 @@ def test_audio_fp_catches_every_planted_twin(spark, sf_dir):
             assert r.media_b != r.media_a + _AUD_SHIFT
 
 
+def test_audio_index_lifecycle_roundtrip(spark, sf_dir, tmp_path):
+    """The modality-blind signature index under the audio signer:
+    build on a test-owned root, upsert NEW clips, probe their twins
+    (must match the just-added bases at hamming ≤ 1), delete them,
+    probe again (must come back empty) — the full maintain/serve
+    loop on the non-default signer."""
+    from pyspark.sql import functions as F
+
+    from lol_data_pipeline_spark.operators.phash_index import (
+        ensure_phash_index,
+        phash_index_delete,
+        phash_index_upsert,
+        served_phash_pairs,
+    )
+
+    path, meta = ensure_phash_index(
+        spark, sf_dir, root=str(tmp_path), variant="audlc", signer="audio",
+        index_where="doc_id < 50",
+    )
+    assert meta["params"]["signer"] == "audio"
+    new = spark.createDataFrame(
+        [(900001, 777001, 0), (900002, 777002, 0)],
+        "media_id long, src long, perturb int",
+    )
+    meta = phash_index_upsert(spark, path, meta, new)
+    twins = new.select(
+        (F.col("media_id") + 1000).alias("media_id"), "src",
+        F.lit(1).alias("perturb"),
+    )
+    hits = served_phash_pairs(spark, path, meta, twins).collect()
+    assert {(r.probe_id, r.match_id) for r in hits} >= {
+        (901001, 900001),
+        (901002, 900002),
+    }
+    assert all(r.hamming <= 1 for r in hits if r.match_id >= 900000)
+    meta = phash_index_delete(
+        spark, path, meta,
+        new.select("media_id"),
+    )
+    hits2 = served_phash_pairs(spark, path, meta, twins).collect()
+    assert not [r for r in hits2 if r.match_id >= 900000]
+
+
 def test_video_frames_twins_match_disjoint_miss(spark, sf_dir):
     """The entry's semantic teeth beyond the oracle: every planted
     re-encoded clip matches its standing clip on ALL four sampled
