@@ -41,11 +41,32 @@ def test_extract_features_deterministic(spark, media):
     assert all(r.n_bytes > 0 for r in f1)
 
 
-def test_real_decode_raises(media):
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(media, decode_stub=False)
-    with pytest.raises(NotImplementedError):
-        mm.resize_stub(media, decode_stub=False)
+def test_real_decode_tier_on_nonimage_payloads(spark, media):
+    """The pixel tier is REAL as of r14 (no NotImplementedError
+    gate): on image containers it decodes; on these TEXT payloads it
+    must fail loudly at execution (decode_image_gray raises rather
+    than inventing pixels) — wrapped by Spark as a Python worker
+    error. The resize kernel shares the dispatch."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        mm.extract_features(media, decode_stub=False).collect()
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        mm.resize_stub(media, decode_stub=False).collect()
+    # and on a REAL image payload the same calls succeed
+    img = mm.synthesize_gray_png(5, w=6, h=4)
+    one = spark.createDataFrame(
+        [(5, img, {"mime": "image/png", "n_bytes": len(img), "origin": "t"})],
+        "media_id bigint, payload binary, "
+        "meta struct<mime:string, n_bytes:bigint, origin:string>",
+    )
+    row = mm.extract_features(one, decode_stub=False).collect()[0]
+    assert (row.width, row.height) == (6, 4)
+    out = mm.resize_stub(one, max_dim=3, decode_stub=False).collect()[0]
+    assert out.meta.mime == "image/bmp"
+    assert out.meta.origin.endswith("|resized<3")
+    assert mm.parse_bmp_gray(bytes(out.payload))  # re-encoded bytes decode
 
 
 def test_parse_png_header_spec_conformance():
