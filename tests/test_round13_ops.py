@@ -281,12 +281,18 @@ def test_ngram_upsert_flags_the_clones(spark):
 
 def test_ngram_delete_removes_doomed_ids(spark):
     """After the take-down, no doomed id appears in the contamination
-    result and the artifact holds none of their rows."""
+    result and the artifact's LOGICAL table (the LSM view: base∪delta
+    minus tombstoned) holds none of their rows. The take-down is
+    tombstones-only since the r14 LSM conversion — the doomed rows may
+    persist physically until the quota compact folds them out, so the
+    disk-level zero-count the pre-LSM test asserted is no longer the
+    contract (and was state-dependent: it held only right after a
+    compact)."""
     import os
 
     from lol_data_pipeline_spark.operators.chunk_index import (
         CHUNK_ROOT,
-        chunks_path,
+        read_ngram_rows,
     )
     from lol_data_pipeline_spark.plans import REGISTRY
     from lol_data_pipeline_spark.plans.round13 import _NDEL_HI, _NDEL_LO
@@ -298,9 +304,9 @@ def test_ngram_delete_removes_doomed_ids(spark):
         not (_NDEL_LO <= r.doc_id < _NDEL_HI) for r in rows
     )
     path = os.path.join(CHUNK_ROOT, "ngram_sf0.001_ndel")
-    disk = spark.read.parquet(chunks_path(path))
+    view = read_ngram_rows(spark, path)
     assert (
-        disk.filter(f"id >= {_NDEL_LO} AND id < {_NDEL_HI}").count() == 0
+        view.filter(f"id >= {_NDEL_LO} AND id < {_NDEL_HI}").count() == 0
     )
 
 
