@@ -66,6 +66,16 @@ def ts_from_epoch(colname: str):
     )
 
 
+# Inferred-schema memo for base-table scans, keyed by the file's
+# (path, mtime, size): parquet schema inference launches a footer-read
+# job on EVERY spark.read.parquet call (~75 ms measured), and the
+# engine re-reads the same immutable tables in every query. This
+# caches METADATA only (the same thing Spark's own FileStatusCache
+# does for listings) — never data or results; a rewritten file misses
+# the key and re-infers.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; filters/projections push down.
 
@@ -75,7 +85,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the DuckDB oracle reads it. TIMESTAMP(MICROS) files arrive as a
     proper TimestampType and need no conversion.
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_CACHE[key] = df.schema
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

@@ -78,7 +78,10 @@ def read_chunk_rows(spark: SparkSession, path: str) -> DataFrame:
     LSM view (plain base scan when the log is empty). Empty-with-
     schema when nothing is on disk, so probe/upsert-after-full-
     take-down works (r13 ADVICE)."""
-    view = lsm_view(spark, chunks_path(path), "id")
+    view = lsm_view(
+        spark, chunks_path(path), "id",
+        schema="id long, chunk_idx int, h long, hb int",
+    )
     if view is None:
         view = spark.createDataFrame(
             [], "id long, chunk_idx int, h long, hb int"
@@ -91,7 +94,9 @@ def read_chunk_rows(spark: SparkSession, path: str) -> DataFrame:
 def read_ngram_rows(spark: SparkSession, path: str) -> DataFrame:
     """The n-gram artifact's logical (id, h, hb) rows — same contract
     as read_chunk_rows for the decontamination index."""
-    view = lsm_view(spark, chunks_path(path), "id")
+    view = lsm_view(
+        spark, chunks_path(path), "id", schema="id long, h long, hb int"
+    )
     if view is None:
         view = spark.createDataFrame([], "id long, h long, hb int")
     return view.select("id", "h", F.col("hb").cast("int").alias("hb"))

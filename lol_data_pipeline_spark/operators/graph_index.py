@@ -250,8 +250,12 @@ def read_edges(
     spark: SparkSession, path: str, codes: list[int] | None = None
 ) -> DataFrame:
     """Scan of the persisted edge table, pruned to ``codes`` when
-    given (literal partition filters → directory pruning)."""
-    df = spark.read.parquet(edges_path(path))
+    given (literal partition filters → directory pruning). The schema
+    is declared (it is fixed at build time) so the read never pays a
+    schema-inference footer job."""
+    df = spark.read.schema(
+        "src_id long, dst_id long, sim double, rank long, code int"
+    ).parquet(edges_path(path))
     if codes is not None:
         df = df.filter(F.col("code").isin([int(c) for c in codes]))
     return df.select("code", "src_id", "dst_id", "sim", "rank")
@@ -262,7 +266,10 @@ def read_nodes(
 ) -> DataFrame:
     """Logical node set — the LSM view (plain base scan when the log
     is empty); the code filter prunes base AND delta directories."""
-    df = lsm_view(spark, nodes_path(path), "vec_id")
+    df = lsm_view(
+        spark, nodes_path(path), "vec_id",
+        schema="vec_id long, embedding array<double>, code int",
+    )
     if df is None:
         df = spark.createDataFrame(
             [], "vec_id long, embedding array<double>, code int"

@@ -122,7 +122,7 @@ def lsm_reset(table_dir: str) -> None:
 
 
 def lsm_view(
-    spark: SparkSession, table_dir: str, id_col: str
+    spark: SparkSession, table_dir: str, id_col: str, schema: str | None = None
 ) -> DataFrame | None:
     """The logical current table: base∪delta minus superseded rows.
 
@@ -132,17 +132,33 @@ def lsm_view(
     returns the PLAIN base scan: the serve path's plan (and its
     pushed partition/row-group predicates) is byte-identical to the
     pre-LSM design, so read-only benches pay nothing for the layer.
+
+    ``schema`` is the family's BASE table DDL (data + partition
+    columns, in storage order). When given, every read here declares
+    its schema instead of inferring it — parquet schema inference
+    launches a footer-read job per read call (~75 ms), and a served
+    probe pays it once per table otherwise. Families know their
+    schemas statically, so the inference was pure overhead.
     """
+    from pyspark.sql import types as T
+
+    base_schema = T.StructType.fromDDL(schema) if schema else None
     srcs: list[DataFrame] = []
     if _has_parquet(table_dir):
+        rd = spark.read.schema(base_schema) if base_schema else spark.read
         srcs.append(
-            spark.read.parquet(table_dir).withColumn(
-                _EPOCH, F.lit(0).cast("long")
-            )
+            rd.parquet(table_dir).withColumn(_EPOCH, F.lit(0).cast("long"))
         )
     dpath = delta_path(table_dir)
     if _has_parquet(dpath):
-        d = spark.read.parquet(dpath)
+        if base_schema:
+            dschema = T.StructType(
+                base_schema.fields
+                + [T.StructField("epoch", T.IntegerType())]
+            )
+            d = spark.read.schema(dschema).parquet(dpath)
+        else:
+            d = spark.read.parquet(dpath)
         srcs.append(
             d.withColumn(_EPOCH, F.col("epoch").cast("long")).drop("epoch")
         )
@@ -155,8 +171,15 @@ def lsm_view(
     if _has_parquet(tpath):
         # max tombstone epoch per id — bounded by maintenance volume
         # since the last compact (the quota), broadcastable always.
+        if base_schema:
+            tschema = T.StructType(
+                [base_schema[id_col], T.StructField("epoch", T.IntegerType())]
+            )
+            trd = spark.read.schema(tschema)
+        else:
+            trd = spark.read
         tomb = (
-            spark.read.parquet(tpath)
+            trd.parquet(tpath)
             .groupBy(F.col(id_col).alias("_tid"))
             .agg(F.max(F.col("epoch").cast("long")).alias("_te"))
         )

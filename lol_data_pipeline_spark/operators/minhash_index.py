@@ -83,7 +83,10 @@ def read_minhash_buckets(spark: SparkSession, path: str) -> DataFrame:
     """The artifact's logical (id, band, bkey) rows — the LSM view
     (plain base scan when the log is empty). Empty-with-schema when
     nothing is on disk, so probe-after-full-take-down works."""
-    view = lsm_view(spark, buckets_path(path), "id")
+    view = lsm_view(
+        spark, buckets_path(path), "id",
+        schema="id long, bkey string, band int",
+    )
     if view is None:
         view = spark.createDataFrame([], "id long, band int, bkey string")
     return view.select("id", F.col("band").cast("int").alias("band"), "bkey")
@@ -211,7 +214,7 @@ def served_minhash_probe(
     sigs = sh.groupBy("id").agg(*_minhash_agg_cols(k))
     new_buckets = minhash_band_buckets(sigs, k, bands).alias("a")
     idx = read_minhash_buckets(spark, path).alias("b")
-    cand = (
+    cand = tracked_persist(
         new_buckets.join(
             idx,
             (F.col("a.band") == F.col("b.band"))
@@ -226,7 +229,12 @@ def served_minhash_probe(
     idx_base = _doc_shingle_arrays(
         verify_docs.join(idx_ids, "doc_id"), n, "text", "doc_id"
     )
-    base = base_new.unionByName(idx_base)
+    # _jaccard_verify joins ``base`` twice (left and right side of the
+    # pair); unpersisted, the candidate-bounded shingle subtree — the
+    # probe's heaviest work — would compute twice, one copy inside a
+    # single-task broadcast build. Persisting cand+base computes each
+    # once and lets both verify joins read cached blocks.
+    base = tracked_persist(base_new.unionByName(idx_base))
     return _jaccard_verify(cand, base, "id_new", "id_index", threshold).orderBy(
         "id_new", "id_index"
     )

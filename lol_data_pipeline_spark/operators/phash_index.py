@@ -110,7 +110,10 @@ def read_phash_rows(spark: SparkSession, path: str) -> DataFrame:
     LSM view (plain base scan when the log is empty, so the serve
     plan is unchanged from the pre-LSM design). Empty-with-schema
     when nothing is on disk, so probe-after-full-take-down works."""
-    view = lsm_view(spark, bands_path(path), "id")
+    view = lsm_view(
+        spark, bands_path(path), "id",
+        schema="id long, simhash long, chunk long, band int",
+    )
     if view is None:
         view = spark.createDataFrame(
             [], "id long, simhash long, band int, chunk long"

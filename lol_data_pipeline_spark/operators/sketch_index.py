@@ -132,7 +132,9 @@ def served_hll_rolling(spark: SparkSession, path: str) -> DataFrame:
     carries the exact answer alongside as its error envelope)."""
     from lol_data_pipeline_spark.plans.sketches import hll_rolling_estimate
 
-    day_regs = spark.read.parquet(regs_path(path)).select(
+    day_regs = spark.read.schema("idx long, m_j int, day date").parquet(
+        regs_path(path)
+    ).select(
         "day", F.col("idx").cast("long").alias("idx"), "m_j"
     )
     spine = day_regs.select("day").distinct().withColumnRenamed(

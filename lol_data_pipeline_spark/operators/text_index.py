@@ -98,7 +98,10 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
     """The postings table's logical (doc_id, term, tf, tb) rows — the
     LSM view (plain base scan when the log is empty). Empty-with-
     schema when nothing is on disk."""
-    view = lsm_view(spark, postings_path(path), "doc_id")
+    view = lsm_view(
+        spark, postings_path(path), "doc_id",
+        schema="doc_id long, term string, tf long, tb int",
+    )
     if view is None:
         view = spark.createDataFrame(
             [], "doc_id long, term string, tf long, tb int"
@@ -111,7 +114,10 @@ def read_postings(spark: SparkSession, path: str) -> DataFrame:
 def read_doclens(spark: SparkSession, path: str) -> DataFrame:
     """The doc-length table's logical (doc_id, dl, db) rows — same
     contract as read_postings."""
-    view = lsm_view(spark, doclens_path(path), "doc_id")
+    view = lsm_view(
+        spark, doclens_path(path), "doc_id",
+        schema="doc_id long, dl long, db int",
+    )
     if view is None:
         view = spark.createDataFrame([], "doc_id long, dl long, db int")
     return view.select("doc_id", "dl", F.col("db").cast("int").alias("db"))

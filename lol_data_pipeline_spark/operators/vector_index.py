@@ -307,9 +307,14 @@ def read_index_codes(
     """Scan of the persisted index, pruned to ``cells`` when given
     (literal partition filters → Spark prunes to those directories)
     and projected to exactly (vec_id, cell_id, code*) — the scan
-    reads m code bytes per vector, never a float vector."""
+    reads m code bytes per vector, never a float vector. The schema
+    is declared from the sidecar params so the read never pays a
+    schema-inference footer job."""
     m = meta["params"]["m"]
-    df = spark.read.parquet(path)
+    ddl = "vec_id long, " + ", ".join(
+        f"code{i} int" for i in range(m)
+    ) + ", cell_id int"
+    df = spark.read.schema(ddl).parquet(path)
     if cells is not None:
         df = df.filter(F.col("cell_id").isin([int(c) for c in cells]))
     return df.select("vec_id", "cell_id", *pq_code_cols(m))
