@@ -46,7 +46,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(agg, mode="update")
+    return run_to_completion(agg, mode="update", state_partitions=16)
 
 
 TOTALS_MB_OUTPUT_DDL = "user_id bigint, n_events bigint, sum_cents bigint"
@@ -97,7 +97,8 @@ def running_user_totals_multibatch(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 4), build, "update", f"totals_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 4), build, "update",
+        f"totals_mb:{sf_dir}", state_partitions=16,
     )
     import pyspark.sql.functions as F
 
@@ -190,7 +191,9 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(out, mode="update")
+    # Python-stateful: per-key pandas work parallelizes across
+    # partitions — 16 measured best (run_to_completion docstring).
+    return run_to_completion(out, mode="update", state_partitions=16)
 
 
 def running_user_topk_multibatch(
@@ -241,8 +244,11 @@ def running_user_topk_multibatch(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
+    # Python-stateful: per-key pandas work parallelizes across
+    # partitions — 16 measured best (run_to_completion docstring).
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 2), build, "update", f"topk_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 2), build, "update",
+        f"topk_mb:{sf_dir}", state_partitions=16,
     )
     import pyspark.sql.functions as F
 
@@ -310,7 +316,7 @@ def user_topk_values(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     try:
-        return run_to_completion(out, mode="update")
+        return run_to_completion(out, mode="update", state_partitions=16)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -382,7 +388,8 @@ def latest_per_key_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 4), build, "update", f"cdc_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 4), build, "update",
+        f"cdc_mb:{sf_dir}", state_partitions=16,
     )
     import pyspark.sql.functions as F
 
@@ -461,7 +468,8 @@ def alert_transitions_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_multibatch(
-        spark, time_slices(ev, "ts", 4), build, "update", f"alert_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 4), build, "update",
+        f"alert_mb:{sf_dir}", state_partitions=16,
     )
 
 
@@ -523,7 +531,8 @@ def feed_freshness_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     res = replay_multibatch(
-        spark, time_slices(ev, "ts", 4), build, "update", f"fresh_mb:{sf_dir}"
+        spark, time_slices(ev, "ts", 4), build, "update",
+        f"fresh_mb:{sf_dir}", state_partitions=16,
     )
     return res.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),

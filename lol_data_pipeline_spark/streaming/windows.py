@@ -100,7 +100,9 @@ def _ckpt_dir() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
-def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_completion(
+    agg: DataFrame, mode: str = "complete", state_partitions: int = 4
+) -> DataFrame:
     """Execute a streaming aggregation to completion via the memory
     sink; returns the final result as a batch DataFrame.
 
@@ -109,13 +111,19 @@ def run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
     shuffle partition, so oversized partition counts turn into pure
     state-store overhead (the store count is fixed at first start by
     the checkpoint anyway). 4 measured best at local replay scale
-    (8→4 cut ~30% off tumbling/dedup wall clock; 2 regressed the
-    session window). Production sizes this to state volume, not core
+    for the JVM-stateful window/dedup ops (8→4 cut ~30% off
+    tumbling/dedup wall clock; 2 regressed the session window).
+    ``state_partitions`` lets PYTHON-stateful callers
+    (applyInPandasWithState) raise it: there the per-trigger cost is
+    per-key Python work, which parallelizes across partitions — the
+    topk entries measured 4→16 as 2.6→1.3 s (single-trigger) and
+    5.3→2.9 s (two-trigger), with 32 regressing on state-store
+    overhead. Production sizes this to state volume, not core
     count."""
     spark = agg.sparkSession
     qname = f"stream_{uuid.uuid4().hex[:10]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -164,7 +172,13 @@ def stage_ordered_batches(parts, key: str) -> str:
 
 
 def replay_multibatch(
-    spark: SparkSession, parts, build, mode: str, key: str, foreach_batch=None
+    spark: SparkSession,
+    parts,
+    build,
+    mode: str,
+    key: str,
+    foreach_batch=None,
+    state_partitions: int = 4,
 ) -> DataFrame | None:
     """Run a streaming query over a MULTI-micro-batch replay: stage
     ``parts`` as ordered single-file batches, stream them one file
@@ -193,7 +207,9 @@ def replay_multibatch(
             .parquet(os.path.join(stage, "*.parquet"))
         )
         if foreach_batch is None:
-            return run_to_completion(build(stream), mode=mode)
+            return run_to_completion(
+                build(stream), mode=mode, state_partitions=state_partitions
+            )
         q = (
             build(stream)
             .writeStream.outputMode(mode)
