@@ -140,8 +140,14 @@ def _semdedup_nodes(spark, sf_dir):
     )
     from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
 
+    from lol_data_pipeline_spark.operators.vector_index import (
+        read_index_codes,
+    )
+
     path, _meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
-    return spark.read.parquet(path).select(
+    # read via the declared-schema reader (no schema-inference footer
+    # job); column pruning drops the code columns at the scan
+    return read_index_codes(spark, path, _meta).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cell_id").cast("long").alias("cell_id"),
     )

@@ -1127,12 +1127,15 @@ def ann_index_stats(spark, sf_dir):
     takes the tie-safe snap (exact rational n/total). The oracle
     re-derives the build's cell assignment and counts it."""
     from lol_data_pipeline_spark.functions.scalar import snap
-    from lol_data_pipeline_spark.operators.vector_index import ensure_ivfpq_index
+    from lol_data_pipeline_spark.operators.vector_index import (
+        ensure_ivfpq_index,
+        read_index_codes,
+    )
     from lol_data_pipeline_spark.plans.round10 import _INDEX_PARAMS
 
     path, _meta = ensure_ivfpq_index(spark, sf_dir, **_INDEX_PARAMS)
     counts = (
-        spark.read.parquet(path)
+        read_index_codes(spark, path, _meta)
         .groupBy(F.col("cell_id").cast("long").alias("cell_id"))
         .agg(F.count("*").cast("long").alias("n_members"))
     )
