@@ -72,8 +72,32 @@ def ts_from_epoch(colname: str):
 # engine re-reads the same immutable tables in every query. This
 # caches METADATA only (the same thing Spark's own FileStatusCache
 # does for listings) — never data or results; a rewritten file misses
-# the key and re-infers.
+# the key and re-infers. Process-lifetime by design: the key space is
+# one entry per (table path, generation), bounded by how often the
+# immutable base tables are regenerated within one session.
 _SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _table_key(path: str) -> tuple | None:
+    """Staleness key for the schema memo. For a single file:
+    (path, mtime_ns, size). For a DIRECTORY table, the directory's
+    own stat is NOT enough — rewriting a member file's contents in
+    place (same entry name) leaves the dir mtime unchanged (r14
+    ADVICE) — so fold in every member file's (name, mtime_ns, size),
+    the same stat set _source_fingerprint hashes."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (path, st.st_mtime_ns, st.st_size)
+        members = tuple(
+            (f, s.st_mtime_ns, s.st_size)
+            for root, _dirs, files in os.walk(path)
+            for f in sorted(files)
+            for s in (os.stat(os.path.join(root, f)),)
+        )
+        return (path, members)
+    except OSError:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,11 +110,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     proper TimestampType and need no conversion.
     """
     path = table_path(sf_dir, name)
-    try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = None
+    key = _table_key(path)
     schema = _SCHEMA_CACHE.get(key) if key else None
     if schema is not None:
         df = spark.read.schema(schema).parquet(path)

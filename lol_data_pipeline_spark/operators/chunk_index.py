@@ -73,19 +73,22 @@ def chunks_path(path: str) -> str:
     return os.path.join(path, "chunks")
 
 
+CHUNKS_DDL = "id long, chunk_idx int, h long, hb int"
+NGRAM_DDL = "id long, h long, hb int"
+# one source of truth per family: lsm_view's declared read schema AND
+# the empty fallback (r14 ADVICE)
+
+
 def read_chunk_rows(spark: SparkSession, path: str) -> DataFrame:
     """The chunk artifact's logical (id, chunk_idx, h, hb) rows — the
     LSM view (plain base scan when the log is empty). Empty-with-
     schema when nothing is on disk, so probe/upsert-after-full-
     take-down works (r13 ADVICE)."""
     view = lsm_view(
-        spark, chunks_path(path), "id",
-        schema="id long, chunk_idx int, h long, hb int",
+        spark, chunks_path(path), "id", schema=CHUNKS_DDL
     )
     if view is None:
-        view = spark.createDataFrame(
-            [], "id long, chunk_idx int, h long, hb int"
-        )
+        view = spark.createDataFrame([], CHUNKS_DDL)
     return view.select(
         "id", "chunk_idx", "h", F.col("hb").cast("int").alias("hb")
     )
@@ -95,10 +98,10 @@ def read_ngram_rows(spark: SparkSession, path: str) -> DataFrame:
     """The n-gram artifact's logical (id, h, hb) rows — same contract
     as read_chunk_rows for the decontamination index."""
     view = lsm_view(
-        spark, chunks_path(path), "id", schema="id long, h long, hb int"
+        spark, chunks_path(path), "id", schema=NGRAM_DDL
     )
     if view is None:
-        view = spark.createDataFrame([], "id long, h long, hb int")
+        view = spark.createDataFrame([], NGRAM_DDL)
     return view.select("id", "h", F.col("hb").cast("int").alias("hb"))
 
 

@@ -261,19 +261,21 @@ def read_edges(
     return df.select("code", "src_id", "dst_id", "sim", "rank")
 
 
+NODES_DDL = "vec_id long, embedding array<double>, code int"
+# one source of truth: lsm_view's declared read schema AND the empty
+# fallback (r14 ADVICE)
+
+
 def read_nodes(
     spark: SparkSession, path: str, codes: list[int] | None = None
 ) -> DataFrame:
     """Logical node set — the LSM view (plain base scan when the log
     is empty); the code filter prunes base AND delta directories."""
     df = lsm_view(
-        spark, nodes_path(path), "vec_id",
-        schema="vec_id long, embedding array<double>, code int",
+        spark, nodes_path(path), "vec_id", schema=NODES_DDL
     )
     if df is None:
-        df = spark.createDataFrame(
-            [], "vec_id long, embedding array<double>, code int"
-        )
+        df = spark.createDataFrame([], NODES_DDL)
     if codes is not None:
         df = df.filter(F.col("code").isin([int(c) for c in codes]))
     return df.select("vec_id", "embedding", "code")

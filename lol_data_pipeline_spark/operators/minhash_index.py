@@ -79,16 +79,20 @@ def buckets_path(path: str) -> str:
     return os.path.join(path, "buckets")
 
 
+BUCKETS_DDL = "id long, bkey string, band int"  # one source of truth:
+# lsm_view's declared read schema AND the empty fallback (r14 ADVICE —
+# a drifting duplicate would silently null-fill instead of erroring)
+
+
 def read_minhash_buckets(spark: SparkSession, path: str) -> DataFrame:
     """The artifact's logical (id, band, bkey) rows — the LSM view
     (plain base scan when the log is empty). Empty-with-schema when
     nothing is on disk, so probe-after-full-take-down works."""
     view = lsm_view(
-        spark, buckets_path(path), "id",
-        schema="id long, bkey string, band int",
+        spark, buckets_path(path), "id", schema=BUCKETS_DDL
     )
     if view is None:
-        view = spark.createDataFrame([], "id long, band int, bkey string")
+        view = spark.createDataFrame([], BUCKETS_DDL)
     return view.select("id", F.col("band").cast("int").alias("band"), "bkey")
 
 

@@ -105,19 +105,21 @@ def _batch_band_rows(media: DataFrame, signer: str = "image") -> DataFrame:
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
 
 
+BANDS_DDL = "id long, simhash long, chunk long, band int"
+# one source of truth: lsm_view's declared read schema AND the empty
+# fallback (r14 ADVICE)
+
+
 def read_phash_rows(spark: SparkSession, path: str) -> DataFrame:
     """The artifact's logical (id, simhash, band, chunk) rows — the
     LSM view (plain base scan when the log is empty, so the serve
     plan is unchanged from the pre-LSM design). Empty-with-schema
     when nothing is on disk, so probe-after-full-take-down works."""
     view = lsm_view(
-        spark, bands_path(path), "id",
-        schema="id long, simhash long, chunk long, band int",
+        spark, bands_path(path), "id", schema=BANDS_DDL
     )
     if view is None:
-        view = spark.createDataFrame(
-            [], "id long, simhash long, band int, chunk long"
-        )
+        view = spark.createDataFrame([], BANDS_DDL)
     return view.select("id", "simhash", "band", "chunk")
 
 

@@ -94,18 +94,21 @@ def doclens_path(path: str) -> str:
     return os.path.join(path, "doclens")
 
 
+POSTINGS_DDL = "doc_id long, term string, tf long, tb int"
+DOCLENS_DDL = "doc_id long, dl long, db int"
+# one source of truth per table: lsm_view's declared read schema AND
+# the empty fallback (r14 ADVICE)
+
+
 def read_postings(spark: SparkSession, path: str) -> DataFrame:
     """The postings table's logical (doc_id, term, tf, tb) rows — the
     LSM view (plain base scan when the log is empty). Empty-with-
     schema when nothing is on disk."""
     view = lsm_view(
-        spark, postings_path(path), "doc_id",
-        schema="doc_id long, term string, tf long, tb int",
+        spark, postings_path(path), "doc_id", schema=POSTINGS_DDL
     )
     if view is None:
-        view = spark.createDataFrame(
-            [], "doc_id long, term string, tf long, tb int"
-        )
+        view = spark.createDataFrame([], POSTINGS_DDL)
     return view.select(
         "doc_id", "term", "tf", F.col("tb").cast("int").alias("tb")
     )
@@ -115,11 +118,10 @@ def read_doclens(spark: SparkSession, path: str) -> DataFrame:
     """The doc-length table's logical (doc_id, dl, db) rows — same
     contract as read_postings."""
     view = lsm_view(
-        spark, doclens_path(path), "doc_id",
-        schema="doc_id long, dl long, db int",
+        spark, doclens_path(path), "doc_id", schema=DOCLENS_DDL
     )
     if view is None:
-        view = spark.createDataFrame([], "doc_id long, dl long, db int")
+        view = spark.createDataFrame([], DOCLENS_DDL)
     return view.select("doc_id", "dl", F.col("db").cast("int").alias("db"))
 
 

@@ -471,7 +471,18 @@ def corpus_dedup_keep_first(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_shingle_df=500)
-    drops = g.dedup_groups(pairs, iters=4).filter(F.col("drop")).select("doc_id")
+    # drop set straight from the component labels: a member is
+    # dropped iff it is not its group's minimum id (doc_id !=
+    # component). The previous dedup_groups() call also computed
+    # per-group sizes and broadcast-joined them back — columns this
+    # entry never selects (r15: one aggregate + one broadcast join
+    # removed from every run; keep_best/leakage_safe_split still use
+    # dedup_groups for the size/representative columns they DO emit).
+    drops = (
+        g.connected_components(pairs, iters=4)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )

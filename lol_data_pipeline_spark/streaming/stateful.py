@@ -22,6 +22,21 @@ from lol_data_pipeline_spark.streaming.windows import _events_stream, run_to_com
 OUTPUT_DDL = "user_id bigint, n_events bigint, sum_value double"
 STATE_DDL = "n bigint, s double"
 
+# State-stage parallelism for PYTHON-stateful operators
+# (applyInPandasWithState / transformWithState): per-trigger cost is
+# per-key Python work, which parallelizes across partitions — 16
+# measured best at local replay scale (4→16 halved the topk entries;
+# 32 regressed on state-store overhead, see
+# windows.run_to_completion). ONE definition instead of a literal at
+# every call site (r14 ADVICE); production sizes this to state
+# volume via the env override, the same knob pattern as
+# SPARK_GRAFT_LSM_QUOTA. The JVM-stateful window/dedup/join callers
+# keep run_to_completion's default of 4 (r12 tuning) — there each
+# extra partition is a state-store snapshot per trigger.
+import os as _os
+
+PY_STATE_PARTITIONS = int(_os.environ.get("SPARK_GRAFT_PY_STATE_PARTITIONS", "16"))
+
 
 def _update_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -46,7 +61,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(agg, mode="update", state_partitions=16)
+    return run_to_completion(agg, mode="update", state_partitions=PY_STATE_PARTITIONS)
 
 
 TOTALS_MB_OUTPUT_DDL = "user_id bigint, n_events bigint, sum_cents bigint"
@@ -98,7 +113,7 @@ def running_user_totals_multibatch(spark: SparkSession, sf_dir: str) -> DataFram
 
     res = replay_multibatch(
         spark, time_slices(ev, "ts", 4), build, "update",
-        f"totals_mb:{sf_dir}", state_partitions=16,
+        f"totals_mb:{sf_dir}", state_partitions=PY_STATE_PARTITIONS,
     )
     import pyspark.sql.functions as F
 
@@ -193,7 +208,7 @@ def running_user_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
     )
     # Python-stateful: per-key pandas work parallelizes across
     # partitions — 16 measured best (run_to_completion docstring).
-    return run_to_completion(out, mode="update", state_partitions=16)
+    return run_to_completion(out, mode="update", state_partitions=PY_STATE_PARTITIONS)
 
 
 def running_user_topk_multibatch(
@@ -248,7 +263,7 @@ def running_user_topk_multibatch(
     # partitions — 16 measured best (run_to_completion docstring).
     res = replay_multibatch(
         spark, time_slices(ev, "ts", 2), build, "update",
-        f"topk_mb:{sf_dir}", state_partitions=16,
+        f"topk_mb:{sf_dir}", state_partitions=PY_STATE_PARTITIONS,
     )
     import pyspark.sql.functions as F
 
@@ -316,7 +331,7 @@ def user_topk_values(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
     try:
-        return run_to_completion(out, mode="update", state_partitions=16)
+        return run_to_completion(out, mode="update", state_partitions=PY_STATE_PARTITIONS)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -389,7 +404,7 @@ def latest_per_key_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = replay_multibatch(
         spark, time_slices(ev, "ts", 4), build, "update",
-        f"cdc_mb:{sf_dir}", state_partitions=16,
+        f"cdc_mb:{sf_dir}", state_partitions=PY_STATE_PARTITIONS,
     )
     import pyspark.sql.functions as F
 
@@ -469,7 +484,7 @@ def alert_transitions_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return replay_multibatch(
         spark, time_slices(ev, "ts", 4), build, "update",
-        f"alert_mb:{sf_dir}", state_partitions=16,
+        f"alert_mb:{sf_dir}", state_partitions=PY_STATE_PARTITIONS,
     )
 
 
@@ -532,7 +547,7 @@ def feed_freshness_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = replay_multibatch(
         spark, time_slices(ev, "ts", 4), build, "update",
-        f"fresh_mb:{sf_dir}", state_partitions=16,
+        f"fresh_mb:{sf_dir}", state_partitions=PY_STATE_PARTITIONS,
     )
     return res.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
