@@ -100,6 +100,22 @@ def _table_key(path: str) -> tuple | None:
         return None
 
 
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The RAW inferred schema of a base table (before any ts
+    normalization), through the same memo load_table fills — callers
+    that only need the schema (the file streaming source's required
+    explicit schema) skip the footer-inference job on every warm
+    call."""
+    path = table_path(sf_dir, name)
+    key = _table_key(path)
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key:
+            _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; filters/projections push down.
 
@@ -110,14 +126,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     proper TimestampType and need no conversion.
     """
     path = table_path(sf_dir, name)
-    key = _table_key(path)
-    schema = _SCHEMA_CACHE.get(key) if key else None
-    if schema is not None:
-        df = spark.read.schema(schema).parquet(path)
-    else:
-        df = spark.read.parquet(path)
-        if key:
-            _SCHEMA_CACHE[key] = df.schema
+    df = spark.read.schema(table_schema(spark, sf_dir, name)).parquet(path)
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

@@ -53,33 +53,36 @@ def _cc(vec: list[float]) -> float:
 
 
 def _assign_expr(vec_col, xx_col, cents: list[tuple[int, list[float]]]):
-    """argmin_c ( |x|² − 2·x·c + |c|² ) as array_min over ONE
-    codebook literal (array<struct<cid,cc,v>>) iterated by one
-    ``transform`` lambda — struct comparison is lexicographic
-    (distance, then centroid id), giving a deterministic tie-break
-    identical to the least()-over-k-structs form this replaces. The
-    r14 form already kept each centroid as one array Literal; the r15
-    form additionally folds the k per-candidate dot-fold subtrees
-    into a single lambda, so Catalyst parses/analyzes/codegens one
-    aggregate expression per assignment instead of k (the per-round
-    planning cost that dominates iterative training on small data)."""
-    from lol_data_pipeline_spark.operators.similarity import (
-        _dot_d,
-        codebook_lit,
-    )
-
-    cb = codebook_lit([(cid, _cc(cvec), cvec) for cid, cvec in cents])
-    return F.array_min(
-        F.transform(
-            cb,
-            lambda e: F.struct(
-                (xx_col - 2 * _dot_d(vec_col.cast("array<double>"), e["v"]) + e["cc"]).alias(
-                    "d2"
-                ),
-                e["id"].alias("cid"),
-            ),
+    """argmin_c ( |x|² − 2·x·c + |c|² ) as one least() over k literal
+    structs — struct comparison is lexicographic (distance, then
+    centroid id), giving a deterministic tie-break. Each centroid is
+    ONE array Literal (``F.lit(list)``), not a 64-node CreateArray —
+    same values, ~64× smaller expression tree, which roughly halves
+    the per-round Catalyst analyze+codegen cost that dominates
+    iterative training on small data (measured 2.36 → 1.16 s per
+    assignment round at k=8, dim=64). The r15 A/B additionally tried
+    array_min(transform(<one codebook literal>)) here — REVERTED:
+    ArrayTransform/ArrayMin are CodegenFallback, so the corpus-sized
+    assignment projection fell out of whole-stage codegen and the
+    IVF/kmeans-family entries lost 0.4-1.3 s each (the losing-A/B log
+    in OPTIMIZATION_r15.md)."""
+    candidates = [
+        F.struct(
+            (
+                xx_col
+                - 2 * dot(vec_col, F.lit([float(v) for v in cvec]))
+                + F.lit(_cc(cvec))
+            ).alias("d2"),
+            F.lit(cid).alias("cid"),
         )
-    )["cid"]
+        for cid, cvec in cents
+    ]
+    # F.least requires >= 2 args; a codebook can legitimately shrink
+    # to one centroid (every assignment tied to it — e.g. duplicate
+    # seed vectors), and the single survivor is then everyone's cell.
+    if len(candidates) == 1:
+        return candidates[0]["cid"]
+    return F.least(*candidates)["cid"]
 
 
 def kmeans_train(

@@ -489,45 +489,21 @@ def _seq_sq(vals: list[float]) -> float:
     return acc
 
 
-def codebook_lit(entries: list[tuple[int, float, list[float]]]) -> Column:
-    """A codebook as ONE array<struct<id,cc,v>> literal column — the
-    r15 tree-size fix for every argmin-over-candidates projection.
-
-    The previous form unrolled one subtree PER CANDIDATE (a
-    named_struct carrying its own aggregate(zip_with(...)) dot fold),
-    so Catalyst parsed/analyzed/codegen'd k·m lambda subtrees per
-    query — measured as the dominant cost of the ann/retrieval
-    family's query CONSTRUCTION at sf0.1 (plan text alone was ~100 KB
-    for ann_ivfpq_topk). Folding the candidates into one literal
-    array iterated by ONE ``transform`` lambda keeps the identical
-    arithmetic (same literal doubles, same sequential fold order,
-    same (d2, id) lexicographic tie-break via struct ordering — both
-    ``least()`` and ``array_min``/``array_sort`` use the same struct
-    comparator) while the expression tree shrinks ~k×; the values are
-    bit-identical, only the plan is smaller. Each entry is
-    (id, |v|² precomputed with the engines' sequential fold, v)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(i)).alias("id"),
-                F.lit(float(cc)).alias("cc"),
-                F.lit([float(x) for x in v]).alias("v"),
-            )
-            for i, cc, v in entries
-        ]
-    )
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
 
 
-def _dot_d(a: Column, b: Column) -> Column:
-    """dot() without the input casts — for operands already
-    array<double> (the codebook literal and pre-sliced/pre-cast
-    vectors). Same zip_with/aggregate sequential fold, bit-identical
-    results."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# r15 losing experiment (full log in OPTIMIZATION_r15.md): folding each
+# argmin-over-candidates into array_min(transform(<one array<struct>
+# codebook literal>)) shrank the Catalyst trees ~ncent× but LOST at
+# execution — ArrayTransform/ArrayMin are CodegenFallback, so the
+# corpus-sized encode/assign projections fell out of whole-stage
+# codegen (+0.6..+1.3 s per IVF/PQ entry in clean A/Bs); rebuilding
+# the same least() through the Column API with F.lit array literals
+# lost even harder on py4j round-trips (+4 s, the round-5
+# label_centroids lesson). The parsed-SQL least() unroll below is the
+# measured-best construction AND execution shape; bit-equality of all
+# three variants was proven on real data before timing.
 
 
 def pq_encode(
@@ -598,31 +574,31 @@ def pq_encode(
             for s in range(m)
         ],
     )
-    # argmin over candidates as array_min(transform(<one codebook
-    # literal>)) — see codebook_lit: identical arithmetic and
-    # (d2, j) tie-break, ~ncent× smaller expression tree than the
-    # per-candidate named_struct/least unroll it replaces (the
-    # unroll's k·m aggregate-lambda subtrees dominated query
-    # construction at sf0.1).
+    # argmin over candidates as ONE parsed least() SQL expression per
+    # subspace. This exact form survived two r15 A/Bs against
+    # smaller-tree variants (losing-experiment log in
+    # OPTIMIZATION_r15.md): (a) array_min(transform(<one codebook
+    # literal>)) — ArrayTransform/ArrayMin are CodegenFallback, the
+    # corpus-sized encode projection fell out of whole-stage codegen,
+    # +1.3 s on ann_ivfpq_topk; (b) the same least() built op-by-op
+    # through the Column API with F.lit array literals — hundreds of
+    # py4j round-trips per construction (the round-5 label_centroids
+    # lesson), +4.4 s. One JVM-side SQL parse of the full candidate
+    # list is the measured-fastest construction AND execution shape.
     sel_cols = []
     for s in range(m):
-        cb = codebook_lit(
-            [(j, _seq_sq(subc[s][j]), subc[s][j]) for j in range(ncent)]
-        )
-        xs_c, xx_c = F.col(f"xs{s}"), F.col(f"xx{s}")
-
-        def _cand(xs_c, xx_c):
-            # factory returning a ONE-arg lambda: pyspark reads the
-            # callable's arity to bind lambda variables
-            return lambda e: F.struct(
-                (xx_c - 2 * _dot_d(xs_c, e["v"]) + e["cc"]).alias("d2"),
-                e["id"].alias("j"),
-                e["v"].alias("c"),
+        cands = ", ".join(
+            "named_struct('d2', xx{s} - 2 * ({ip}) + CAST({cc!r} AS DOUBLE), "
+            "'j', {j}, 'c', {arr})".format(
+                s=s,
+                ip=_DOT_SQL.format(a=f"xs{s}", b=_arr_sql(subc[s][j])),
+                cc=_seq_sq(subc[s][j]),
+                j=j,
+                arr=_arr_sql(subc[s][j]),
             )
-
-        sel_cols.append(
-            F.array_min(F.transform(cb, _cand(xs_c, xx_c))).alias(f"sel{s}")
+            for j in range(ncent)
         )
+        sel_cols.append(F.expr(f"least({cands})").alias(f"sel{s}"))
     enc = with_xx.select(id_alias, vec_alias, *keep, *sel_cols)
     if emit == "codes":
         return enc.select(

@@ -62,9 +62,8 @@ from pyspark.sql import functions as F
 from lol_data_pipeline_spark.io import table_path, write_upsert_partitions, write_overwrite
 from lol_data_pipeline_spark.operators.clustering import _cc, kmeans_cells, kmeans_train
 from lol_data_pipeline_spark.operators.similarity import (
+    _arr_sql,
     _DOT_SQL,
-    _dot_d,
-    codebook_lit,
     cosine,
     dot,
     pq_encode,
@@ -95,16 +94,11 @@ def pq_decode_expr(seeds: list[list[float]], m: int, dsub: int):
         [seeds[j][s * dsub : (s + 1) * dsub] for j in range(len(seeds))]
         for s in range(m)
     ]
-    # One array<array<double>> literal per subspace instead of the
-    # parsed per-codeword CAST unroll (r15: same doubles — F.lit
-    # passes the exact IEEE values py4j-side, as repr() round-trips
-    # them SQL-side — with a ~ncent·dsub× smaller expression tree;
-    # element_at semantics unchanged).
     parts = []
     for s in range(m):
-        cb = F.array(*[F.lit([float(x) for x in c]) for c in subc[s]])
-        parts.append(F.element_at(cb, F.col(f"code{s}") + 1))
-    return F.concat(*parts)
+        arr2 = "array(" + ", ".join(_arr_sql(c) for c in subc[s]) + ")"
+        parts.append(f"element_at({arr2}, code{s} + 1)")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def ivf_probe_rows(
@@ -123,18 +117,19 @@ def ivf_probe_rows(
     flagship (plans/round9.py) and the served index."""
     x = F.col(vec_col).cast("array<double>")
     xx = dot(x, x)
-    # one codebook literal + one transform lambda instead of a
-    # per-centroid struct unroll (r15 tree-size fix — see
-    # similarity.codebook_lit; identical d2 arithmetic and
-    # (d2, cid) ordering under array_sort's struct comparator)
-    cb = codebook_lit([(cid, _cc(cv), cv) for cid, cv in cents])
     probe_structs = F.array_sort(
-        F.transform(
-            cb,
-            lambda e: F.struct(
-                (xx - 2 * _dot_d(x, e["v"]) + e["cc"]).alias("d2"),
-                e["id"].alias("cid"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    (
+                        xx
+                        - 2 * dot(x, F.lit([float(v) for v in cv]))
+                        + F.lit(_cc(cv))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
         )
     )
     return queries.select(
@@ -566,15 +561,19 @@ def index_compact(
         return [], []
     members = read_index_codes(spark, path, meta, cells=over)
     xh = F.col("xhat")
-    # same codebook-literal + transform shape as ivf_probe_rows (r15)
-    cb = codebook_lit([(cid, _cc(cv), cv) for cid, cv in cents])
     d2s = F.array_sort(
-        F.transform(
-            cb,
-            lambda e: F.struct(
-                (dot(xh, xh) - 2 * _dot_d(xh, e["v"]) + e["cc"]).alias("d2"),
-                e["id"].alias("cid"),
-            ),
+        F.array(
+            *[
+                F.struct(
+                    (
+                        dot(xh, xh)
+                        - 2 * dot(xh, F.lit(cv))
+                        + F.lit(_cc(cv))
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
         )
     )
     scored = members.select(

@@ -84,8 +84,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import types as T
 
+    from lol_data_pipeline_spark.io import table_schema
+
     path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
+    # the memoized batch-inferred schema (io.table_schema): the footer
+    # job runs once per file generation instead of once per stream
+    # construction (r15 — bench re-invokes each streaming entry 3-4x)
+    schema = table_schema(spark, sf_dir, "events")
     raw = spark.readStream.schema(schema).parquet(_stage_dir(path))
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", ts_from_epoch("ts"))
@@ -155,7 +160,13 @@ def stage_ordered_batches(parts, key: str) -> str:
     if os.path.isdir(stage):
         shutil.rmtree(stage)
     os.makedirs(stage)
-    for i, part in enumerate(parts):
+
+    def _write_one(args) -> None:
+        # the slice writes are INDEPENDENT jobs — submit them from a
+        # small thread pool so each job's tail backfills the others'
+        # idle cores (guide §2.6); replay order is pinned afterwards
+        # by the explicit mtimes, not by write completion order.
+        i, part = args
         d = os.path.join(stage, f"w{i}")
         part.coalesce(1).write.parquet(d)
         src = next(
@@ -168,6 +179,12 @@ def stage_ordered_batches(parts, key: str) -> str:
         shutil.rmtree(d)  # writer work dir (_SUCCESS etc.)
         # file source replays oldest-mtime first; make order explicit
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = list(parts)
+    with ThreadPoolExecutor(max_workers=min(3, max(1, len(parts)))) as pool:
+        list(pool.map(_write_one, enumerate(parts)))
     return stage
 
 
@@ -198,9 +215,16 @@ def replay_multibatch(
     /ordering bugs')."""
     import shutil
 
+    parts = list(parts)
     stage = stage_ordered_batches(parts, key)
     try:
-        schema = spark.read.parquet(os.path.join(stage, "0_batch.parquet")).schema
+        # the staged files were written FROM parts[0..n]'s frames, so
+        # the frames' own schema IS the files' schema — declaring it
+        # skips a footer-inference job per replay (r15). No unit
+        # reinterpretation risk: the ts column was normalized to a
+        # real TimestampType upstream (io.load_table) and parquet
+        # round-trips it as TIMESTAMP(MICROS).
+        schema = parts[0].schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

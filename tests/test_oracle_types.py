@@ -46,6 +46,9 @@ def test_no_drift_prone_oracle_output_types(con):
     )
 
 
+@pytest.mark.slow  # full-registry sweep: CI-class, excluded from the
+# driver-budget fast gate (pytest.ini addopts); round close runs it via
+# -m "slow or not slow"
 def test_spark_vs_oracle_dtype_agreement(con, spark):
     """r07's third red: Spark signum() is DOUBLE, DuckDB sign() is
     TINYINT — every cell equal, but the driver hashes '1.0' != '1'.
@@ -69,6 +72,9 @@ def test_spark_vs_oracle_dtype_agreement(con, spark):
     )
 
 
+@pytest.mark.slow  # full-registry sweep: CI-class, excluded from the
+# driver-budget fast gate (pytest.ini addopts); round close runs it via
+# -m "slow or not slow"
 def test_no_nested_spark_output_columns(spark):
     """The driver canonicalizes EVERY sampled result in pandas — a
     list cell is unhashable there whether or not an oracle exists, so

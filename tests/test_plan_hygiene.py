@@ -174,6 +174,9 @@ def test_topk_plans_have_no_global_window(spark, sf_dir):
         assert "TakeOrderedAndProject" in plan or name == "rel_q15_top_supplier", name
 
 
+@pytest.mark.slow  # full-registry sweep: CI-class, excluded from the
+# driver-budget fast gate (pytest.ini addopts); round close runs it via
+# -m "slow or not slow"
 def test_plan_audit_clean(spark, sf_dir):
     """The full-registry plan audit (tools/plan_audit.py) must stay
     clean: no unexpected cartesians, wide scans, or row-at-a-time
@@ -464,3 +467,17 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
         # and the threshold still picks broadcast at this SF
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_artifact_reads_declare_schema():
+    """Source-level rule (r15, guide §6): every hot .read.parquet()
+    in the engine package declares its schema — parquet footer
+    inference costs a driver job per call and serve paths re-read
+    their artifacts on every probe. New bare reads must either
+    declare a schema or be added to the audited allowlist
+    (tools/plan_audit.BARE_READ_OK) with a build-once/maintenance
+    justification. Pure AST scan: no Spark session, runs in the
+    driver-budget fast gate."""
+    from tools.plan_audit import audit_bare_reads
+
+    assert audit_bare_reads() == []

@@ -8,6 +8,10 @@ import pytest
 from lol_data_pipeline_spark.plans import REGISTRY
 
 
+@pytest.mark.slow  # full-registry sweep: strictly subsumed by the
+# (also slow-marked) oracle parity sweep, which RUNS every entry and
+# additionally compares it to DuckDB; excluded from the driver-budget
+# fast gate, round close runs it via -m "slow or not slow"
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_runs(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)

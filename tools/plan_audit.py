@@ -345,6 +345,121 @@ def has_unbounded_broadcast(logical_plan: str) -> bool:
     return False
 
 
+# --- source-level rule: artifact reads must declare their schema ---
+# Parquet schema inference launches a footer-read job per
+# spark.read.parquet call (~75 ms measured, r14) and the serve paths
+# re-read their artifacts on every probe, so every HOT read goes
+# through a declared-schema reader (lsm_view(schema=...),
+# read_index_codes, io.load_table's memo). This rule keeps that
+# structural: any NEW bare .read.parquet() in the engine package must
+# either get a declared schema or be added here with a reason.
+# Allowlist = "module:function" sites verified to be build-once /
+# maintenance / sink-readback paths (one inference per artifact
+# REWRITE or per completed stream, amortized — not per probe).
+BARE_READ_OK = {
+    "cli.py:main",  # CLI landing-zone count, not a query path
+    "io.py:table_schema",  # the schema MEMO's cold path — inference
+    # runs once per (table, file generation), then every read declares
+    "io.py:compact_parquet",  # maintenance rewrite, once per compact
+    "operators/lsm.py:lsm_view",  # the schema=None fallback branch;
+    # every family caller passes its declared DDL
+    "operators/minhash_index.py:build_minhash_index",  # build-once
+    "operators/graph_index.py:build_knn_graph_index",  # build-once
+    "operators/chunk_index.py:build_chunk_index",  # build-once
+    "operators/chunk_index.py:build_ngram_index",  # build-once
+    "operators/phash_index.py:build_phash_index",  # build-once
+    "operators/text_index.py:build_bm25_index",  # build-once
+    "operators/sketch_index.py:build_hll_index",  # build-once
+    "operators/sketch_index.py:hll_index_upsert",  # maintenance merge
+    # over the register partitions it rewrites (write-staging entry)
+    "operators/sketch_index.py:hll_index_retention_drop",  # maintenance
+    "operators/vector_index.py:index_compact",  # maintenance: per-cell
+    # counts over the index it is about to rewrite
+    "sources/evolution.py:read_events_merged",  # schema-EVOLUTION scan:
+    # mergeSchema inference is the operator's semantics
+    "plans/modeling.py:corpus_semdedup_probe_replay",  # standing side
+    # of the stream replay entry, read once per replay
+    "plans/modeling.py:stream_semdedup_probe_multibatch",  # sink readback
+    "plans/round11.py:stream_minhash_probe_multibatch",  # sink readback
+    "plans/round12.py:ann_index_quota_trigger",  # maintenance stats
+    "plans/round12.py:ann_index_rebuild_decision",  # maintenance stats
+    "plans/round12.py:stream_chunk_probe_multibatch",  # sink readback
+    "plans/round12.py:sketch_hll_index_retention",  # maintenance: day
+    # bounds of the register table it rewrites
+    "plans/round13.py:stream_ingest_gate_multibatch",  # sink readback
+    "plans/round13.py:stream_phash_probe_multibatch",  # sink readback
+    "streaming/windows.py:stage_ordered_batches",  # replay staging
+    "streaming/sinks.py:merge_batch",  # incremental-view state swap
+    "streaming/sinks.py:incremental_view_multibatch",  # state readback
+}
+
+
+def audit_bare_reads(pkg_root: str | None = None) -> list[str]:
+    """``module:function`` sites calling ``.read.parquet(...)`` (or
+    ``.read.format/load``) WITHOUT a ``.schema(...)`` in the reader
+    chain, excluding the audited allowlist. Empty list = clean."""
+    import ast
+
+    pkg_root = pkg_root or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "lol_data_pipeline_spark",
+    )
+    hits: list[str] = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            fpath = os.path.join(dirpath, fname)
+            rel = os.path.relpath(fpath, pkg_root)
+            tree = ast.parse(open(fpath).read())
+            # map each node to its enclosing function name
+            func_of: dict[ast.AST, str] = {}
+
+            def walk(node, fn):
+                for child in ast.iter_child_nodes(node):
+                    nfn = (
+                        child.name
+                        if isinstance(
+                            child, (ast.FunctionDef, ast.AsyncFunctionDef)
+                        )
+                        else fn
+                    )
+                    func_of[child] = nfn
+                    walk(child, nfn)
+
+            walk(tree, "<module>")
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "parquet"
+                ):
+                    continue
+                # walk the attribute/call chain leftward looking for
+                # .read (a reader chain) and .schema(...) in between
+                chain, cur, has_schema, has_read = [], node.func.value, False, False
+                while True:
+                    if isinstance(cur, ast.Call) and isinstance(
+                        cur.func, ast.Attribute
+                    ):
+                        if cur.func.attr == "schema":
+                            has_schema = True
+                        chain.append(cur.func.attr)
+                        cur = cur.func.value
+                    elif isinstance(cur, ast.Attribute):
+                        if cur.attr == "read":
+                            has_read = True
+                        chain.append(cur.attr)
+                        cur = cur.value
+                    else:
+                        break
+                if has_read and not has_schema:
+                    site = f"{rel}:{func_of.get(node, '<module>')}"
+                    if site not in BARE_READ_OK:
+                        hits.append(site)
+    return sorted(set(hits))
+
+
 def audit(spark, sf_dir: str) -> int:
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     bad = 0
