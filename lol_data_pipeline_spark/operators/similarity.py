@@ -75,14 +75,28 @@ def cosine_topk(
     Broadcast the (small) query set against the partitioned corpus;
     rank per query with a window. Self-matches excluded.
     """
+    # norms hoisted to one fold per ROW (r15, the with_norm /
+    # dedup_embedding_cosine precedent): cosine() inside the Q×N pair
+    # projection recomputed BOTH interpreted norm folds per pair —
+    # 2·dim·Q·N lambda steps that dominate the brute-force scan.
+    # dot/(qn·cn) keeps cosine()'s exact op order, so sims are
+    # bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("qn", norm(F.col("qvec")))
+    c = with_norm(
+        widen(corpus).select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+        "cn",
     )
-    c = widen(corpus).select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
     scored = c.join(F.broadcast(q), F.col("match_id") != F.col("query_id")).select(
         "query_id",
         "match_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
     return (
@@ -103,12 +117,19 @@ def assign_ivf_cells(
     the corpus itself is never shuffled by value."""
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centvec")
-    )
-    scored = widen(corpus).crossJoin(F.broadcast(cent)).select(
+    ).withColumn("cnrm", norm(F.col("centvec")))
+    # norms hoisted to one fold per row (r15): the N×C assignment
+    # recomputed both norm folds per pair; dot/(nrm·cnrm) keeps
+    # cosine()'s op order — bit-identical csim.
+    scored = with_norm(widen(corpus), vec_col).crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell_id"),
-        F.round(cosine(F.col(vec_col), F.col("centvec")), 6).alias("csim"),
+        F.round(
+            dot(F.col(vec_col), F.col("centvec"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
     return (
@@ -141,12 +162,17 @@ def probe_cells(
     corpus rows."""
     cent = centroids.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centvec")
-    )
-    scored = widen(queries).crossJoin(F.broadcast(cent)).select(
+    ).withColumn("cnrm", norm(F.col("centvec")))
+    # same per-row norm hoist as assign_ivf_cells (bit-identical)
+    scored = with_norm(widen(queries), vec_col).crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cell_id"),
-        F.round(cosine(F.col(vec_col), F.col("centvec")), 6).alias("csim"),
+        F.round(
+            dot(F.col(vec_col), F.col("centvec"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id").asc())
     return (
@@ -171,11 +197,17 @@ def ivf_topk(
     ``n_queries``.
     """
     centroids = corpus.filter(F.col(id_col) < n_centroids)
-    cells = assign_ivf_cells(corpus, centroids, id_col, vec_col)
+    # per-row norm hoist (r15): the probe scored Q × cell-size pairs
+    # with cosine() recomputing both norm folds per pair;
+    # dot/(qn·nrm) keeps the op order — bit-identical sims.
+    cells = with_norm(
+        assign_ivf_cells(corpus, centroids, id_col, vec_col), vec_col
+    )
     queries = cells.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("cell_id").alias("qcell"),
+        F.col("nrm").alias("qn"),
     )
     scored = cells.join(
         F.broadcast(queries),
@@ -183,7 +215,9 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("match_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("qvec"), F.col(vec_col)) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
     return (
@@ -248,11 +282,16 @@ def lsh_topk(
     probe is a broadcast of Q coded queries against the coded corpus.
     """
     wc = widen(corpus)
-    coded = wc.join(_lsh_codes(wc, n_planes, id_col, vec_col), id_col)
+    # per-row norm hoist (r15) — same rationale and bit-identity as
+    # cosine_topk/ivf_topk; knn_graph already carried this shape.
+    coded = with_norm(
+        wc.join(_lsh_codes(wc, n_planes, id_col, vec_col), id_col), vec_col
+    )
     queries = coded.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("code").alias("qcode"),
+        F.col("nrm").alias("qn"),
     )
     scored = coded.join(
         F.broadcast(queries),
@@ -260,7 +299,9 @@ def lsh_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("match_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("sim"),
+        F.round(
+            dot(F.col("qvec"), F.col(vec_col)) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
     return (
